@@ -1,0 +1,282 @@
+"""Deterministic multi-turn transcript generator (FIXTURES.md F1).
+
+Produces the BASELINE.json input shape:
+    (conv_id string, turn_idx int32, role string, text string,
+     tool string, ts timestamp)
+
+Properties:
+  - pure arithmetic on (conversation index, block index) — same content at
+    every scale, on every machine; scale = more conversations.
+  - rows are emitted in a deterministically *shuffled* order so stable
+    turn reordering is actually exercised;
+  - ~2% duplicated (conv_id, turn_idx) rows with a LATER ts and text that
+    plants otherwise-unused entities — a pipeline that fails to dedup (keep
+    earliest ts) emits detectably-false triples;
+  - the hot herb 甘草 appears in the majority of prescription lines (skew);
+  - planted edge cases: full-width digits/punctuation (Q2B), decorated herb
+    tokens (two-stage probe), parentheticals, noise words, ml/unparseable
+    doses, 不渴 indication drops, treats∩induces conflicts, bidirectional
+    属于 pairs, a ≥50-symptom degree-cap formula, carry-forward indication
+    lines that depend on stable turn order.
+
+Turn-text templates (the extraction rules live in pipeline/ and oracle/):
+  T1  "<formula>：<herb+dose>、…。"          -> formula_contains_herb (+weight)
+  T2  "<formula>主治<indications>。"          -> prescription_treat_{symptom,syndrome}
+  T2b "亦主治<indications>。"                 -> same, formula carried forward in conv order
+  T3  "<herb>可治<disease>。"                 -> herb_treats_disease
+  T3b "<herb>可致<disease>。"                 -> (induces; conflict-kill only)
+  T4  "<syndrome>常见<symptoms>。"            -> symptom_indicates_syndrome
+  T5  "<disease>属于<disease>。"              -> disease_is_a_disease (antisym dedup)
+  T6  distractor prose (near-miss names, full-width chars)
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from .gazetteers import (
+    DISEASE_NAMES,
+    HERB_NAMES,
+    HOT_HERB,
+    SYNDROME_NAMES,
+    all_formula_names,
+    all_symptom_names,
+)
+
+_BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+# dose strings planted into prescription lines; each exercises a grammar path
+DOSE_POOL: list[str | None] = [
+    "三钱", "一两", "二钱半", "半两", "9g", "1.5g", "五分", "3-5钱",
+    "一钱至二钱", "二两", "十二铢", "一斤", "四钱", "２钱",  # full-width digit -> Q2B
+    "6mg", "七厘", "半钱", "2两", "八分", "三钱", "一两半", "2.5钱",
+]
+# doses that null the formula's percentages (ml unit / non-whitelist unit)
+DOSE_POOL_BAD: list[str] = ["三合", "三升", "三枚", "一字"]
+
+# decoration prefixes resolvable by the 2-stage probe; 真 also strips
+_DECOR = ["炒", "制", "醋", "煨", "炙"]
+# near-miss tokens that must NOT link (probe fails both stages)
+_NEARMISS = ["甘草霜", "红参须", "假黄芪"]
+
+# entities reserved for duplicate-row corruption text: never used elsewhere,
+# so their appearance in output triples proves a dedup failure.
+_N_RESERVED = 3  # last 3 herbs + last formula + last disease are reserved
+
+
+def _sizes() -> tuple[list[str], list[str], list[str], list[str], list[str]]:
+    herbs = HERB_NAMES[:-_N_RESERVED]
+    formulas = all_formula_names()[:-1]
+    symptoms = all_symptom_names()
+    syndromes = SYNDROME_NAMES
+    diseases = DISEASE_NAMES[:-1]
+    return herbs, formulas, symptoms, syndromes, diseases
+
+
+def reserved_entities() -> dict[str, list[str]]:
+    return {
+        "herb": HERB_NAMES[-_N_RESERVED:],
+        "formula": all_formula_names()[-1:],
+        "disease": DISEASE_NAMES[-1:],
+    }
+
+
+def _prescription_body(c: int, k: int, herbs: list[str], dirty: bool) -> str:
+    """herb+dose list with decorations / parentheticals / edge-case doses.
+
+    `dirty` formulas (a fixed ~1/7 of the formula table) get no-dose / ml /
+    non-whitelist-unit tokens, which null that formula's weights corpus-wide;
+    clean formulas always carry parseable gram doses.
+    """
+    n_herbs = 3 + (c * 5 + k) % 5  # 3..7
+    toks: list[str] = []
+    seen: set[str] = set()
+    for j in range(n_herbs):
+        h = herbs[(c * 13 + k * 29 + j * 7) % len(herbs)]
+        if h in seen or h == HOT_HERB:
+            continue
+        seen.add(h)
+        v = (c + k * 3 + j) % 23
+        dose = DOSE_POOL[(c * 3 + k + j * 5) % len(DOSE_POOL)]
+        tok = h + dose
+        if v == 0:
+            tok = _DECOR[(c + j) % len(_DECOR)] + tok       # decorated, stage-2 probe
+        elif v == 1:
+            tok = h + "（去皮）" + dose                       # parenthetical
+        elif v == 2:
+            tok = h + "末" + dose                            # suffix-stripped by probe
+        elif v == 3 and dirty:
+            tok = h                                          # no dose -> incomplete
+        elif v == 4 and dirty:
+            tok = h + DOSE_POOL_BAD[(c + j) % len(DOSE_POOL_BAD)]  # ml/bad unit
+        elif v == 5:
+            tok = _NEARMISS[(c + j) % len(_NEARMISS)] + dose  # unlinkable
+        toks.append(tok)
+    # hot herb in ~2/3 of prescriptions (skew target: >=30%)
+    if (c + k) % 3 != 0:
+        toks.append(HOT_HERB + DOSE_POOL[(c + k) % 12])
+    if (c * 7 + k) % 9 == 0:
+        toks.append("各等分")  # noise phrase, removed before tokenization
+    return "、".join(toks)
+
+
+def _indications(c: int, k: int, symptoms: list[str], syndromes: list[str]) -> str:
+    n_sym = 2 + (c + k) % 3
+    parts = [symptoms[(c * 11 + k * 17 + j * 5) % len(symptoms)] for j in range(n_sym)]
+    if syndromes and (c + k) % 4 == 0:
+        parts.append(syndromes[(c * 3 + k) % len(syndromes)])
+    if (c * 5 + k) % 13 == 0:
+        parts.append("口不渴")  # plants 不渴 -> this line's symptom edges dropped
+    return "，".join(dict.fromkeys(parts))
+
+
+def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
+    """Yield transcript rows as dicts (shuffled order applied by caller)."""
+    herbs, formulas, symptoms, syndromes, diseases = _sizes()
+    res = reserved_entities()
+    for c in range(conv_offset, conv_offset + n_conversations):
+        conv_id = f"conv_{c:07d}"
+        t = 0
+
+        def row(text: str, role: str, tool: str | None = None):
+            nonlocal t
+            r = {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": _BASE_TS + timedelta(seconds=c * 3600 + t * 10),
+            }
+            t += 1
+            return r
+
+        yield row("请推荐适合的方剂。", "user")
+        n_blocks = 3 + c % 5
+        for k in range(n_blocks):
+            kind = (c + 2 * k) % 8
+            # ~9% of template turns land in a *user* turn: rules only mine
+            # assistant turns, so these are planted negatives.
+            role = "user" if (c + k) % 11 == 0 else "assistant"
+            tool = ("search", "calculator", None)[(c + k) % 3] if role != "user" else None
+            if kind in (0, 2):
+                fidx = (c * 7 + k * 31) % len(formulas)
+                f = formulas[fidx]
+                yield row(f"可用{f}加减。", "user" if role != "user" else "assistant")
+                yield row(
+                    f"{f}：{_prescription_body(c, k, herbs, dirty=fidx % 7 == 0)}。",
+                    role, tool,
+                )
+            elif kind == 1:
+                f = formulas[(c * 7 + k * 31) % len(formulas)]
+                yield row(
+                    f"{f}主治{_indications(c, k, symptoms, syndromes)}。", role, tool
+                )
+            elif kind == 3:
+                yield row(f"亦主治{_indications(c, k + 5, symptoms, syndromes)}。", role, tool)
+            elif kind == 4:
+                h = herbs[(c * 3 + k) % len(herbs)]
+                d = diseases[(c * 5 + k) % len(diseases)]
+                h2 = herbs[(c * 3 + k + 7) % len(herbs)]
+                d2 = diseases[(c * 5 + k + 3) % len(diseases)]
+                yield row(f"{h}可治{d}，{h2}亦可治{d2}。", role, tool)
+                if c % 13 == 0 and k == 0:
+                    # plant the treats∩induces conflict for (h, d)
+                    yield row(f"但须注意，{h}可致{d}。", "assistant")
+            elif kind == 5:
+                s = syndromes[(c * 3 + k) % len(syndromes)]
+                yield row(
+                    f"{s}常见{_indications(c, k + 9, symptoms, [])}。", role, tool
+                )
+            elif kind == 6:
+                h = herbs[(c * 3 + k + 1) % len(herbs)]
+                d = diseases[(c * 5 + k + 1) % len(diseases)]
+                yield row(f"久服{h}，恐{h}可致{d}。", role, tool)
+                d1 = diseases[(c * 2 + k) % len(diseases)]
+                d2 = diseases[(c * 2 + k + 5) % len(diseases)]
+                if d1 != d2:
+                    yield row(f"{d1}属于{d2}。", role, tool)
+                    if c % 19 == 0 and k == 1:
+                        yield row(f"{d2}属于{d1}。", "assistant")  # bidirectional -> both dropped
+            else:
+                near = _NEARMISS[(c + k) % len(_NEARMISS)]
+                yield row(
+                    f"昔人言：{near}非药也（０．５克不可信），勿用。", role, tool
+                )
+        # degree-cap formula: formulas[1] accumulates >=50 distinct symptoms
+        if c % 17 == 0:
+            f = formulas[1]
+            lo = (c // 17) * 8
+            names = [symptoms[(lo + j) % len(symptoms)] for j in range(8)]
+            yield row(f"{f}主治{'，'.join(names)}。", "assistant")
+        # ~2% duplicated (conv_id, turn_idx): later ts + reserved entities.
+        if c % 5 == 0:
+            dup_t = 1 + (c % max(1, t - 1))
+            yield {
+                "conv_id": conv_id,
+                "turn_idx": dup_t,
+                "role": "assistant",
+                "text": f"{res['formula'][0]}：{res['herb'][0]}九钱、{res['herb'][1]}一两。"
+                        f"{res['herb'][2]}可治{res['disease'][0]}。",
+                "tool": None,
+                "ts": _BASE_TS + timedelta(seconds=c * 3600 + dup_t * 10 + 100000),
+            }
+
+
+def generate_pandas(n_conversations: int = 200, conv_offset: int = 0):
+    """Transcripts as a pandas DataFrame in shuffled row order."""
+    import pandas as pd
+
+    rows = sorted(
+        generate_turns(n_conversations, conv_offset),
+        key=lambda r: ((r["turn_idx"] * 2654435761 + len(r["text"]) * 97
+                        + int(r["conv_id"][5:])) % 104729,
+                       r["conv_id"], r["turn_idx"], str(r["ts"])),
+    )
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def write_parquet(path: str, n_conversations: int, chunk: int = 20000) -> None:
+    """Chunked parquet writer for bench-scale corpora (millions of turns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    writer = pq.ParquetWriter(path, schema)
+    done = 0
+    try:
+        while done < n_conversations:
+            n = min(chunk, n_conversations - done)
+            pdf = generate_pandas(n, conv_offset=done)
+            writer.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
+            done += n
+    finally:
+        writer.close()
+
+
+def spark_transcripts(spark, n_conversations: int = 200):
+    """Transcripts as a Spark DataFrame (small/medium scales)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return spark.createDataFrame(generate_pandas(n_conversations), schema=schema)

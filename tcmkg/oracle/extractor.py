@@ -1,0 +1,267 @@
+"""Plain-Python oracle: the P/R≥0.95 gate (SURVEY.md §5.2 item 1).
+
+A reference-faithful, eager, single-process implementation of the exact
+extraction contract the Spark pipeline must reproduce. It shares the *string
+kernels* (Q2B, dose grammar, token probe, Aho-Corasick) with the pipeline —
+those encode reference semantics — but implements all *dataflow* (dedup,
+ordering, carry-forward, union-find canonicalization, conflict resolution,
+weighting) independently with plain dicts/loops, the way the reference does
+(cf. processed_code/merge_utility.py:166-231 union-find;
+extract_prescription_herb_relation.py:63-93 linking;
+process_dose_unit.py:100-210 weighting;
+add_more_prescription_symptom_map.py:22-28 substring scan;
+merge_tcm_symptom.py:289-294 degree cap; extract_ingredient.py:514-515 and
+extract_disease.py:288-294 conflict rules).
+
+THE EXTRACTION CONTRACT (shared, normative for both implementations)
+--------------------------------------------------------------------
+Ingest:   drop duplicate (conv_id, turn_idx) keeping min (ts, text); order
+          turns by turn_idx per conversation; normalize text with
+          kernels.normalize.text_norm (Q2B + lowercase). Only role='assistant'
+          turns are mined; all turns participate in ordering.
+Rules (per ordered assistant turn, normalized text t):
+  T1  if ':' in t and prefix:=t[:t.index(':')] resolves in the formula alias
+      map: prescription line. Tokenize body per the reference grammar, peel
+      doses, two-stage herb probe. Updates carried formula.
+  T2  elif '主治' in t: indication line. prefix before first 主治 resolves
+      to a formula, else the carried formula (skip if none). Substring-scan
+      (AC) symptom and syndrome gazetteers over the indication tail.
+      Updates carried formula only when the prefix resolved.
+  T3  if '可治' in t: herb×disease co-occurrence over the whole line -> treats.
+      if '可致' in t: same -> induces (conflict-kill only, never emitted).
+  T4  elif '常见' in t: split at first 常见; syndrome AC on the left,
+      symptom AC on the right -> (symptom, symptom_indicates_syndrome, syndrome).
+  T5  elif '属于' in t: split; disease AC left -> subj, right -> obj.
+Post:
+  formula_contains_herb: dose -> grams (clean/filter/convert per reference
+      grammar); formulas with any ml-unit or any unparseable linked dose get
+      null weights; else weight = dose/formula_total, summed per (subj,obj),
+      all-null -> null.
+  prescription_treat_symptom: drop lines whose indication tail contains 不渴;
+      then drop formulas with >=50 distinct symptoms (degree cap).
+  herb_treats_disease: treats minus (treats ∩ induces) pairs.
+  disease_is_a_disease: drop pairs present in both directions (both sides).
+  All predicates deduplicated on (subj, pred, obj).
+Canonical entities: per-gazetteer union-find over records sharing any
+      (column, token) key from names/symmap_id/extdb_id; canonical id =
+      CANON_PREFIX + zero-padded rank of the component's min record_id.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ..fixtures.gazetteers import CANON_PREFIX, Gazetteers, GazetteerRecord
+from ..kernels.dose import parse_dose_string
+from ..kernels.matcher import AhoCorasick, extract_herb_dose_pairs, probe_herb
+from ..kernels.normalize import text_norm
+
+PRED_CONTAINS = "formula_contains_herb"
+PRED_TREATS = "herb_treats_disease"
+PRED_INDICATES = "symptom_indicates_syndrome"
+PRED_P_SYMPTOM = "prescription_treat_symptom"
+PRED_P_SYNDROME = "prescription_treat_syndrome"
+PRED_IS_A = "disease_is_a_disease"
+
+DEGREE_CAP = 50
+
+
+class _UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # smaller id wins -> deterministic representatives
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def canonicalize_records(
+    records: list[GazetteerRecord], prefix: str
+) -> tuple[dict[str, str], dict[str, str]]:
+    """Union-find canonicalization of gazetteer records.
+
+    Returns (record_id -> canonical_id, alias name -> canonical_id).
+    """
+    uf = _UnionFind()
+    key_owner: dict[tuple[str, str], str] = {}
+    for r in records:
+        uf.find(r.record_id)
+        keys = [("name", n) for n in r.names]
+        if r.symmap_id:
+            keys += [("symmap", k.strip()) for k in r.symmap_id.split(";")]
+        if r.extdb_id:
+            keys += [("extdb", k.strip()) for k in r.extdb_id.split(";")]
+        for key in keys:
+            if key in key_owner:
+                uf.union(key_owner[key], r.record_id)
+            else:
+                key_owner[key] = r.record_id
+    comps: dict[str, list[GazetteerRecord]] = defaultdict(list)
+    for r in records:
+        comps[uf.find(r.record_id)].append(r)
+    rec2canon: dict[str, str] = {}
+    alias2canon: dict[str, str] = {}
+    for i, rep in enumerate(sorted(comps)):
+        canon = f"{prefix}{i:05d}"
+        for r in sorted(comps[rep], key=lambda r: r.record_id):
+            rec2canon[r.record_id] = canon
+            for name in r.names:
+                alias2canon[text_norm(name)] = canon
+    return rec2canon, alias2canon
+
+
+class OracleExtractor:
+    def __init__(self, gaz: Gazetteers) -> None:
+        self.maps: dict[str, dict[str, str]] = {}
+        for etype, records in gaz.tables().items():
+            _, alias2canon = canonicalize_records(records, CANON_PREFIX[etype])
+            self.maps[etype] = alias2canon
+        self.ac = {
+            etype: AhoCorasick(self.maps[etype].keys())
+            for etype in ("symptom", "syndrome", "disease", "herb")
+        }
+
+    # ------------------------------------------------------------------
+    def extract(self, rows: list[dict]) -> set[tuple]:
+        """rows: raw transcript dicts -> set of (subj, pred, obj, weight)."""
+        # ingest: dedup (conv, turn) keep min (ts, text); order per conv
+        best: dict[tuple[str, int], dict] = {}
+        for r in rows:
+            key = (r["conv_id"], r["turn_idx"])
+            cur = best.get(key)
+            if cur is None or (r["ts"], r["text"]) < (cur["ts"], cur["text"]):
+                best[key] = r
+        convs: dict[str, list[dict]] = defaultdict(list)
+        for (conv, _), r in sorted(best.items()):
+            convs[conv].append(r)
+
+        contains_rows: list[tuple[str, str, str | None]] = []  # formula, herb, dose
+        psym_rows: list[tuple[str, str, str]] = []  # formula, symptom, ind_text
+        psyn_rows: list[tuple[str, str]] = []
+        treats: set[tuple[str, str]] = set()
+        induces: set[tuple[str, str]] = set()
+        indicates: set[tuple[str, str]] = set()
+        is_a: set[tuple[str, str]] = set()
+
+        fmap = self.maps["formula"]
+        hmap = self.maps["herb"]
+        for conv, turns in convs.items():
+            last_formula: str | None = None
+            for r in turns:
+                if r["role"] != "assistant":
+                    continue
+                t = text_norm(r["text"])
+                handled = False
+                if ":" in t:
+                    prefix, _, body = t.partition(":")
+                    fid = fmap.get(prefix)
+                    if fid is not None:
+                        for tok, dose in extract_herb_dose_pairs(body):
+                            hid = probe_herb(tok, hmap)
+                            if hid is not None:
+                                contains_rows.append((fid, hid, dose))
+                        last_formula = fid
+                        handled = True
+                if not handled and "主治" in t:
+                    prefix, _, tail = t.partition("主治")
+                    fid = fmap.get(prefix)
+                    if fid is not None:
+                        last_formula = fid
+                    else:
+                        fid = last_formula
+                    if fid is not None:
+                        for s in self.ac["symptom"].find_set(tail):
+                            psym_rows.append((fid, self.maps["symptom"][s], tail))
+                        for s in self.ac["syndrome"].find_set(tail):
+                            psyn_rows.append((fid, self.maps["syndrome"][s]))
+                    handled = True
+                if "可治" in t:
+                    hs = self.ac["herb"].find_set(t)
+                    ds = self.ac["disease"].find_set(t)
+                    for h in hs:
+                        for d in ds:
+                            treats.add((hmap[h], self.maps["disease"][d]))
+                if "可致" in t:
+                    hs = self.ac["herb"].find_set(t)
+                    ds = self.ac["disease"].find_set(t)
+                    for h in hs:
+                        for d in ds:
+                            induces.add((hmap[h], self.maps["disease"][d]))
+                if not handled and "常见" in t:
+                    left, _, right = t.partition("常见")
+                    syns = self.ac["syndrome"].find_set(left)
+                    syms = self.ac["symptom"].find_set(right)
+                    for sy in syns:
+                        for sm in syms:
+                            indicates.add(
+                                (self.maps["symptom"][sm], self.maps["syndrome"][sy])
+                            )
+                elif not handled and "属于" in t:
+                    left, _, right = t.partition("属于")
+                    for a in self.ac["disease"].find_set(left):
+                        for b in self.ac["disease"].find_set(right):
+                            ca, cb = self.maps["disease"][a], self.maps["disease"][b]
+                            if ca != cb:
+                                is_a.add((ca, cb))
+
+        triples: set[tuple] = set()
+
+        # ---- formula_contains_herb weights (reference dose pipeline) ----
+        amounts: list[tuple[str, str, float | None, str | None]] = []
+        for fid, hid, dose in contains_rows:
+            amt, unit = parse_dose_string(dose)
+            amounts.append((fid, hid, amt, unit))
+        totals: dict[str, float] = defaultdict(float)
+        dropped: set[str] = set()
+        for fid, _, amt, unit in amounts:
+            if unit == "ml" or amt is None:
+                dropped.add(fid)
+            if amt is not None:
+                totals[fid] += amt
+        wsum: dict[tuple[str, str], float] = defaultdict(float)
+        has_w: set[tuple[str, str]] = set()
+        pairs: set[tuple[str, str]] = set()
+        for fid, hid, amt, _ in amounts:
+            pairs.add((fid, hid))
+            if fid not in dropped and amt is not None and totals[fid] > 0:
+                wsum[(fid, hid)] += amt / totals[fid]
+                has_w.add((fid, hid))
+        for fid, hid in pairs:
+            w = round(wsum[(fid, hid)], 9) if (fid, hid) in has_w else None
+            triples.add((fid, PRED_CONTAINS, hid, w))
+
+        # ---- prescription_treat_symptom: 不渴 drop + degree cap ----
+        kept = {(f, s) for f, s, tail in psym_rows if "不渴" not in tail}
+        deg: dict[str, set[str]] = defaultdict(set)
+        for f, s in kept:
+            deg[f].add(s)
+        capped = {f for f, ss in deg.items() if len(ss) >= DEGREE_CAP}
+        for f, s in kept:
+            if f not in capped:
+                triples.add((f, PRED_P_SYMPTOM, s, None))
+
+        for f, s in set(psyn_rows):
+            triples.add((f, PRED_P_SYNDROME, s, None))
+
+        for h, d in treats - induces:
+            triples.add((h, PRED_TREATS, d, None))
+
+        for sm, sy in indicates:
+            triples.add((sm, PRED_INDICATES, sy, None))
+
+        for a, b in is_a:
+            if (b, a) not in is_a:
+                triples.add((a, PRED_IS_A, b, None))
+
+        return triples

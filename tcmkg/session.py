@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode stands in for a multi-executor cluster; every knob here is the
+one we would also set on a real 1000-executor deployment (AQE, skew join,
+Arrow batching, sane shuffle partitioning). Iceberg jars are not present in
+this sandbox image, so checkpoint tables fall back to parquet-with-manifest
+(see pipeline/checkpoints.py); on a cluster with the iceberg-spark-runtime
+jar, `iceberg=True` configures a hadoop catalog instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tcmkg",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    iceberg: bool = False,
+    warehouse: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores: int N -> local[N]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS or "*".
+    shuffle_partitions defaults to the core count (local mode: more is waste).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    ncores = os.cpu_count() or 8
+    if isinstance(cores, int) or (isinstance(cores, str) and cores.isdigit()):
+        ncores = int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, ncores)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("TCMKG_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if iceberg:
+        wh = warehouse or "/tmp/tcmkg_warehouse"
+        b = (
+            b.config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse", wh)
+        )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,158 @@
+"""Unit tests for the pure string kernels (SURVEY.md §5.2 item 3)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from tcmkg.kernels.cn_numerals import parse_cn_number
+from tcmkg.kernels.dose import (
+    clean_dose,
+    dose_to_amount,
+    filter_unit,
+    parse_dose_string,
+)
+from tcmkg.kernels.matcher import (
+    AhoCorasick,
+    extract_herb_dose_pairs,
+    probe_herb,
+    split_prescription_tokens,
+)
+from tcmkg.kernels.normalize import clean_series, str_clean, string_q2b, text_norm
+
+
+# ----------------------------------------------------------- CN numerals ---
+@pytest.mark.parametrize(
+    "s,v",
+    [
+        ("3", 3.0), ("1.5", 1.5), ("0.25", 0.25),
+        ("一", 1), ("二", 2), ("两", 2), ("九", 9),
+        ("十", 10), ("十二", 12), ("二十", 20), ("二十三", 23),
+        ("三百", 300), ("一百五十", 150), ("三百零五", 305),
+        ("一千二百", 1200), ("一万", 10000),
+        ("三点五", 3.5),
+    ],
+)
+def test_cn_numbers(s, v):
+    assert parse_cn_number(s) == pytest.approx(v)
+
+
+def test_cn_number_rejects():
+    for bad in ["", "abc", "钱", "半夏"]:
+        with pytest.raises(ValueError):
+            parse_cn_number(bad)
+
+
+# ------------------------------------------------------------- normalize ---
+def test_q2b_cases():
+    # reference semantics: extract_ingredient.py:19-43
+    assert string_q2b("ＡＢＣ１２３") == "ABC123"
+    assert string_q2b("（甘草）") == "(甘草)"
+    assert string_q2b("　") == " "
+    assert str_clean("Ｘ － Ｙ") == "x-y"
+    assert str_clean("a〔b〕") == "a(b("
+    assert text_norm("３克，：") == "3克,:"
+
+
+def test_clean_series_matches_scalar():
+    vals = ["ＡＢ—ＣＤ", "x － y", "〔t〕", "甘草３克"]
+    ser = clean_series(pd.Series(vals))
+    assert list(ser) == [str_clean(v) for v in vals]
+
+
+# ------------------------------------------------------------------ dose ---
+@pytest.mark.parametrize(
+    "dose,amount,unit",
+    [
+        ("三钱", 3 * 3.125, "g"),
+        ("一两", 31.25, "g"),
+        ("二钱半", 2 * 3.125 + 0.5 * 3.125, "g"),
+        ("半两", 0.5 * 31.25, "g"),
+        ("半钱", 0.5 * 3.125, "g"),
+        ("9g", 9.0, "g"),
+        ("1.5克", 1.5, "g"),
+        ("五分", 5 * 0.3125, "g"),
+        ("3-5钱", 4 * 3.125, "g"),
+        # 至-range quirk: reference reuses the previous segment's numeral
+        # (process_dose_unit.py:164-172) -> (1钱 + 1钱)/2
+        ("一钱至二钱", 3.125, "g"),
+        ("十二铢", 12 * 1.3, "g"),
+        ("一斤", 500.0, "g"),
+        ("6mg", 0.006, "g"),
+        ("七厘", 7 * 0.03125, "g"),
+        ("一两半", 31.25 + 15.625, "g"),
+        ("三合", 60.0, "ml"),
+        ("三升", 600.0, "ml"),
+        ("2两", 62.5, "g"),
+    ],
+)
+def test_dose_amounts(dose, amount, unit):
+    a, u = parse_dose_string(dose)
+    assert u == unit
+    assert a == pytest.approx(amount)
+
+
+def test_dose_filters_and_corrections():
+    assert filter_unit("三枚") is None          # unit not whitelisted
+    assert filter_unit("二钱匕") is None        # blacklisted
+    assert filter_unit("一字") is None
+    assert filter_unit("5厘米") is None
+    assert clean_dose("两半") == "一两半"       # manual correction table
+    assert clean_dose("小3克") == "3克"
+    assert clean_dose("3～5钱") == "3-5钱"
+    assert parse_dose_string(None) == (None, None)
+    assert parse_dose_string("若干") == (None, None)
+
+
+def test_dose_unit_conflict_is_null():
+    assert dose_to_amount("一两3ml") == (None, None)
+
+
+# --------------------------------------------------------------- matcher ---
+def test_token_split_matches_reference_grammar():
+    # extract_prescription_herb_relation.py:24-27 incl. the [^五]加 branch
+    assert split_prescription_tokens("甘草三钱、人参（去皮）一两") == [
+        "甘草三钱", "人参一两",
+    ]
+    assert split_prescription_tokens("丹皮加甘草") == ["丹", "甘草"]
+    assert split_prescription_tokens("五加皮三钱") == ["五加皮三钱"]
+    assert split_prescription_tokens("甘草 人参，白术。各等分") == [
+        "甘草", "人参", "白术",
+    ]
+    assert split_prescription_tokens("黄芪（注释缺") == ["黄芪"]
+
+
+def test_herb_dose_pairs():
+    pairs = extract_herb_dose_pairs("甘草三钱、人参、三钱白术")
+    # token whose dose starts at offset 0 is dropped (reference :34-37)
+    assert pairs == [("甘草", "三钱"), ("人参", None)]
+    assert extract_herb_dose_pairs("半夏3g") == [("半夏", "3g")]
+    # 克 is NOT in the reference's dose-mention unit class
+    # (extract_prescription_herb_relation.py:31-33) — token keeps full text
+    assert extract_herb_dose_pairs("半夏3克") == [("半夏3克", None)]
+
+
+def test_probe_two_stage():
+    hmap = {"甘草": "H1", "白术": "H2", "川芎": "H3", "人参": "H4"}
+    assert probe_herb("甘草", hmap) == "H1"
+    assert probe_herb("炒白术", hmap) == "H2"      # decoration stripped
+    assert probe_herb("川芎", hmap) == "H3"        # exact beats decoration strip
+    assert probe_herb("人参末", hmap) == "H4"      # suffix stripped
+    assert probe_herb("未知药", hmap) is None
+    assert probe_herb("", hmap) is None
+
+
+def test_aho_corasick():
+    ac = AhoCorasick(["口渴", "头痛", "痛", "不渴"])
+    assert ac.find_set("患者头痛而口渴") == {"头痛", "痛", "口渴"}
+    assert ac.find_set("口不渴") == {"不渴"}
+    assert ac.find_set("平安无事") == set()
+    # overlapping + positions
+    assert (0, "头痛") in ac.find_all("头痛")
+    ac2 = AhoCorasick(["aa", "aaa"])
+    assert ac2.find_set("aaaa") == {"aa", "aaa"}
+
+
+def test_weight_isclose_semantics():
+    # merge_utility.py:151 rel_tol analogue used in merge tests
+    assert math.isclose(10.0, 11.0, rel_tol=0.2)
