@@ -117,7 +117,9 @@ def canonicalize_records(
         for r in sorted(comps[rep], key=lambda r: r.record_id):
             rec2canon[r.record_id] = canon
             for name in r.names:
-                alias2canon[text_norm(name)] = canon
+                key = text_norm(name)
+                # collision rule: min canonical id wins (matches pipeline)
+                alias2canon[key] = min(alias2canon.get(key, canon), canon)
     return rec2canon, alias2canon
 
 
@@ -238,7 +240,7 @@ class OracleExtractor:
                 wsum[(fid, hid)] += amt / totals[fid]
                 has_w.add((fid, hid))
         for fid, hid in pairs:
-            w = round(wsum[(fid, hid)], 9) if (fid, hid) in has_w else None
+            w = wsum[(fid, hid)] if (fid, hid) in has_w else None
             triples.add((fid, PRED_CONTAINS, hid, w))
 
         # ---- prescription_treat_symptom: 不渴 drop + degree cap ----

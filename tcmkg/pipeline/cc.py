@@ -1,0 +1,77 @@
+"""Distributed connected components via checkpointed min-label propagation.
+
+This is the Spark-native replacement for the reference's in-memory union-find
+(reference: processed_code/merge_utility.py:166-231 `merge_database_by_id`):
+records sharing any key merge transitively; the representative is the
+component's minimum node id ("first occurrence wins" under lexicographic
+record ids, which our record-id scheme makes equivalent to the reference's
+row-order rule — see SURVEY.md §2.4 A3).
+
+Algorithm (bipartite min-label propagation over the node↔key incidence list):
+    label(n) := n
+    repeat:
+      kmin(k)  = min over nodes n∈k of label(n)         -- shuffle on key
+      cand(n)  = min over keys k∋n of kmin(k)           -- shuffle on node
+      label(n) = min(label(n), cand(n))
+    until no label changed
+
+Converges in O(component diameter) rounds. Both aggregations are MIN —
+partially aggregatable, so Spark's map-side combine neutralizes hot keys
+(a key shared by millions of records contributes one row per map partition
+after partial agg). AQE skew-join handles residual join skew; lineage is
+truncated with localCheckpoint every round so iteration count doesn't blow
+up the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    incidence: DataFrame,
+    node_col: str = "node",
+    key_col: str = "key",
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """incidence: (node, key) pairs -> (node, component) with component =
+    min node id in the connected component. Isolated nodes (no key rows)
+    must still appear with a null/unique key if they should be retained;
+    callers typically union them back afterwards.
+    """
+    inc = incidence.select(
+        F.col(node_col).alias("node"), F.col(key_col).alias("key")
+    ).dropDuplicates(["node", "key"]).localCheckpoint()
+
+    labels = inc.select("node").distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint()
+
+    for i in range(max_iter):
+        kmin = (
+            inc.join(labels, "node")
+            .groupBy("key")
+            .agg(F.min("label").alias("kmin"))
+        )
+        cand = (
+            inc.join(kmin, "key")
+            .groupBy("node")
+            .agg(F.min("kmin").alias("cand"))
+        )
+        new_labels = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
+                (F.col("cand") < F.col("label")).alias("changed"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+
+    return labels.withColumnRenamed("label", "component")

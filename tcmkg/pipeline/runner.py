@@ -1,0 +1,126 @@
+"""End-to-end KG construction pipeline (the flagship entry point).
+
+    transcripts (conv_id, turn_idx, role, text, tool, ts)
+      → ingest (dedup + stable order)                 [window fns]
+      → resolve_anchors (rule dispatch, carry-forward)[broadcast joins + window]
+      → extract_mentions (AC / probe / dose kernels)  [one mapInPandas]
+      → assemble_triples (weights, caps, conflicts)   [native SQL aggs]
+      → materialize nodes / edges / metrics           [parquet or Iceberg]
+
+Canonical entities come from connected-components canonicalization of the
+gazetteer record tables (pipeline/canonicalize.py). Stages checkpoint
+through CheckpointStore when a directory is given; re-running resumes from
+the last complete stage with identical results (determinism test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fixtures.gazetteers import CANON_PREFIX, Gazetteers, build_gazetteers, records_to_rows
+from .canonicalize import canonicalize, normalize_alias_map
+from .checkpoints import CheckpointStore
+from .extract import extract_mentions, ingest, resolve_anchors, rule_prefilter
+from .triples import assemble_triples
+
+_GAZ_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType()),
+        T.StructField("names", T.StringType()),
+        T.StructField("symmap_id", T.StringType()),
+        T.StructField("extdb_id", T.StringType()),
+    ]
+)
+
+
+class KGPipeline:
+    """Holds canonicalized gazetteers; `run` builds triples for a corpus."""
+
+    _instances = 0
+
+    def __init__(self, spark: SparkSession, gaz: Gazetteers | None = None) -> None:
+        self.spark = spark
+        KGPipeline._instances += 1
+        self._cache_key = f"pipeline{KGPipeline._instances}"
+        gaz = gaz or build_gazetteers()
+        self.maps: dict[str, dict[str, str]] = {}
+        self.nodes: list[DataFrame] = []
+        for etype, records in gaz.tables().items():
+            rec_df = spark.createDataFrame(records_to_rows(records), schema=_GAZ_SCHEMA)
+            rec2canon, alias2canon = canonicalize(rec_df, CANON_PREFIX[etype])
+            rows = [(r["alias"], r["canonical_id"]) for r in alias2canon.collect()]
+            self.maps[etype] = normalize_alias_map(rows)
+            self.nodes.append(
+                rec_df.join(rec2canon, "record_id")
+                .withColumn("name", F.explode(F.split("names", ";")))
+                .groupBy("canonical_id")
+                .agg(F.array_sort(F.collect_set("name")).alias("names"))
+                .withColumn("entity_type", F.lit(etype))
+            )
+        self.formula_alias = spark.createDataFrame(
+            list(self.maps["formula"].items()), schema="alias string, canonical_id string"
+        )
+
+    # ------------------------------------------------------------------
+    def nodes_table(self) -> DataFrame:
+        out = self.nodes[0]
+        for n in self.nodes[1:]:
+            out = out.unionByName(n)
+        return out.select("canonical_id", "entity_type", "names")
+
+    def mentions(self, transcripts: DataFrame) -> DataFrame:
+        turns = ingest(transcripts)
+        resolved = resolve_anchors(turns, self.formula_alias)
+        pre = rule_prefilter(resolved)
+        return extract_mentions(self.spark, pre, self.maps, cache_key=self._cache_key)
+
+    def triples(self, transcripts: DataFrame) -> DataFrame:
+        return assemble_triples(self.mentions(transcripts))
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        transcripts: DataFrame,
+        checkpoint_dir: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Full run with optional per-stage checkpoint/resume."""
+        if checkpoint_dir is None:
+            triples = self.triples(transcripts)
+            return {"triples": triples, "nodes": self.nodes_table()}
+
+        store = CheckpointStore(checkpoint_dir)
+        spark = self.spark
+        mentions = store.run_stage(
+            spark, "s1_mentions",
+            lambda: self.mentions(transcripts),
+            partition_by=["kind"],
+        )
+        triples = store.run_stage(
+            spark, "s2_triples",
+            lambda: assemble_triples(mentions),
+            partition_by=["pred"],
+        )
+        nodes = store.run_stage(spark, "s3_nodes", self.nodes_table)
+        metrics = store.run_stage(spark, "s4_metrics", lambda: self._metrics(mentions, triples))
+        return {"mentions": mentions, "triples": triples, "nodes": nodes, "metrics": metrics}
+
+    def _metrics(self, mentions: DataFrame, triples: DataFrame) -> DataFrame:
+        """Per-partition lineage + triple-count metrics (north-rule item)."""
+        m = (
+            mentions.withColumn("part", F.spark_partition_id())
+            .groupBy("part")
+            .count()
+            .select(
+                F.lit("mentions_per_partition").alias("metric"),
+                F.col("part").cast("string").alias("key"),
+                F.col("count").cast("double").alias("value"),
+            )
+        )
+        t = triples.groupBy("pred").count().select(
+            F.lit("triples_per_pred").alias("metric"),
+            F.col("pred").alias("key"),
+            F.col("count").cast("double").alias("value"),
+        )
+        return m.unionByName(t)

@@ -1,0 +1,111 @@
+"""Mention rows -> final (subj, pred, obj, weight) triples.
+
+All dataflow here is native Spark SQL (codegen'd, partially-aggregated):
+
+  formula_contains_herb   dose weighting per the reference
+                          (process_dose_unit.py:176-210): formulas with any
+                          ml-unit or unparseable linked dose get null
+                          weights; else weight = amount/formula_total,
+                          summed per (formula, herb).
+  prescription_treat_symptom  不渴-line drop
+                          (add_more_prescription_symptom_map.py:67-80) +
+                          >=50-distinct-symptom degree cap
+                          (merge_tcm_symptom.py:289-294).
+  herb_treats_disease     treats minus (treats ∩ induces)
+                          (extract_ingredient.py:514-515 semantics).
+  disease_is_a_disease    bidirectional pairs dropped from both sides
+                          (extract_disease.py:288-294 + merge_utility.py:11-34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .util import salted_distinct_count
+
+DEGREE_CAP = 50
+
+PRED_OF_KIND = {
+    "contains": "formula_contains_herb",
+    "p_symptom": "prescription_treat_symptom",
+    "p_syndrome": "prescription_treat_syndrome",
+    "treats": "herb_treats_disease",
+    "indicates": "symptom_indicates_syndrome",
+    "is_a": "disease_is_a_disease",
+}
+
+
+def _pairs(mentions: DataFrame, kind: str) -> DataFrame:
+    return (
+        mentions.filter(F.col("kind") == kind)
+        .select("subj", "obj")
+        .dropDuplicates(["subj", "obj"])
+    )
+
+
+def contains_edges(mentions: DataFrame) -> DataFrame:
+    c = mentions.filter(F.col("kind") == "contains").select("subj", "obj", "amount", "unit")
+    per_formula = c.groupBy("subj").agg(
+        F.max(
+            F.when((F.col("unit") == "ml") | F.col("amount").isNull(), 1).otherwise(0)
+        ).alias("dropped"),
+        F.sum("amount").alias("total"),
+    )
+    # per-formula stats are tiny relative to the mention stream -> broadcast
+    enriched = c.join(F.broadcast(per_formula), "subj")
+    pct = enriched.withColumn(
+        "pct",
+        F.when(
+            (F.col("dropped") == 0) & F.col("amount").isNotNull() & (F.col("total") > 0),
+            F.col("amount") / F.col("total"),
+        ),
+    )
+    return pct.groupBy("subj", "obj").agg(F.sum("pct").alias("weight"))
+
+
+def p_symptom_edges(mentions: DataFrame) -> DataFrame:
+    kept = (
+        mentions.filter((F.col("kind") == "p_symptom") & (~F.col("buke")))
+        .select("subj", "obj")
+        .dropDuplicates(["subj", "obj"])
+    )
+    deg = salted_distinct_count(kept, ["subj"], "obj", "n_sym")
+    ok = deg.filter(F.col("n_sym") < DEGREE_CAP).select("subj")
+    return kept.join(F.broadcast(ok), "subj", "left_semi")
+
+
+def treats_edges(mentions: DataFrame) -> DataFrame:
+    treats = _pairs(mentions, "treats")
+    induces = _pairs(mentions, "induces")
+    return treats.join(induces, ["subj", "obj"], "left_anti")
+
+
+def is_a_edges(mentions: DataFrame) -> DataFrame:
+    pairs = _pairs(mentions, "is_a")
+    swapped = pairs.select(
+        F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+    return pairs.join(swapped, ["subj", "obj"], "left_anti")
+
+
+def assemble_triples(mentions: DataFrame) -> DataFrame:
+    """-> (subj, pred, obj, weight double)."""
+    def lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
+        w = F.col("weight") if weight else F.lit(None).cast("double")
+        return df.select(
+            "subj", F.lit(pred).alias("pred"), "obj", w.alias("weight")
+        )
+
+    parts = [
+        lab(contains_edges(mentions), PRED_OF_KIND["contains"], weight=True),
+        lab(p_symptom_edges(mentions), PRED_OF_KIND["p_symptom"]),
+        lab(_pairs(mentions, "p_syndrome"), PRED_OF_KIND["p_syndrome"]),
+        lab(treats_edges(mentions), PRED_OF_KIND["treats"]),
+        lab(_pairs(mentions, "indicates"), PRED_OF_KIND["indicates"]),
+        lab(is_a_edges(mentions), PRED_OF_KIND["is_a"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -11,8 +11,28 @@ jar, `iceberg=True` configures a hadoop catalog instead.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip(dest_dir: str = "/tmp") -> str:
+    """Zip the tcmkg package for worker shipping — the local-mode equivalent
+    of `spark-submit --py-files tcmkg.zip` (north-rule deployment shape).
+    Python workers are separate processes and do not inherit the driver's
+    sys.path, so the package must travel via addPyFile."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(dest_dir, "tcmkg_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join("tcmkg", os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    return out
 
 
 def get_spark(
@@ -62,6 +82,11 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ship the package to Python workers (works in local and cluster mode)
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context
     return spark
 
 

@@ -1,0 +1,81 @@
+"""Connected-components correctness: property-based vs pure-Python union-find
+(SURVEY.md §5.2 item 4)."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tcmkg.oracle.extractor import _UnionFind
+
+
+def _uf_components(pairs):
+    uf = _UnionFind()
+    nodes = set()
+    for n, k in pairs:
+        nodes.add(n)
+        uf.union(f"n:{n}", f"k:{k}")
+    return {n: uf.find(f"n:{n}") for n in nodes}
+
+
+def _group(labels: dict) -> set[frozenset]:
+    from collections import defaultdict
+
+    g = defaultdict(set)
+    for n, c in labels.items():
+        g[c].add(n)
+    return {frozenset(v) for v in g.values()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 12)),
+        min_size=1, max_size=120,
+    )
+)
+def test_cc_matches_union_find(spark, pairs):
+    from tcmkg.pipeline.cc import connected_components
+
+    inc = spark.createDataFrame(
+        [(f"n{n:03d}", f"k{k:03d}") for n, k in pairs], "node string, key string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(inc).collect()
+    }
+    want = _uf_components([(f"n{n:03d}", f"k{k:03d}") for n, k in pairs])
+    # same grouping
+    assert _group(got) == _group(want)
+    # representative = min node id of the component (determinism contract)
+    for n, c in got.items():
+        assert c == min(_g for _g in got if got[_g] == c)
+
+
+def test_cc_chain_and_hot_key(spark):
+    """Chain A-B-C-D through distinct keys + one hot key shared by many."""
+    from tcmkg.pipeline.cc import connected_components
+
+    rows = [("a", "k1"), ("b", "k1"), ("b", "k2"), ("c", "k2"), ("c", "k3"), ("d", "k3")]
+    rows += [(f"z{i:04d}", "hot") for i in range(500)]
+    inc = spark.createDataFrame(rows, "node string, key string")
+    got = {r["node"]: r["component"] for r in connected_components(inc).collect()}
+    assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+    assert got["z0499"] == "z0000"
+    assert len(got) == 504
+
+
+def test_stable_rank(spark):
+    from tcmkg.pipeline.util import stable_rank
+
+    vals = [f"v{i:05d}" for i in range(999)]
+    df = spark.createDataFrame([(v,) for v in reversed(vals)], "x string")
+    got = {r["x"]: r["rank"] for r in stable_rank(df, "x", num_partitions=7).collect()}
+    assert got == {v: i for i, v in enumerate(vals)}
+
+
+def test_salted_distinct_count(spark):
+    from tcmkg.pipeline.util import salted_distinct_count
+
+    rows = [("a", i % 5) for i in range(100)] + [("b", i) for i in range(7)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {r["k"]: r["n_distinct"] for r in salted_distinct_count(df, ["k"], "v").collect()}
+    assert got == {"a": 5, "b": 7}

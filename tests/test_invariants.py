@@ -1,0 +1,90 @@
+"""North-rule invariants: per-turn text equality, partition-count
+determinism, checkpoint resume (SURVEY.md §5.2 items 2, 5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_per_turn_text_equality(spark, pipeline, transcripts_df, transcripts_pdf):
+    """Reassembled turn text == input text under stable ordering: the ingest
+    stage must preserve every kept turn's text byte-for-byte (empty anti-join
+    both ways against the expected dedup of the input)."""
+    from tcmkg.pipeline.extract import ingest
+
+    out = ingest(transcripts_df).select("conv_id", "turn_idx", "text")
+
+    # expected: min-(ts,text) row per (conv_id, turn_idx), computed in pandas
+    pdf = transcripts_pdf.sort_values(["conv_id", "turn_idx", "ts", "text"])
+    expected = pdf.groupby(["conv_id", "turn_idx"], as_index=False).first()[
+        ["conv_id", "turn_idx", "text"]
+    ]
+    exp_df = spark.createDataFrame(expected)
+
+    on = ["conv_id", "turn_idx", "text"]
+    assert out.join(exp_df, on, "left_anti").count() == 0
+    assert exp_df.join(out, on, "left_anti").count() == 0
+    assert out.count() == exp_df.count()
+
+
+def test_determinism_across_partitionings(pipeline, transcripts_df):
+    """Same triple set regardless of input partitioning (stand-in for the
+    local[8] vs local[32] identity, which bench_scaling.py exercises with
+    real separate sessions)."""
+    t3 = pipeline.triples(transcripts_df.repartition(3)).collect()
+    t17 = pipeline.triples(transcripts_df.repartition(17)).collect()
+    s3 = {(r.subj, r.pred, r.obj) for r in t3}
+    s17 = {(r.subj, r.pred, r.obj) for r in t17}
+    assert s3 == s17
+    w3 = sorted((r.subj, r.pred, r.obj, None if r.weight is None else round(r.weight, 9)) for r in t3)
+    w17 = sorted((r.subj, r.pred, r.obj, None if r.weight is None else round(r.weight, 9)) for r in t17)
+    assert w3 == w17
+
+
+def test_checkpoint_resume(tmp_path, spark, pipeline, transcripts_df, golden_triples):
+    """Kill-and-resume: run stage 1 only, then a fresh run must reuse the
+    checkpoint (manifest hit) and produce the identical final triple set."""
+    ckpt = str(tmp_path / "ckpt")
+
+    # partial run: materialize only the mentions stage
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    store = CheckpointStore(ckpt)
+    store.run_stage(
+        spark, "s1_mentions", lambda: pipeline.mentions(transcripts_df),
+        partition_by=["kind"],
+    )
+    assert store.has("s1_mentions")
+
+    # resume: full run over the same checkpoint dir
+    out = pipeline.run(transcripts_df, checkpoint_dir=ckpt)
+    got = {(r.subj, r.pred, r.obj) for r in out["triples"].collect()}
+    want = {(s, p, o) for s, p, o, _ in golden_triples}
+    assert got == want
+
+    # second resume reads everything from the manifest (no recompute path)
+    store2 = CheckpointStore(ckpt)
+    assert store2.has("s2_triples") and store2.has("s3_nodes") and store2.has("s4_metrics")
+    out2 = pipeline.run(transcripts_df, checkpoint_dir=ckpt)
+    got2 = {(r.subj, r.pred, r.obj) for r in out2["triples"].collect()}
+    assert got2 == got
+
+
+def test_metrics_table(tmp_path, spark, pipeline, transcripts_df):
+    out = pipeline.run(transcripts_df, checkpoint_dir=str(tmp_path / "m"))
+    metrics = {(r.metric, r.key): r.value for r in out["metrics"].collect()}
+    preds = {k for (m, k) in metrics if m == "triples_per_pred"}
+    assert "formula_contains_herb" in preds
+    total = sum(v for (m, _), v in metrics.items() if m == "triples_per_pred")
+    assert total == out["triples"].count()
+
+
+def test_nodes_table(pipeline):
+    nodes = pipeline.nodes_table()
+    pdf = nodes.toPandas()
+    assert set(pdf.entity_type.unique()) == {"herb", "formula", "symptom", "syndrome", "disease"}
+    # hot herb merged: its canonical entity carries all alias names
+    hot = pdf[pdf.names.apply(lambda ns: "甘草" in list(ns))]
+    assert len(hot) == 1
+    assert {"国老", "甜草根", "粉草", "乌拉尔甘草", "甘草"} <= set(hot.iloc[0]["names"])
+    # canonical ids unique
+    assert pdf.canonical_id.is_unique
