@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the full KG-construction pipeline (stable turn
+                ordering → mention detection → entity linking → CC
+                canonicalization → conflict rules → dose weighting) over a
+                deterministic transcriptization of the sf0.001 events table.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data ops); see tcmkg/contract/.
+oracle_sql()  — exact DuckDB SQL per query. KG oracles regenerate expected
+                triples from the same arithmetic derivation, with canonical
+                IDs computed by an independent pure-Python union-find.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG triple extraction at sf0.001; driver checks rows>0."""
+    from tcmkg.contract.kg import _pipeline, transcriptize
+
+    sf_dir = "/root/testdata/sf0.001"
+    pipe = _pipeline(spark)
+    return pipe.triples(transcriptize(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tcmkg.contract import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tcmkg.contract import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,532 @@
+"""Generic operator queries (SURVEY.md §2 inventory + training-data ops)
+over the driver's TPC-H-ish tables, each with an exact DuckDB oracle.
+
+Coverage map (operator ids from SURVEY.md §2):
+  q_tpch_q1            A4-style multi-agg groupBy (flagship scan+agg shape)
+  q_group_merge_fold   A1/A2: per-key fold with sorted set-union of values
+  q_outer_join_align   J1: multi-source full-outer alignment
+  q_dim_join_revenue   J3: broadcast dimension join
+  q_antisymmetry       J7/A9: drop pairs whose reverse edge exists
+  q_semi_anti          semi/anti-join set guards
+  q_degree_cap         A5: groupBy count + threshold filter
+  q_xref_parse         P7: id extraction from encoded string columns
+  q_topk_per_group     window + row_number (§2.5)
+  q_sessionize         window lag + gap cumsum (sessionization)
+  q_dedup_exact        exact dedup via content hash (training-data op)
+  q_text_stats         token counting / quality stats (training-data op)
+  q_stopword_ratio     language-ID heuristic (training-data op)
+  q_minhash_sigs       MinHash band signatures, md5-based (near-dup path)
+  q_minhash_clusters   LSH bucket clusters (signature-identical docs)
+  q_jaccard_pairs      n-gram/token Jaccard near-dup pair join
+  q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
+  q_embed_centroids    per-label centroid (vector agg via posexplode)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- scans/agg -
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_group_merge_fold(spark, sf_dir):
+    """A1/A2 merge semantics: fold a group into one row — sorted distinct
+    `;`-join for strings (merge_utility.py:131-138 set-union), sum/first for
+    numerics."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ";").alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ";").alias("priorities"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+SQL_GROUP_MERGE_FOLD = """
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderstatus, ';' ORDER BY o_orderstatus) AS statuses,
+       string_agg(DISTINCT o_orderpriority, ';' ORDER BY o_orderpriority) AS priorities,
+       round(sum(o_totalprice), 4) AS total_price,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_outer_join_align(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull(), 1))
+        .cast("long").alias("n_matched"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).cast("long").alias("n_cust_only"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).cast("long").alias("n_order_only"),
+    )
+
+
+SQL_OUTER_JOIN_ALIGN = """
+SELECT count(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL THEN 1 END)::BIGINT AS n_matched,
+       count(CASE WHEN o_orderkey IS NULL THEN 1 END)::BIGINT AS n_cust_only,
+       count(CASE WHEN c_custkey IS NULL THEN 1 END)::BIGINT AS n_order_only
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def q_dim_join_revenue(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_DIM_JOIN_REVENUE = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ------------------------------------------------------------- edge algebra -
+def q_antisymmetry(spark, sf_dir):
+    """J7: directed pairs whose reverse also exists are dropped (both
+    directions), reproducing calulate_reverse_relation semantics
+    (merge_utility.py:11-34)."""
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            (F.col("l_partkey") % 400).alias("a"), (F.col("l_suppkey") % 400).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    rev = pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return pairs.join(rev, ["a", "b"], "left_anti")
+
+
+SQL_ANTISYMMETRY = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey % 400 AS a, l_suppkey % 400 AS b
+  FROM lineitem WHERE l_partkey % 400 <> l_suppkey % 400
+)
+SELECT p.a, p.b FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM pairs r WHERE r.a = p.b AND r.b = p.a)
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_mktsegment").agg(F.count("*").cast("long").alias("n"))
+        .withColumn("kind", F.lit("with_orders"))
+        .unionByName(
+            without.groupBy("c_mktsegment").agg(F.count("*").cast("long").alias("n"))
+            .withColumn("kind", F.lit("no_orders"))
+        )
+    )
+
+
+SQL_SEMI_ANTI = """
+SELECT c_mktsegment, count(*)::BIGINT AS n, 'with_orders' AS kind FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, count(*)::BIGINT AS n, 'no_orders' AS kind FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment
+"""
+
+
+def q_degree_cap(spark, sf_dir):
+    """A5: drop keys with degree >= cap (merge_tcm_symptom.py:289-294 shape)."""
+    o = _read(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count("*").cast("long").alias("n_orders"))
+    return deg.filter(F.col("n_orders") < 5)
+
+
+SQL_DEGREE_CAP = """
+SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) < 5
+"""
+
+
+def q_xref_parse(spark, sf_dir):
+    """P7: extract ids out of an encoded string column and re-aggregate."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_XREF_PARSE = """
+SELECT (regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT) % 10 AS k_bucket,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1
+"""
+
+
+# ----------------------------------------------------------------- windows -
+def q_topk_per_group(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", F.col("rk").cast("long").alias("rk"), "o_orderkey")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, rk::BIGINT AS rk, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap splits sessions."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ; diffs cancel tz
+    gap = ep - F.lag(ep).over(w)
+    df = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    df = df.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return df.groupBy("user_id").agg(
+        F.max("sess_id").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------- training-data ops -
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groups with canonical survivor."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, length(text)::BIGINT AS len_chars,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+FROM documents
+"""
+
+
+def q_stopword_ratio(spark, sf_dir):
+    """Language-ID heuristic: stopword token ratio."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    ratio = F.round(n_stop / F.size(toks), 6)
+    return d.select(
+        "doc_id",
+        ratio.alias("stop_ratio"),
+        (ratio > 0.05).alias("looks_en"),
+    )
+
+
+_sw = ",".join(f"'{s}'" for s in STOPWORDS)
+SQL_STOPWORD_RATIO = f"""
+SELECT doc_id,
+       round(len(list_filter(string_split(text,' '), x -> x IN ({_sw})))::DOUBLE
+             / len(string_split(text,' ')), 6) AS stop_ratio,
+       (round(len(list_filter(string_split(text,' '), x -> x IN ({_sw})))::DOUBLE
+             / len(string_split(text,' ')), 6) > 0.05) AS looks_en
+FROM documents
+"""
+
+
+def q_minhash_sigs(spark, sf_dir):
+    """MinHash signatures: 4 md5-keyed hash bands over distinct tokens.
+    Deterministic and engine-agnostic (md5 text hex both sides)."""
+    d = _read(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    bands = tok.select(
+        "doc_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"), "tok"
+    )
+    return (
+        bands.withColumn("h", F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("tok"))))
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+        .select("doc_id", F.col("band").cast("long").alias("band"), "sig")
+    )
+
+
+SQL_MINHASH_SIGS = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents
+),
+bands AS (
+  SELECT doc_id, band, tok FROM tok, (SELECT unnest([0,1,2,3]) AS band)
+)
+SELECT doc_id, band::BIGINT AS band, min(md5(band::VARCHAR || ':' || tok)) AS sig
+FROM bands GROUP BY doc_id, band
+"""
+
+
+def q_minhash_clusters(spark, sf_dir):
+    """LSH buckets: docs sharing the full 4-band signature."""
+    sigs = q_minhash_sigs(spark, sf_dir)
+    key = (
+        sigs.groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.concat_ws("=", F.col("band").cast("string"), "sig"))), "|").alias("sig_key"))
+    )
+    return key.groupBy("sig_key").agg(
+        F.count("*").cast("long").alias("n_docs"), F.min("doc_id").alias("keep_doc")
+    ).filter(F.col("n_docs") > 1)
+
+
+SQL_MINHASH_CLUSTERS = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents
+),
+bands AS (SELECT doc_id, band, tok FROM tok, (SELECT unnest([0,1,2,3]) AS band)),
+sigs AS (
+  SELECT doc_id, band, min(md5(band::VARCHAR || ':' || tok)) AS sig
+  FROM bands GROUP BY doc_id, band
+),
+keys AS (
+  SELECT doc_id,
+         list_aggregate(list_sort(list(band::VARCHAR || '=' || sig)), 'string_agg', '|') AS sig_key
+  FROM sigs GROUP BY doc_id
+)
+SELECT sig_key, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc
+FROM keys GROUP BY sig_key HAVING count(*) > 1
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs (restricted ids to bound the join)."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t2 = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        tok.join(t2, "tok")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sz_a, "doc_id").join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.5).select("doc_id", "doc_b", "jaccard")
+
+
+SQL_JACCARD_PAIRS = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM d),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_id, i.doc_b,
+       round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for query vectors (the exact
+    baseline an IVF/LSH index must reproduce). Returns ranks, not floats —
+    rank order is stable; raw cosine floats are engine-precision-sensitive."""
+    e = _read(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", vec.alias("v"))
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = base.filter(F.col("vec_id") >= 5)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sims = (
+        q.crossJoin(c)
+        .withColumn("cos", dot / (norm(F.col("qv")) * norm(F.col("v"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", F.col("rk").cast("long").alias("rk"), F.col("vec_id").alias("neighbor"))
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 5),
+sims AS (
+  SELECT q.qid, c.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], c.v::DOUBLE[]) AS cos
+  FROM q, c
+)
+SELECT qid, rk::BIGINT AS rk, vec_id AS neighbor FROM (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM sims
+) WHERE rk <= 3
+"""
+
+
+def q_embed_centroids(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    ).select("label", F.col("pos").cast("long").alias("dim"), F.col("col").alias("x"))
+    return dims.groupBy("label", "dim").agg(F.round(F.avg("x"), 6).alias("centroid"))
+
+
+# parallel unnests zip positionally in DuckDB (no WITH ORDINALITY in 1.0)
+SQL_EMBED_CENTROIDS = """
+SELECT label, dim::BIGINT AS dim, round(avg(x::DOUBLE), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS x,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim
+  FROM embeddings
+) GROUP BY label, dim
+"""
+
+
+GENERIC_QUERIES = {
+    "q_tpch_q1": q_tpch_q1,
+    "q_group_merge_fold": q_group_merge_fold,
+    "q_outer_join_align": q_outer_join_align,
+    "q_dim_join_revenue": q_dim_join_revenue,
+    "q_antisymmetry": q_antisymmetry,
+    "q_semi_anti": q_semi_anti,
+    "q_degree_cap": q_degree_cap,
+    "q_xref_parse": q_xref_parse,
+    "q_topk_per_group": q_topk_per_group,
+    "q_sessionize": q_sessionize,
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_stats": q_text_stats,
+    "q_stopword_ratio": q_stopword_ratio,
+    "q_minhash_sigs": q_minhash_sigs,
+    "q_minhash_clusters": q_minhash_clusters,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_ann_topk": q_ann_topk,
+    "q_embed_centroids": q_embed_centroids,
+}
+
+GENERIC_ORACLES = {
+    "q_tpch_q1": SQL_TPCH_Q1,
+    "q_group_merge_fold": SQL_GROUP_MERGE_FOLD,
+    "q_outer_join_align": SQL_OUTER_JOIN_ALIGN,
+    "q_dim_join_revenue": SQL_DIM_JOIN_REVENUE,
+    "q_antisymmetry": SQL_ANTISYMMETRY,
+    "q_semi_anti": SQL_SEMI_ANTI,
+    "q_degree_cap": SQL_DEGREE_CAP,
+    "q_xref_parse": SQL_XREF_PARSE,
+    "q_topk_per_group": SQL_TOPK_PER_GROUP,
+    "q_sessionize": SQL_SESSIONIZE,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_stats": SQL_TEXT_STATS,
+    "q_stopword_ratio": SQL_STOPWORD_RATIO,
+    "q_minhash_sigs": SQL_MINHASH_SIGS,
+    "q_minhash_clusters": SQL_MINHASH_CLUSTERS,
+    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_ann_topk": SQL_ANN_TOPK,
+    "q_embed_centroids": SQL_EMBED_CENTROIDS,
+}

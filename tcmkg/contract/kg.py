@@ -1,0 +1,419 @@
+"""KG queries over a deterministic transcriptization of `events`.
+
+Every row of the driver's events table becomes one assistant transcript turn
+whose text is a pure-arithmetic function of event_id — so a DuckDB oracle
+can regenerate the expected triples exactly, while the Spark side must
+recover them by actually parsing the text through the full pipeline
+(Q2B normalization, formula-prefix resolution, token probe, dose grammar,
+Aho-Corasick scans, CC-canonical entity IDs, dose weighting).
+
+Canonical-ID constants in the oracle SQL come from the pure-Python
+union-find (oracle/extractor.canonicalize_records) — independent of the
+Spark CC implementation, so ID agreement is itself a differential test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures.gazetteers import (
+    CANON_PREFIX,
+    DISEASE_NAMES,
+    FORMULA_NAMES,
+    HERB_NAMES,
+    SYMPTOM_NAMES,
+    SYNDROME_NAMES,
+    build_gazetteers,
+)
+from ..kernels.normalize import text_norm
+
+# ---------------------------------------------------------------- pools ----
+# Mention-pool names must be pairwise substring-free (the SQL oracle predicts
+# Aho-Corasick matches positionally, so containment between planted names
+# would desynchronize the two sides). Pools are selected greedily and
+# deterministically from the gazetteer name lists under that constraint.
+_SCAFFOLD = ["可治", "主治", "常见", "口不渴", "：", "、", "，", "。"]
+_CHOSEN: list[str] = []
+
+
+def _pick_free(candidates: list[str], n: int) -> list[str]:
+    out: list[str] = []
+    for cand in candidates:
+        if len(out) >= n:
+            break
+        ok = all(cand not in c and c not in cand for c in _CHOSEN)
+        ok = ok and all(cand not in s and s not in cand for s in _SCAFFOLD)
+        if ok:
+            out.append(cand)
+            _CHOSEN.append(cand)
+    if len(out) < n:
+        raise AssertionError(f"could not select {n} substring-free names")
+    return out
+
+
+POOL_DOSE = ["三钱", "一两", "9g", "五分", "半两", "2两", "四钱", "6mg"]
+DOSE_GRAMS = [9.375, 31.25, 9.0, 1.5625, 15.625, 62.5, 12.5, 0.006]
+
+
+def _dose_grammar_safe(name: str) -> bool:
+    """The reference token grammar drops/garbles some names (e.g. 三七 is
+    all dose-numeral characters, so 三七9g parses as one dose mention —
+    extract_prescription_herb_relation.py:31-37). Such names stay in the
+    pytest fixtures (the python oracle reproduces the behavior) but are
+    excluded from the SQL-oracle event pools, which predict clean parses."""
+    from ..kernels.matcher import extract_herb_dose_pairs
+
+    return all(extract_herb_dose_pairs(name + d) == [(name, d)] for d in POOL_DOSE)
+
+
+# alias entries exercise canonicalization: they map to the same canonical
+# entity as their primary name via the CC merge.
+_safe = [h for h in HERB_NAMES if _dose_grammar_safe(h)]
+POOL_HERB1 = _pick_free(_safe[:60], 37) + _pick_free(["国老", "云苓", "将军"], 3)
+POOL_HERB2 = _pick_free(_safe[60:] + _safe[37:60], 40)
+POOL_FORMULA = FORMULA_NAMES  # exact-lookup only (never AC-scanned)
+POOL_SYM = _pick_free(SYMPTOM_NAMES, 45)
+POOL_SYN = _pick_free(SYNDROME_NAMES, 15)
+POOL_DIS = _pick_free(DISEASE_NAMES, 30)
+
+N_F, N_H1, N_H2 = len(POOL_FORMULA), len(POOL_HERB1), len(POOL_HERB2)
+N_SYM, N_SYN, N_DIS, N_D = len(POOL_SYM), len(POOL_SYN), len(POOL_DIS), len(POOL_DOSE)
+
+
+def _canon_maps() -> dict[str, dict[str, str]]:
+    """Pure-Python canonicalization (union-find) — NO Spark involved."""
+    from ..oracle.extractor import canonicalize_records
+
+    gaz = build_gazetteers()
+    maps = {}
+    for etype, records in gaz.tables().items():
+        _, alias2canon = canonicalize_records(records, CANON_PREFIX[etype])
+        maps[etype] = alias2canon
+    return maps
+
+
+_MAPS = _canon_maps()
+
+
+def _canon_pool(etype: str, names: list[str]) -> list[str]:
+    return [_MAPS[etype][text_norm(n)] for n in names]
+
+
+CANON_HERB1 = _canon_pool("herb", POOL_HERB1)
+CANON_HERB2 = _canon_pool("herb", POOL_HERB2)
+CANON_FORMULA = _canon_pool("formula", POOL_FORMULA)
+CANON_SYM = _canon_pool("symptom", POOL_SYM)
+CANON_SYN = _canon_pool("syndrome", POOL_SYN)
+CANON_DIS = _canon_pool("disease", POOL_DIS)
+
+
+# ------------------------------------------------------------ derivation ---
+def _arr(pool: list[str]):
+    return F.array(*[F.lit(x) for x in pool])
+
+
+def _pick(pool: list[str], idx):
+    return F.element_at(_arr(pool), (idx + 1).cast("int"))
+
+
+def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> transcripts(conv_id, turn_idx, role, text, tool, ts)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    conv = F.concat(F.lit("conv_"), F.lpad((F.col("user_id") % 97).cast("string"), 3, "0"))
+    df = ev.select(eid.alias("eid"), conv.alias("conv_id"), "ts")
+    m5 = F.col("eid") % 5
+    f = _pick(POOL_FORMULA, F.col("eid") % N_F)
+    h1 = _pick(POOL_HERB1, F.col("eid") % N_H1)
+    h2 = _pick(POOL_HERB2, F.floor(F.col("eid") / 7) % N_H2)
+    d1 = _pick(POOL_DOSE, F.col("eid") % N_D)
+    d2 = _pick(POOL_DOSE, F.floor(F.col("eid") / 3) % N_D)
+    s1 = _pick(POOL_SYM, F.col("eid") % N_SYM)
+    s2 = _pick(POOL_SYM, F.floor(F.col("eid") / 5) % N_SYM)
+    syn = _pick(POOL_SYN, F.col("eid") % N_SYN)
+    dis = _pick(POOL_DIS, F.col("eid") % N_DIS)
+
+    text = (
+        F.when(m5.isin(0, 4), F.concat(f, F.lit("："), h1, d1, F.lit("、"), h2, d2, F.lit("。")))
+        .when(
+            m5 == 1,
+            F.concat(
+                f, F.lit("主治"), s1, F.lit("，"), s2,
+                F.when(F.col("eid") % 3 == 0, F.concat(F.lit("，"), syn)).otherwise(F.lit("")),
+                F.when(F.col("eid") % 31 == 0, F.lit("，口不渴")).otherwise(F.lit("")),
+                F.lit("。"),
+            ),
+        )
+        .when(m5 == 2, F.concat(h1, F.lit("可治"), dis, F.lit("。")))
+        .otherwise(F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2, F.lit("。")))
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "eid")
+    return df.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+
+
+def _pipeline(spark: SparkSession):
+    """One KGPipeline per Spark session (gazetteer CC is reusable)."""
+    global _PIPELINE_CACHE
+    try:
+        _PIPELINE_CACHE
+    except NameError:
+        _PIPELINE_CACHE = {}
+    key = id(spark)
+    if key not in _PIPELINE_CACHE:
+        from ..session import package_zip
+        try:
+            spark.sparkContext.addPyFile(package_zip())
+        except Exception:
+            pass
+        from ..pipeline.runner import KGPipeline
+
+        _PIPELINE_CACHE[key] = KGPipeline(spark)
+    return _PIPELINE_CACHE[key]
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark).triples(transcriptize(spark, sf_dir))
+
+
+# ---------------------------------------------------------- SQL helpers ----
+def _sql_list(pool: list[str]) -> str:
+    inner = ",".join("'" + x.replace("'", "''") + "'" for x in pool)
+    return f"[{inner}]"
+
+
+def _sql_pick(pool: list[str], idx_expr: str) -> str:
+    return f"({_sql_list(pool)})[({idx_expr}) + 1]"
+
+
+def _sql_pick_d(vals: list[float], idx_expr: str) -> str:
+    inner = ",".join(repr(v) for v in vals)
+    return f"([{inner}])[({idx_expr}) + 1]"
+
+
+# ---------------------------------------------------------------- queries --
+def q_kg_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return (
+        t.filter(F.col("pred") == "formula_contains_herb")
+        .select("subj", "obj", F.round("weight", 6).alias("weight"))
+    )
+
+
+SQL_KG_CONTAINS = f"""
+WITH tr AS (SELECT event_id AS eid FROM events WHERE event_id % 5 IN (0, 4)),
+rows AS (
+  SELECT {_sql_pick(CANON_FORMULA, f'eid % {N_F}')} AS subj,
+         {_sql_pick(CANON_HERB1, f'eid % {N_H1}')} AS obj,
+         {_sql_pick_d(DOSE_GRAMS, f'eid % {N_D}')} AS amt
+  FROM tr
+  UNION ALL
+  SELECT {_sql_pick(CANON_FORMULA, f'eid % {N_F}')},
+         {_sql_pick(CANON_HERB2, f'(eid // 7) % {N_H2}')},
+         {_sql_pick_d(DOSE_GRAMS, f'(eid // 3) % {N_D}')}
+  FROM tr
+),
+tot AS (SELECT subj, sum(amt) AS total FROM rows GROUP BY subj)
+SELECT r.subj AS subj, r.obj AS obj,
+       ROUND(SUM(r.amt / t.total), 6)::DOUBLE AS weight
+FROM rows r JOIN tot t USING (subj)
+GROUP BY r.subj, r.obj
+"""
+
+
+def q_kg_treats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "herb_treats_disease").select("subj", "obj")
+
+
+SQL_KG_TREATS = f"""
+SELECT DISTINCT {_sql_pick(CANON_HERB1, f'event_id % {N_H1}')} AS subj,
+                {_sql_pick(CANON_DIS, f'event_id % {N_DIS}')} AS obj
+FROM events WHERE event_id % 5 = 2
+"""
+
+
+def q_kg_p_symptom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "prescription_treat_symptom").select("subj", "obj")
+
+
+SQL_KG_P_SYMPTOM = f"""
+WITH base AS (
+  SELECT event_id AS eid FROM events
+  WHERE event_id % 5 = 1 AND event_id % 31 <> 0
+),
+pairs AS (
+  SELECT DISTINCT subj, obj FROM (
+    SELECT {_sql_pick(CANON_FORMULA, f'eid % {N_F}')} AS subj,
+           {_sql_pick(CANON_SYM, f'eid % {N_SYM}')} AS obj FROM base
+    UNION
+    SELECT {_sql_pick(CANON_FORMULA, f'eid % {N_F}')},
+           {_sql_pick(CANON_SYM, f'(eid // 5) % {N_SYM}')} FROM base
+  )
+),
+deg AS (SELECT subj, count(DISTINCT obj) AS n FROM pairs GROUP BY subj)
+SELECT p.subj AS subj, p.obj AS obj FROM pairs p JOIN deg d USING (subj)
+WHERE d.n < 50
+"""
+
+
+def q_kg_p_syndrome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "prescription_treat_syndrome").select("subj", "obj")
+
+
+SQL_KG_P_SYNDROME = f"""
+SELECT DISTINCT {_sql_pick(CANON_FORMULA, f'event_id % {N_F}')} AS subj,
+                {_sql_pick(CANON_SYN, f'event_id % {N_SYN}')} AS obj
+FROM events WHERE event_id % 5 = 1 AND event_id % 3 = 0
+"""
+
+
+def q_kg_indicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "symptom_indicates_syndrome").select("subj", "obj")
+
+
+SQL_KG_INDICATES = f"""
+WITH base AS (SELECT event_id AS eid FROM events WHERE event_id % 5 = 3)
+SELECT DISTINCT subj, obj FROM (
+  SELECT {_sql_pick(CANON_SYM, f'eid % {N_SYM}')} AS subj,
+         {_sql_pick(CANON_SYN, f'eid % {N_SYN}')} AS obj FROM base
+  UNION
+  SELECT {_sql_pick(CANON_SYM, f'(eid // 5) % {N_SYM}')},
+         {_sql_pick(CANON_SYN, f'eid % {N_SYN}')} FROM base
+)
+"""
+
+
+def q_kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering + ingest: per-conversation count, turn-idx
+    checksum, and time span in seconds (tz-independent)."""
+    from ..pipeline.extract import ingest
+
+    turns = ingest(transcriptize(spark, sf_dir))
+    return turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("turn_idx").cast("long").alias("idx_sum"),
+        # parquet ts is TIMESTAMP_NTZ; cast before unix_micros. Only the
+        # difference is returned, so the session-tz offset cancels.
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        )
+        .cast("long")
+        .alias("span_us"),
+    )
+
+
+SQL_KG_TURN_ORDER = """
+WITH tr AS (
+  SELECT 'conv_' || lpad((user_id % 97)::VARCHAR, 3, '0') AS conv_id,
+         row_number() OVER (PARTITION BY user_id % 97 ORDER BY ts, event_id) - 1 AS turn_idx,
+         ts
+  FROM events
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns, sum(turn_idx)::BIGINT AS idx_sum,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_us
+FROM tr GROUP BY conv_id
+"""
+
+
+def q_kg_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text equality through ingest: the kept rows' raw text must
+    equal the deterministic derivation, turn for turn."""
+    from ..pipeline.extract import ingest
+
+    return ingest(transcriptize(spark, sf_dir)).select("conv_id", "turn_idx", "text")
+
+
+def _sql_text_derivation() -> str:
+    f = _sql_pick(POOL_FORMULA, f"eid % {N_F}")
+    h1 = _sql_pick(POOL_HERB1, f"eid % {N_H1}")
+    h2 = _sql_pick(POOL_HERB2, f"(eid // 7) % {N_H2}")
+    d1 = _sql_pick(POOL_DOSE, f"eid % {N_D}")
+    d2 = _sql_pick(POOL_DOSE, f"(eid // 3) % {N_D}")
+    s1 = _sql_pick(POOL_SYM, f"eid % {N_SYM}")
+    s2 = _sql_pick(POOL_SYM, f"(eid // 5) % {N_SYM}")
+    syn = _sql_pick(POOL_SYN, f"eid % {N_SYN}")
+    dis = _sql_pick(POOL_DIS, f"eid % {N_DIS}")
+    return f"""
+  CASE
+    WHEN eid % 5 IN (0,4) THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
+    WHEN eid % 5 = 1 THEN {f} || '主治' || {s1} || '，' || {s2}
+         || (CASE WHEN eid % 3 = 0 THEN '，' || {syn} ELSE '' END)
+         || (CASE WHEN eid % 31 = 0 THEN '，口不渴' ELSE '' END) || '。'
+    WHEN eid % 5 = 2 THEN {h1} || '可治' || {dis} || '。'
+    ELSE {syn} || '常见' || {s1} || '，' || {s2} || '。'
+  END"""
+
+
+SQL_KG_TEXT_ROUNDTRIP = f"""
+WITH tr AS (
+  SELECT event_id AS eid,
+         'conv_' || lpad((user_id % 97)::VARCHAR, 3, '0') AS conv_id,
+         (row_number() OVER (PARTITION BY user_id % 97 ORDER BY ts, event_id) - 1)::INT AS turn_idx
+  FROM events
+)
+SELECT conv_id, turn_idx, {_sql_text_derivation()} AS text FROM tr
+"""
+
+
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark CC canonicalization vs pure-Python union-find constants."""
+    p = _pipeline(spark)
+    return p.nodes_table().select(
+        "canonical_id", "entity_type", F.size("names").cast("long").alias("n_names")
+    )
+
+
+def _sql_kg_nodes() -> str:
+    from collections import defaultdict
+
+    gaz = build_gazetteers()
+    counts: dict[tuple[str, str], set] = defaultdict(set)
+    from ..oracle.extractor import canonicalize_records
+
+    for etype, records in gaz.tables().items():
+        rec2canon, _ = canonicalize_records(records, CANON_PREFIX[etype])
+        for r in records:
+            for n in r.names:
+                counts[(rec2canon[r.record_id], etype)].add(n)
+    rows = ",\n".join(
+        f"('{cid}','{et}',{len(names)})" for (cid, et), names in sorted(counts.items())
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + rows +
+        "\n) AS t(canonical_id, entity_type, n_names)"
+    )
+
+
+KG_QUERIES = {
+    "kg_contains_weights": q_kg_contains,
+    "kg_treats": q_kg_treats,
+    "kg_p_symptom": q_kg_p_symptom,
+    "kg_p_syndrome": q_kg_p_syndrome,
+    "kg_indicates": q_kg_indicates,
+    "kg_turn_order": q_kg_turn_order,
+    "kg_text_roundtrip": q_kg_text_roundtrip,
+    "kg_nodes": q_kg_nodes,
+}
+
+KG_ORACLES = {
+    "kg_contains_weights": SQL_KG_CONTAINS,
+    "kg_treats": SQL_KG_TREATS,
+    "kg_p_symptom": SQL_KG_P_SYMPTOM,
+    "kg_p_syndrome": SQL_KG_P_SYNDROME,
+    "kg_indicates": SQL_KG_INDICATES,
+    "kg_turn_order": SQL_KG_TURN_ORDER,
+    "kg_text_roundtrip": SQL_KG_TEXT_ROUNDTRIP,
+    "kg_nodes": _sql_kg_nodes(),
+}
