@@ -1,0 +1,97 @@
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the full KG-construction pipeline (the engine's reason to exist)
+over (a) a transcriptization of the sf events table and (b) a cached
+synthetic multi-turn corpus, plus representative operator/training-data
+queries from the driver contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+BENCH_CORPUS_CONVS = int(os.environ.get("TCMKG_BENCH_CONVS", "60000"))
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench")
+
+
+def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
+    """Generate (once) and cache the synthetic multi-turn corpus."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"transcripts_v2_{n_conversations}.parquet")
+    if not os.path.exists(path):
+        from tcmkg.fixtures.transcripts import write_parquet
+
+        write_parquet(path, n_conversations)
+    return path
+
+
+def main() -> None:
+    from tcmkg.session import get_spark
+
+    spark = get_spark("tcmkg-bench", cores=CPUS)
+
+    from tcmkg.contract.generic import (
+        q_ann_topk,
+        q_dedup_exact,
+        q_dim_join_revenue,
+        q_minhash_sigs,
+        q_sessionize,
+        q_tpch_q1,
+    )
+    from tcmkg.contract.kg import _pipeline, transcriptize
+
+    pipe = _pipeline(spark)
+    corpus = spark.read.parquet(bench_corpus_path())
+    n_corpus = corpus.count()
+
+    # untimed warmup: absorb JVM/codegen/Arrow/python-worker startup so the
+    # timed numbers measure the plan, not interpreter spin-up
+    pipe.triples(corpus.limit(2000)).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    run("kg_triples_events", lambda: pipe.triples(transcriptize(spark, SF_DIR)).count())
+    run("kg_triples_corpus", lambda: pipe.triples(corpus).count())
+    run("q_tpch_q1", lambda: q_tpch_q1(spark, SF_DIR).count())
+    run("q_dim_join_revenue", lambda: q_dim_join_revenue(spark, SF_DIR).count())
+    run("q_dedup_exact", lambda: q_dedup_exact(spark, SF_DIR).count())
+    run("q_minhash_sigs", lambda: q_minhash_sigs(spark, SF_DIR).count())
+    run("q_sessionize", lambda: q_sessionize(spark, SF_DIR).count())
+    run("q_ann_topk", lambda: q_ann_topk(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_and_ops_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cores": int(CPUS) if str(CPUS).isdigit() else CPUS,
+                "corpus_turns": n_corpus,
+                "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
+                "detail": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,25 @@ _NEARMISS = ["甘草霜", "红参须", "假黄芪"]
 # so their appearance in output triples proves a dedup failure.
 _N_RESERVED = 3  # last 3 herbs + last formula + last disease are reserved
 
+# Inert filler prose: pads turns to realistic transcript lengths without
+# adding extractable content. MUST NOT contain any gazetteer name, rule
+# trigger (：/主治/可治/可致/常见/属于/不渴), or dose pattern — asserted by
+# tests/test_fixtures.py::test_fillers_inert.
+FILLER = [
+    "患者素体尚可",
+    "脉象沉细而缓",
+    "舌质淡而苔薄",
+    "病程迁延反复",
+    "饮食起居如故",
+    "家中无类似旧案",
+    "前医诊查未明",
+    "嘱其调摄静养",
+    "七日后复诊再议",
+    "药后以温粥送服",
+    "忌生冷油腻之品",
+    "夜卧安然无他",
+]
+
 
 def _sizes() -> tuple[list[str], list[str], list[str], list[str], list[str]]:
     herbs = HERB_NAMES[:-_N_RESERVED]
@@ -138,13 +157,22 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
         conv_id = f"conv_{c:07d}"
         t = 0
 
-        def row(text: str, role: str, tool: str | None = None):
+        def row(text: str, role: str, tool: str | None = None, pad_prefix: bool = False):
             nonlocal t
+            # realistic turn lengths: 2-3 inert filler sentences appended,
+            # optional prefix filler on AC-scanned (non-prefix-resolving)
+            # templates. Extraction semantics are unchanged by construction.
+            nf = len(FILLER)
+            suffix = FILLER[(c * 3 + t) % nf] + "。" + FILLER[(c + t * 7) % nf] + "。"
+            if (c + t) % 2 == 0:
+                suffix += FILLER[(c * 5 + t * 11) % nf] + "。"
+            if pad_prefix and t % 3 == 0:
+                text = FILLER[(c + t) % nf] + "，" + text
             r = {
                 "conv_id": conv_id,
                 "turn_idx": t,
                 "role": role,
-                "text": text,
+                "text": text + suffix,
                 "tool": tool,
                 "ts": _BASE_TS + timedelta(seconds=c * 3600 + t * 10),
             }
@@ -239,7 +267,14 @@ def generate_pandas(n_conversations: int = 200, conv_offset: int = 0):
 
 
 def write_parquet(path: str, n_conversations: int, chunk: int = 20000) -> None:
-    """Chunked parquet writer for bench-scale corpora (millions of turns)."""
+    """Chunked parquet writer for bench-scale corpora (millions of turns).
+
+    Writes a DIRECTORY of part files (one per chunk) so the Spark scan
+    parallelizes from the first stage — a single monolithic file would make
+    the initial decode a one-task serial bottleneck at any core count.
+    """
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -253,16 +288,20 @@ def write_parquet(path: str, n_conversations: int, chunk: int = 20000) -> None:
             ("ts", pa.timestamp("us", tz="UTC")),
         ]
     )
-    writer = pq.ParquetWriter(path, schema)
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
     done = 0
-    try:
-        while done < n_conversations:
-            n = min(chunk, n_conversations - done)
-            pdf = generate_pandas(n, conv_offset=done)
-            writer.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
-            done += n
-    finally:
-        writer.close()
+    part = 0
+    while done < n_conversations:
+        n = min(chunk, n_conversations - done)
+        pdf = generate_pandas(n, conv_offset=done)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(tmp, f"part-{part:05d}.parquet"),
+        )
+        done += n
+        part += 1
+    os.replace(tmp, path)  # atomic publish: partial generations never seen
 
 
 def spark_transcripts(spark, n_conversations: int = 200):

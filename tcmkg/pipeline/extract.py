@@ -34,15 +34,23 @@ MENTION_SCHEMA = (
 )
 
 
-def ingest(transcripts: DataFrame) -> DataFrame:
+def ingest(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Dedup (conv_id, turn_idx) keeping min (ts, text); add normalized text.
 
-    The dedup is a per-key window, not a global sort — it shuffles once on
-    (conv_id, turn_idx) hash. `tnorm` (Q2B+lower) is a codegen'd expression.
+    Explicit conv_id hash partitioning up front (the north-rule layout):
+    hash(conv_id) clustering satisfies BOTH downstream window requirements —
+    the (conv_id, turn_idx) dedup window here and the per-conversation
+    carry-forward window in resolve_anchors — so the whole
+    ingest→anchor→prefilter chain runs on ONE shuffle of the fact stream.
+    `tnorm` (Q2B+lower) is a codegen'd expression.
     """
+    if num_partitions is None:
+        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
+    slim = transcripts.drop("tool")  # dead column: don't pay shuffle bytes for it
+    parts = slim.repartition(num_partitions, "conv_id")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "text")
     return (
-        transcripts.withColumn("_rn", F.row_number().over(w))
+        parts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .withColumn("tnorm", text_norm_col(F.col("text")))
@@ -121,9 +129,16 @@ def rule_prefilter(resolved: DataFrame) -> DataFrame:
         | t.contains("常见")
         | t.contains("属于")
     )
-    return resolved.filter((F.col("role") == "assistant") & has_rule).select(
+    out = resolved.filter((F.col("role") == "assistant") & has_rule).select(
         "conv_id", "turn_idx", "tnorm", "f1_id", "t2_formula"
     )
+    # Re-spread before the Arrow kernel: AQE's post-shuffle coalescing sizes
+    # partitions for ~64MB of JVM bytes, which leaves the (CPU-heavy) Python
+    # stage running on a handful of tasks. Round-robin repartition keys the
+    # kernel's parallelism to the cluster, not to the byte size. (Spark
+    # sorts before round-robin redistribution, so this stays deterministic.)
+    par = resolved.sparkSession.sparkContext.defaultParallelism
+    return out.repartition(par * 2)
 
 
 def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, str]],
@@ -158,7 +173,28 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         ac_herb = get_automaton(key + "herb", m["herb"].keys())
 
         for pdf in batches:
-            out: list[tuple] = []
+            # columnar accumulators: list-of-tuples -> DataFrame is the slow
+            # path at millions of mentions; per-column appends + a dict
+            # constructor keep the batch overhead linear and cheap
+            c_kind: list[str] = []
+            c_conv: list[str] = []
+            c_turn: list[int] = []
+            c_subj: list[str] = []
+            c_obj: list[str] = []
+            c_amt: list[float | None] = []
+            c_unit: list[str | None] = []
+            c_buke: list[bool | None] = []
+
+            def emit(kind, conv, turn, subj, obj, amt=None, unit=None, buke=None):
+                c_kind.append(kind)
+                c_conv.append(conv)
+                c_turn.append(turn)
+                c_subj.append(subj)
+                c_obj.append(obj)
+                c_amt.append(amt)
+                c_unit.append(unit)
+                c_buke.append(buke)
+
             for conv, turn, t, f1, t2f in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["tnorm"],
                 pdf["f1_id"], pdf["t2_formula"],
@@ -170,57 +206,55 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                         hid = probe_herb(tok, hmap)
                         if hid is not None:
                             amt, unit = parse_dose_string(dose)
-                            out.append(("contains", conv, turn, f1, hid, amt, unit, None))
+                            emit("contains", conv, turn, f1, hid, amt, unit)
                     handled = True
                 if not handled and "主治" in t:
                     if t2f is not None and not pd.isna(t2f):
                         tail = t.partition("主治")[2]
                         buke = "不渴" in tail
                         for s in ac_sym.find_set(tail):
-                            out.append(
-                                ("p_symptom", conv, turn, t2f, m["symptom"][s],
-                                 None, None, buke)
-                            )
+                            emit("p_symptom", conv, turn, t2f, m["symptom"][s], buke=buke)
                         for s in ac_syn.find_set(tail):
-                            out.append(
-                                ("p_syndrome", conv, turn, t2f, m["syndrome"][s],
-                                 None, None, None)
-                            )
+                            emit("p_syndrome", conv, turn, t2f, m["syndrome"][s])
                     handled = True
                 if "可治" in t:
                     for h in ac_herb.find_set(t):
                         for d in ac_dis.find_set(t):
-                            out.append(("treats", conv, turn, hmap[h],
-                                        m["disease"][d], None, None, None))
+                            emit("treats", conv, turn, hmap[h], m["disease"][d])
                 if "可致" in t:
                     for h in ac_herb.find_set(t):
                         for d in ac_dis.find_set(t):
-                            out.append(("induces", conv, turn, hmap[h],
-                                        m["disease"][d], None, None, None))
+                            emit("induces", conv, turn, hmap[h], m["disease"][d])
                 if not handled and "常见" in t:
                     left, _, right = t.partition("常见")
                     syns = ac_syn.find_set(left)
-                    syms = ac_sym.find_set(right)
-                    for sy in syns:
-                        for sm in syms:
-                            out.append(("indicates", conv, turn, m["symptom"][sm],
-                                        m["syndrome"][sy], None, None, None))
+                    if syns:
+                        for sm in ac_sym.find_set(right):
+                            for sy in syns:
+                                emit("indicates", conv, turn, m["symptom"][sm],
+                                     m["syndrome"][sy])
                 elif not handled and "属于" in t:
                     left, _, right = t.partition("属于")
-                    for a in ac_dis.find_set(left):
-                        for b in ac_dis.find_set(right):
-                            ca, cb = m["disease"][a], m["disease"][b]
-                            if ca != cb:
-                                out.append(("is_a", conv, turn, ca, cb,
-                                            None, None, None))
-            res = pd.DataFrame(
-                out,
-                columns=["kind", "conv_id", "turn_idx", "subj", "obj",
-                         "amount", "unit", "buke"],
+                    lefts = ac_dis.find_set(left)
+                    if lefts:
+                        rights = ac_dis.find_set(right)
+                        for a in lefts:
+                            for b in rights:
+                                ca, cb = m["disease"][a], m["disease"][b]
+                                if ca != cb:
+                                    emit("is_a", conv, turn, ca, cb)
+
+            yield pd.DataFrame(
+                {
+                    "kind": pd.Series(c_kind, dtype="object"),
+                    "conv_id": pd.Series(c_conv, dtype="object"),
+                    "turn_idx": pd.Series(c_turn, dtype="int32"),
+                    "subj": pd.Series(c_subj, dtype="object"),
+                    "obj": pd.Series(c_obj, dtype="object"),
+                    "amount": pd.Series(c_amt, dtype="float64"),
+                    "unit": pd.Series(c_unit, dtype="object"),
+                    "buke": pd.Series(c_buke, dtype="object"),
+                }
             )
-            # pin dtypes so empty/all-null batches convert to Arrow cleanly
-            res["amount"] = pd.to_numeric(res["amount"], errors="coerce")
-            res["turn_idx"] = res["turn_idx"].astype("int32")
-            yield res
 
     return prefiltered.mapInPandas(kernel, schema=MENTION_SCHEMA)

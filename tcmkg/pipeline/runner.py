@@ -77,7 +77,12 @@ class KGPipeline:
         return extract_mentions(self.spark, pre, self.maps, cache_key=self._cache_key)
 
     def triples(self, transcripts: DataFrame) -> DataFrame:
-        return assemble_triples(self.mentions(transcripts))
+        # assemble_triples fans the mention stream into six predicate
+        # branches; persist so extraction (the expensive Arrow kernel pass)
+        # runs once, not once per branch. The checkpointed path (run())
+        # gets the same effect by materializing the stage to parquet.
+        mentions = self.mentions(transcripts).persist()
+        return assemble_triples(mentions)
 
     # ------------------------------------------------------------------
     def run(

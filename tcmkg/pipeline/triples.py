@@ -36,12 +36,23 @@ PRED_OF_KIND = {
 }
 
 
-def _pairs(mentions: DataFrame, kind: str) -> DataFrame:
+def distinct_pairs(mentions: DataFrame) -> DataFrame:
+    """ONE shuffle for all non-weighted predicates: dedup (kind, subj, obj)
+    across the whole mention stream (map-side combinable), dropping
+    不渴-flagged symptom rows first (their pair may still survive via a
+    clean line — pair-level union semantics, see oracle contract)."""
     return (
-        mentions.filter(F.col("kind") == kind)
-        .select("subj", "obj")
-        .dropDuplicates(["subj", "obj"])
+        mentions.filter(
+            (F.col("kind") != "contains")
+            & ~((F.col("kind") == "p_symptom") & F.col("buke"))
+        )
+        .select("kind", "subj", "obj")
+        .dropDuplicates(["kind", "subj", "obj"])
     )
+
+
+def _pairs(pairs: DataFrame, kind: str) -> DataFrame:
+    return pairs.filter(F.col("kind") == kind).select("subj", "obj")
 
 
 def contains_edges(mentions: DataFrame) -> DataFrame:
@@ -64,33 +75,35 @@ def contains_edges(mentions: DataFrame) -> DataFrame:
     return pct.groupBy("subj", "obj").agg(F.sum("pct").alias("weight"))
 
 
-def p_symptom_edges(mentions: DataFrame) -> DataFrame:
-    kept = (
-        mentions.filter((F.col("kind") == "p_symptom") & (~F.col("buke")))
-        .select("subj", "obj")
-        .dropDuplicates(["subj", "obj"])
-    )
+def p_symptom_edges(pairs: DataFrame) -> DataFrame:
+    kept = _pairs(pairs, "p_symptom")
     deg = salted_distinct_count(kept, ["subj"], "obj", "n_sym")
     ok = deg.filter(F.col("n_sym") < DEGREE_CAP).select("subj")
     return kept.join(F.broadcast(ok), "subj", "left_semi")
 
 
-def treats_edges(mentions: DataFrame) -> DataFrame:
-    treats = _pairs(mentions, "treats")
-    induces = _pairs(mentions, "induces")
+def treats_edges(pairs: DataFrame) -> DataFrame:
+    treats = _pairs(pairs, "treats")
+    induces = _pairs(pairs, "induces")
     return treats.join(induces, ["subj", "obj"], "left_anti")
 
 
-def is_a_edges(mentions: DataFrame) -> DataFrame:
-    pairs = _pairs(mentions, "is_a")
-    swapped = pairs.select(
-        F.col("obj").alias("subj"), F.col("subj").alias("obj")
-    )
-    return pairs.join(swapped, ["subj", "obj"], "left_anti")
+def is_a_edges(pairs: DataFrame) -> DataFrame:
+    p = _pairs(pairs, "is_a")
+    swapped = p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    return p.join(swapped, ["subj", "obj"], "left_anti")
 
 
 def assemble_triples(mentions: DataFrame) -> DataFrame:
-    """-> (subj, pred, obj, weight double)."""
+    """-> (subj, pred, obj, weight double).
+
+    Plan shape: the raw mention stream is consumed exactly twice — once by
+    the dose-weighting aggregation (contains) and once by the shared
+    distinct-pairs dedup; the five non-weighted predicates then branch off
+    the deduped (tiny) frame, so their filters/anti-joins/caps never touch
+    the full stream again."""
+    pairs = distinct_pairs(mentions).persist()
+
     def lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
         w = F.col("weight") if weight else F.lit(None).cast("double")
         return df.select(
@@ -99,11 +112,11 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
 
     parts = [
         lab(contains_edges(mentions), PRED_OF_KIND["contains"], weight=True),
-        lab(p_symptom_edges(mentions), PRED_OF_KIND["p_symptom"]),
-        lab(_pairs(mentions, "p_syndrome"), PRED_OF_KIND["p_syndrome"]),
-        lab(treats_edges(mentions), PRED_OF_KIND["treats"]),
-        lab(_pairs(mentions, "indicates"), PRED_OF_KIND["indicates"]),
-        lab(is_a_edges(mentions), PRED_OF_KIND["is_a"]),
+        lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]),
+        lab(_pairs(pairs, "p_syndrome"), PRED_OF_KIND["p_syndrome"]),
+        lab(treats_edges(pairs), PRED_OF_KIND["treats"]),
+        lab(_pairs(pairs, "indicates"), PRED_OF_KIND["indicates"]),
+        lab(is_a_edges(pairs), PRED_OF_KIND["is_a"]),
     ]
     out = parts[0]
     for p in parts[1:]:

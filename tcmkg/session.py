@@ -71,6 +71,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # RAM-backed shuffle dirs: on this single box the overlay-fs /tmp makes
+    # shuffle I/O a serial bottleneck that masks CPU scaling; a real cluster
+    # would have NVMe + network shuffle. tmpfs restores the honest compute
+    # profile. (Harmless if /dev/shm is absent.)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        b = b.config("spark.local.dir", "/dev/shm/tcmkg-spark")
     if iceberg:
         wh = warehouse or "/tmp/tcmkg_warehouse"
         b = (
