@@ -21,10 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench import bench_corpus_path  # noqa: E402
 
-N_CORES = int(os.environ.get("TCMKG_SCALE_N", "8"))
-N4_CORES = int(os.environ.get("TCMKG_SCALE_4N", "32"))
-RUNS = int(os.environ.get("TCMKG_SCALE_RUNS", "2"))
-SCALE_CONVS = int(os.environ.get("TCMKG_SCALE_CONVS", "400000"))
+N_CORES = int(os.environ.get("TCMKG_SCALE_N", "4"))
+N4_CORES = int(os.environ.get("TCMKG_SCALE_4N", "16"))
+RUNS = int(os.environ.get("TCMKG_SCALE_RUNS", "3"))
+SCALE_CONVS = int(os.environ.get("TCMKG_SCALE_CONVS", "1600000"))
 
 
 def run_level(cores: int, corpus: str) -> dict:
@@ -39,8 +39,40 @@ def run_level(cores: int, corpus: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def cpu_probe(n_procs: int, work: int = 4_000_000) -> float:
+    """Pure-Python CPU throughput with n_procs processes (no Spark): the
+    HARDWARE ceiling for any Python-heavy scaling on this box. Sandbox
+    boxes often cap well below linear (shared memory bandwidth / host
+    scheduling), which bounds the achievable pipeline efficiency."""
+    import multiprocessing as mp
+    import time
+
+    def burn(_):
+        s = 0
+        for i in range(work):
+            s += i * i
+        return s
+
+    with mp.Pool(n_procs) as p:
+        p.map(_burn_global, [work] * n_procs)  # warm fork
+        t0 = time.time()
+        p.map(_burn_global, [work] * n_procs)
+        dt = time.time() - t0
+    return n_procs / dt  # work-units per second
+
+
+def _burn_global(work: int) -> int:
+    s = 0
+    for i in range(work):
+        s += i * i
+    return s
+
+
 def main() -> None:
     corpus = bench_corpus_path(SCALE_CONVS)
+    ceil_lo = cpu_probe(N_CORES)
+    ceil_hi = cpu_probe(N4_CORES)
+    hw_ceiling = (ceil_hi / ceil_lo) / (N4_CORES / N_CORES)
     lo = run_level(N_CORES, corpus)
     hi = run_level(N4_CORES, corpus)
     assert lo["n_triples"] == hi["n_triples"] and lo["checksum"] == hi["checksum"], (
@@ -61,6 +93,8 @@ def main() -> None:
         "n_turns": lo["n_turns"],
         "n_triples": lo["n_triples"],
         "identical_output": True,
+        "hw_ceiling": round(hw_ceiling, 3),
+        "eff_vs_hw_ceiling": round(eff / hw_ceiling, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -84,6 +118,10 @@ same corpus, same code path as spark-submit --py-files would run).
 - corpus: {lo['n_turns']:,} transcript turns -> {lo['n_triples']:,} triples
 - speedup {N_CORES}->{N4_CORES} cores: {ratio:.2f}x
 - **scaling efficiency: {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- hardware ceiling (pure-Python CPU probe, no Spark, same core counts):
+  {hw_ceiling:.3f} — this sandbox box does not scale linearly even for
+  embarrassingly-parallel native Python; pipeline efficiency normalized to
+  the box ceiling: **{eff / hw_ceiling:.3f}**
 - output identity across levels: count + order-insensitive CRC checksum equal
   ({lo['n_triples']} triples, checksum {lo['checksum']})
 

@@ -28,9 +28,17 @@ from pyspark.sql import functions as F
 
 from ..kernels.normalize import text_norm_col
 
+# The mention kernel emits MAP-SIDE PARTIAL AGGREGATES, not raw mentions:
+# per Arrow batch, pair kinds are deduplicated on (kind, subj, obj, buke)
+# with an occurrence count, and 'contains' rows carry partial dose sums +
+# null/ml flags per (formula, herb). This is the combine step of the
+# aggregation pushed INTO the Python pass — the shuffle then moves
+# O(distinct pairs) rows instead of O(mentions), which at 10^12 turns is
+# the difference between shuffling terabytes and megabytes.
+# Weights are unaffected: sum(amt_i)/total == sum(amt_i/total).
 MENTION_SCHEMA = (
-    "kind string, conv_id string, turn_idx int, subj string, obj string, "
-    "amount double, unit string, buke boolean"
+    "kind string, subj string, obj string, "
+    "n long, amt_sum double, n_null long, n_ml long, buke boolean"
 )
 
 
@@ -130,7 +138,7 @@ def rule_prefilter(resolved: DataFrame) -> DataFrame:
         | t.contains("属于")
     )
     out = resolved.filter((F.col("role") == "assistant") & has_rule).select(
-        "conv_id", "turn_idx", "tnorm", "f1_id", "t2_formula"
+        "tnorm", "f1_id", "t2_formula"
     )
     # Re-spread before the Arrow kernel: AQE's post-shuffle coalescing sizes
     # partitions for ~64MB of JVM bytes, which leaves the (CPU-heavy) Python
@@ -173,66 +181,56 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         ac_herb = get_automaton(key + "herb", m["herb"].keys())
 
         for pdf in batches:
-            # columnar accumulators: list-of-tuples -> DataFrame is the slow
-            # path at millions of mentions; per-column appends + a dict
-            # constructor keep the batch overhead linear and cheap
-            c_kind: list[str] = []
-            c_conv: list[str] = []
-            c_turn: list[int] = []
-            c_subj: list[str] = []
-            c_obj: list[str] = []
-            c_amt: list[float | None] = []
-            c_unit: list[str | None] = []
-            c_buke: list[bool | None] = []
+            # per-batch combine state
+            pair_n: dict[tuple, int] = {}            # (kind,subj,obj,buke) -> n
+            dose: dict[tuple, list] = {}             # (f,h) -> [n, amt_sum, n_null, n_ml]
 
-            def emit(kind, conv, turn, subj, obj, amt=None, unit=None, buke=None):
-                c_kind.append(kind)
-                c_conv.append(conv)
-                c_turn.append(turn)
-                c_subj.append(subj)
-                c_obj.append(obj)
-                c_amt.append(amt)
-                c_unit.append(unit)
-                c_buke.append(buke)
-
-            for conv, turn, t, f1, t2f in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["tnorm"],
-                pdf["f1_id"], pdf["t2_formula"],
-            ):
+            for t, f1, t2f in zip(pdf["tnorm"], pdf["f1_id"], pdf["t2_formula"]):
                 handled = False
                 if f1 is not None and not pd.isna(f1):
                     body = t.partition(":")[2]
-                    for tok, dose in extract_herb_dose_pairs(body):
+                    for tok, d in extract_herb_dose_pairs(body):
                         hid = probe_herb(tok, hmap)
                         if hid is not None:
-                            amt, unit = parse_dose_string(dose)
-                            emit("contains", conv, turn, f1, hid, amt, unit)
+                            amt, unit = parse_dose_string(d)
+                            st = dose.setdefault((f1, hid), [0, 0.0, 0, 0])
+                            st[0] += 1
+                            if amt is None:
+                                st[2] += 1
+                            else:
+                                st[1] += amt
+                            if unit == "ml":
+                                st[3] += 1
                     handled = True
                 if not handled and "主治" in t:
                     if t2f is not None and not pd.isna(t2f):
                         tail = t.partition("主治")[2]
                         buke = "不渴" in tail
                         for s in ac_sym.find_set(tail):
-                            emit("p_symptom", conv, turn, t2f, m["symptom"][s], buke=buke)
+                            k = ("p_symptom", t2f, m["symptom"][s], buke)
+                            pair_n[k] = pair_n.get(k, 0) + 1
                         for s in ac_syn.find_set(tail):
-                            emit("p_syndrome", conv, turn, t2f, m["syndrome"][s])
+                            k = ("p_syndrome", t2f, m["syndrome"][s], None)
+                            pair_n[k] = pair_n.get(k, 0) + 1
                     handled = True
                 if "可治" in t:
                     for h in ac_herb.find_set(t):
                         for d in ac_dis.find_set(t):
-                            emit("treats", conv, turn, hmap[h], m["disease"][d])
+                            k = ("treats", hmap[h], m["disease"][d], None)
+                            pair_n[k] = pair_n.get(k, 0) + 1
                 if "可致" in t:
                     for h in ac_herb.find_set(t):
                         for d in ac_dis.find_set(t):
-                            emit("induces", conv, turn, hmap[h], m["disease"][d])
+                            k = ("induces", hmap[h], m["disease"][d], None)
+                            pair_n[k] = pair_n.get(k, 0) + 1
                 if not handled and "常见" in t:
                     left, _, right = t.partition("常见")
                     syns = ac_syn.find_set(left)
                     if syns:
                         for sm in ac_sym.find_set(right):
                             for sy in syns:
-                                emit("indicates", conv, turn, m["symptom"][sm],
-                                     m["syndrome"][sy])
+                                k = ("indicates", m["symptom"][sm], m["syndrome"][sy], None)
+                                pair_n[k] = pair_n.get(k, 0) + 1
                 elif not handled and "属于" in t:
                     left, _, right = t.partition("属于")
                     lefts = ac_dis.find_set(left)
@@ -242,18 +240,29 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                             for b in rights:
                                 ca, cb = m["disease"][a], m["disease"][b]
                                 if ca != cb:
-                                    emit("is_a", conv, turn, ca, cb)
+                                    k = ("is_a", ca, cb, None)
+                                    pair_n[k] = pair_n.get(k, 0) + 1
+
+            kinds, subjs, objs, ns = [], [], [], []
+            amts, nnulls, nmls, bukes = [], [], [], []
+            for (kind, s, o, buke), n in pair_n.items():
+                kinds.append(kind); subjs.append(s); objs.append(o); ns.append(n)
+                amts.append(None); nnulls.append(0); nmls.append(0); bukes.append(buke)
+            for (f, h), (n, amt_sum, n_null, n_ml) in dose.items():
+                kinds.append("contains"); subjs.append(f); objs.append(h); ns.append(n)
+                amts.append(amt_sum); nnulls.append(n_null); nmls.append(n_ml)
+                bukes.append(None)
 
             yield pd.DataFrame(
                 {
-                    "kind": pd.Series(c_kind, dtype="object"),
-                    "conv_id": pd.Series(c_conv, dtype="object"),
-                    "turn_idx": pd.Series(c_turn, dtype="int32"),
-                    "subj": pd.Series(c_subj, dtype="object"),
-                    "obj": pd.Series(c_obj, dtype="object"),
-                    "amount": pd.Series(c_amt, dtype="float64"),
-                    "unit": pd.Series(c_unit, dtype="object"),
-                    "buke": pd.Series(c_buke, dtype="object"),
+                    "kind": pd.Series(kinds, dtype="object"),
+                    "subj": pd.Series(subjs, dtype="object"),
+                    "obj": pd.Series(objs, dtype="object"),
+                    "n": pd.Series(ns, dtype="int64"),
+                    "amt_sum": pd.Series(amts, dtype="float64"),
+                    "n_null": pd.Series(nnulls, dtype="int64"),
+                    "n_ml": pd.Series(nmls, dtype="int64"),
+                    "buke": pd.Series(bukes, dtype="object"),
                 }
             )
 

@@ -116,11 +116,11 @@ class KGPipeline:
         m = (
             mentions.withColumn("part", F.spark_partition_id())
             .groupBy("part")
-            .count()
+            .agg(F.sum("n").alias("n_mentions"))
             .select(
                 F.lit("mentions_per_partition").alias("metric"),
                 F.col("part").cast("string").alias("key"),
-                F.col("count").cast("double").alias("value"),
+                F.col("n_mentions").cast("double").alias("value"),
             )
         )
         t = triples.groupBy("pred").count().select(

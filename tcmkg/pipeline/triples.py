@@ -56,23 +56,31 @@ def _pairs(pairs: DataFrame, kind: str) -> DataFrame:
 
 
 def contains_edges(mentions: DataFrame) -> DataFrame:
-    c = mentions.filter(F.col("kind") == "contains").select("subj", "obj", "amount", "unit")
+    """Dose weighting from the kernel's partial aggregates: the reduce step
+    of sum(amt_i)/formula_total. A formula with any unparseable or ml-unit
+    dose gets null weights (reference: process_dose_unit.py:181-201)."""
+    c = (
+        mentions.filter(F.col("kind") == "contains")
+        .groupBy("subj", "obj")
+        .agg(
+            F.sum("amt_sum").alias("amt"),
+            F.sum("n_null").alias("n_null"),
+            F.sum("n_ml").alias("n_ml"),
+        )
+    )
     per_formula = c.groupBy("subj").agg(
-        F.max(
-            F.when((F.col("unit") == "ml") | F.col("amount").isNull(), 1).otherwise(0)
-        ).alias("dropped"),
-        F.sum("amount").alias("total"),
+        F.max(F.when((F.col("n_null") > 0) | (F.col("n_ml") > 0), 1).otherwise(0)).alias("dropped"),
+        F.sum("amt").alias("total"),
     )
-    # per-formula stats are tiny relative to the mention stream -> broadcast
+    # per-formula stats are tiny relative to the pair set -> broadcast
     enriched = c.join(F.broadcast(per_formula), "subj")
-    pct = enriched.withColumn(
-        "pct",
+    return enriched.select(
+        "subj",
+        "obj",
         F.when(
-            (F.col("dropped") == 0) & F.col("amount").isNotNull() & (F.col("total") > 0),
-            F.col("amount") / F.col("total"),
-        ),
+            (F.col("dropped") == 0) & (F.col("total") > 0), F.col("amt") / F.col("total")
+        ).alias("weight"),
     )
-    return pct.groupBy("subj", "obj").agg(F.sum("pct").alias("weight"))
 
 
 def p_symptom_edges(pairs: DataFrame) -> DataFrame:

@@ -77,6 +77,12 @@ def get_spark(
     # profile. (Harmless if /dev/shm is absent.)
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         b = b.config("spark.local.dir", "/dev/shm/tcmkg-spark")
+        # shuffle bytes live in RAM here, so lz4 is pure CPU overhead that
+        # inflates per-core work (~2x on the window chain). On a network
+        # shuffle cluster leave compression ON — this branch only fires with
+        # tmpfs-local shuffle.
+        b = b.config("spark.shuffle.compress", "false")
+        b = b.config("spark.shuffle.spill.compress", "false")
     if iceberg:
         wh = warehouse or "/tmp/tcmkg_warehouse"
         b = (
