@@ -470,6 +470,57 @@ SELECT qid, rk::BIGINT AS rk, vec_id AS neighbor FROM (
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF index + search with FULL probe (nprobe == n_centroids): must
+    reproduce exact brute-force top-k — so the whole index/build/search
+    machinery is hash-verified against the same SQL oracle as q_ann_topk."""
+    from ..ops.ann import _as_double, build_ivf, ivf_search
+
+    e = _read(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent, assign = build_ivf(corpus, "vec_id", "embedding", n_centroids=4, n_iter=2)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    return ivf_search(queries, corpus, cent, assign, "vec_id", "embedding",
+                      nprobe=4, topk=3)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per document (vectorized pandas UDF). The DuckDB
+    oracle rebuilds the bit votes relationally (unnest tokens x 64 bits),
+    so the UDF's md5-bit arithmetic is hash-verified end to end."""
+    from ..ops.dedup import simhash
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text")).alias("sh"))
+
+
+SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents)
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+bits AS (
+  -- two's complement directly: bit 63 contributes -2^63 when set
+  SELECT doc_id,
+         sum(CASE WHEN v > 0
+                  THEN CASE WHEN bit = 63 THEN -9223372036854775808::HUGEINT
+                            ELSE (1::BIGINT << bit)::HUGEINT END
+                  ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id, s::BIGINT AS sh FROM bits
+"""
+
+
 def q_embed_centroids(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings")
     dims = e.select(
@@ -507,6 +558,8 @@ GENERIC_QUERIES = {
     "q_minhash_clusters": q_minhash_clusters,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_ann_topk": q_ann_topk,
+    "q_ann_ivf": q_ann_ivf,
+    "q_simhash": q_simhash,
     "q_embed_centroids": q_embed_centroids,
 }
 
@@ -528,5 +581,7 @@ GENERIC_ORACLES = {
     "q_minhash_clusters": SQL_MINHASH_CLUSTERS,
     "q_jaccard_pairs": SQL_JACCARD_PAIRS,
     "q_ann_topk": SQL_ANN_TOPK,
+    "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
+    "q_simhash": SQL_SIMHASH,
     "q_embed_centroids": SQL_EMBED_CENTROIDS,
 }

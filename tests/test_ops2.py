@@ -1,0 +1,139 @@
+"""Tests: dedup family (minhash/simhash/exact), IVF ANN, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog today"),      # near dup
+        (3, "spark shuffles partitions across the cluster nodes"),
+        (4, "completely different content about query optimizers"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from tcmkg.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    groups = {r["keep_doc"]: r["n_docs"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse, survivor = min id
+    assert len(out) == 4
+
+
+def test_minhash_lsh(spark, docs):
+    from tcmkg.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    assert sigs.groupBy("id").count().filter(F.col("count") != 4).count() == 0
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs            # exact dups always collide
+    assert (0, 2) in pairs            # near dup shares min-token per band here
+    assert (3, 4) not in pairs        # unrelated docs must not collide
+
+
+def test_simhash(spark, docs):
+    from tcmkg.ops.dedup import _simhash_batch, simhash_candidates
+    import pandas as pd
+
+    # deterministic + identical text -> identical hash
+    h = _simhash_batch(pd.Series(["a b c", "a b c", "x y z"]))
+    assert h[0] == h[1] != h[2]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_candidates(docs, "doc_id", "text").collect()}
+    assert pairs[(0, 1)] == 0          # exact dup: zero Hamming distance
+    assert (0, 2) in pairs             # near dup collides on some band
+    assert pairs[(0, 2)] <= 16
+
+
+def test_ivf_exact_when_full_probe(spark):
+    """nprobe == n_centroids degenerates to exact brute force."""
+    from tcmkg.contract.generic import q_ann_topk
+    from tcmkg.ops.ann import build_ivf, ivf_search, _as_double
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cent, assign = build_ivf(emb.filter(F.col("vec_id") >= 5), "vec_id", "embedding",
+                             n_centroids=4, n_iter=3)
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv"))
+    )
+    got = ivf_search(queries, emb.filter(F.col("vec_id") >= 5), cent, assign,
+                     "vec_id", "embedding", nprobe=4, topk=3)
+    want = q_ann_topk(spark, sf)
+    g = {(r["qid"], r["rk"]): r["neighbor"] for r in got.collect()}
+    w = {(r["qid"], r["rk"]): r["neighbor"] for r in want.collect()}
+    assert g == w
+
+
+def test_ivf_recall_at_small_probe(spark):
+    from tcmkg.contract.generic import q_ann_topk
+    from tcmkg.ops.ann import build_ivf, ivf_search, _as_double
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cent, assign = build_ivf(corpus, "vec_id", "embedding", n_centroids=8, n_iter=3)
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv"))
+    )
+    got = ivf_search(queries, corpus, cent, assign, "vec_id", "embedding", nprobe=3, topk=3)
+    g = {(r["qid"], r["rk"]): r["neighbor"] for r in got.collect()}
+    w = {(r["qid"], r["rk"]): r["neighbor"] for r in q_ann_topk(spark, sf).collect()}
+    hits = sum(1 for k, v in w.items() if g.get(k) == v or v in
+               {g.get((k[0], r)) for r in (1, 2, 3)})
+    assert hits / len(w) >= 0.5  # IVF recall trade at nprobe=3/8
+
+
+def test_multimodal_plumbing(spark):
+    from tcmkg.ops.multimodal import (
+        decode_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+        FEATURE_DIM,
+    )
+
+    media = synth_media(spark, 30)
+    assert media.count() == 30
+
+    feats = decode_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    # deterministic across runs
+    feats2 = {r["doc_id"]: r["features"] for r in decode_features(media).collect()}
+    for r in feats:
+        assert feats2[r["doc_id"]] == r["features"]
+
+    resized = resize_images(media, 32, 32)
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    img = next(r for r in rows.values() if r["modality"] == "image")
+    assert img["meta"]["width"] == 32 and img["meta"]["height"] == 32
+    aud = next(r for r in rows.values() if r["modality"] == "audio")
+    assert aud["meta"]["sample_rate"] == 16000  # non-images untouched
+
+    frames = sample_frames(media, every=2).collect()
+    assert frames, "video rows must expand to frames"
+    vids = {r["doc_id"] for r in frames}
+    n_frames = {r["doc_id"]: r["meta"]["n_frames"] for r in media.collect()
+                if r["modality"] == "video"}
+    for did, nf in n_frames.items():
+        got = sorted(r["frame"] for r in frames if r["doc_id"] == did)
+        assert got == list(range(0, nf, 2))
+    assert vids == set(n_frames)
+
+
+def test_multimodal_real_codec_gated(spark):
+    """The non-fake decode path must fail loudly (codec libs absent)."""
+    from tcmkg.ops.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, 3)
+    with pytest.raises(Exception):
+        decode_features(media, fake_decode=False).collect()
