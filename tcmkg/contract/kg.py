@@ -139,7 +139,11 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             m5 == 1,
             F.concat(
-                f, F.lit("主治"), s1, F.lit("，"), s2,
+                # every 7th indication line is a carry-forward ("亦主治…"):
+                # no formula prefix — the pipeline must attach it to the last
+                # anchored formula of the conversation, in stable turn order
+                F.when(F.col("eid") % 7 == 0, F.lit("亦")).otherwise(f),
+                F.lit("主治"), s1, F.lit("，"), s2,
                 F.when(F.col("eid") % 3 == 0, F.concat(F.lit("，"), syn)).otherwise(F.lit("")),
                 F.when(F.col("eid") % 31 == 0, F.lit("，口不渴")).otherwise(F.lit("")),
                 F.lit("。"),
@@ -245,18 +249,41 @@ def q_kg_p_symptom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.filter(F.col("pred") == "prescription_treat_symptom").select("subj", "obj")
 
 
+# carried-formula CTE: anchor = own formula on prescription lines and
+# resolved indication lines; carry-forward lines (eid%7==0) inherit the last
+# anchor in stable turn order — the SQL twin of resolve_anchors' window.
+_SQL_CARRIED = f"""
+tr AS (
+  SELECT event_id AS eid, user_id % 97 AS conv,
+         row_number() OVER (PARTITION BY user_id % 97 ORDER BY ts, event_id) - 1 AS tix
+  FROM events
+),
+anch AS (
+  SELECT eid, conv, tix,
+         CASE WHEN eid % 5 IN (0, 4) OR (eid % 5 = 1 AND eid % 7 <> 0)
+              THEN {_sql_pick(CANON_FORMULA, f'eid % {N_F}')} END AS anchor
+  FROM tr
+),
+carried AS (
+  SELECT eid,
+         last_value(anchor IGNORE NULLS) OVER (
+           PARTITION BY conv ORDER BY tix
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM anch
+)
+"""
+
 SQL_KG_P_SYMPTOM = f"""
-WITH base AS (
-  SELECT event_id AS eid FROM events
-  WHERE event_id % 5 = 1 AND event_id % 31 <> 0
+WITH {_SQL_CARRIED},
+base AS (
+  SELECT eid, cur FROM carried
+  WHERE eid % 5 = 1 AND eid % 31 <> 0 AND cur IS NOT NULL
 ),
 pairs AS (
   SELECT DISTINCT subj, obj FROM (
-    SELECT {_sql_pick(CANON_FORMULA, f'eid % {N_F}')} AS subj,
-           {_sql_pick(CANON_SYM, f'eid % {N_SYM}')} AS obj FROM base
+    SELECT cur AS subj, {_sql_pick(CANON_SYM, f'eid % {N_SYM}')} AS obj FROM base
     UNION
-    SELECT {_sql_pick(CANON_FORMULA, f'eid % {N_F}')},
-           {_sql_pick(CANON_SYM, f'(eid // 5) % {N_SYM}')} FROM base
+    SELECT cur, {_sql_pick(CANON_SYM, f'(eid // 5) % {N_SYM}')} FROM base
   )
 ),
 deg AS (SELECT subj, count(DISTINCT obj) AS n FROM pairs GROUP BY subj)
@@ -271,9 +298,10 @@ def q_kg_p_syndrome(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_KG_P_SYNDROME = f"""
-SELECT DISTINCT {_sql_pick(CANON_FORMULA, f'event_id % {N_F}')} AS subj,
-                {_sql_pick(CANON_SYN, f'event_id % {N_SYN}')} AS obj
-FROM events WHERE event_id % 5 = 1 AND event_id % 3 = 0
+WITH {_SQL_CARRIED}
+SELECT DISTINCT cur AS subj,
+                {_sql_pick(CANON_SYN, f'eid % {N_SYN}')} AS obj
+FROM carried WHERE eid % 5 = 1 AND eid % 3 = 0 AND cur IS NOT NULL
 """
 
 
@@ -348,7 +376,8 @@ def _sql_text_derivation() -> str:
     return f"""
   CASE
     WHEN eid % 5 IN (0,4) THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
-    WHEN eid % 5 = 1 THEN {f} || '主治' || {s1} || '，' || {s2}
+    WHEN eid % 5 = 1 THEN (CASE WHEN eid % 7 = 0 THEN '亦' ELSE {f} END)
+         || '主治' || {s1} || '，' || {s2}
          || (CASE WHEN eid % 3 = 0 THEN '，' || {syn} ELSE '' END)
          || (CASE WHEN eid % 31 = 0 THEN '，口不渴' ELSE '' END) || '。'
     WHEN eid % 5 = 2 THEN {h1} || '可治' || {dis} || '。'
