@@ -52,11 +52,21 @@ class KGPipeline:
             rec2canon, alias2canon = canonicalize(rec_df, CANON_PREFIX[etype])
             rows = [(r["alias"], r["canonical_id"]) for r in alias2canon.collect()]
             self.maps[etype] = normalize_alias_map(rows)
+            # fold merged records into one canonical row with the reference's
+            # merge_two_value semantics (set-union of `;`-tokens per column —
+            # merge_utility.py:120-156) via the A1/A2 aggregation builders
+            from ..functions.merge import fold_multivalue
+
             self.nodes.append(
                 rec_df.join(rec2canon, "record_id")
-                .withColumn("name", F.explode(F.split("names", ";")))
                 .groupBy("canonical_id")
-                .agg(F.array_sort(F.collect_set("name")).alias("names"))
+                .agg(
+                    fold_multivalue("names"),
+                    fold_multivalue("symmap_id"),
+                    fold_multivalue("extdb_id"),
+                    F.array_sort(F.collect_set("record_id")).alias("source_records"),
+                )
+                .withColumn("names", F.split("names", ";"))
                 .withColumn("entity_type", F.lit(etype))
             )
         self.formula_alias = spark.createDataFrame(
@@ -68,7 +78,14 @@ class KGPipeline:
         out = self.nodes[0]
         for n in self.nodes[1:]:
             out = out.unionByName(n)
-        return out.select("canonical_id", "entity_type", "names")
+        return out.select(
+            "canonical_id",
+            "entity_type",
+            "names",
+            F.nullif("symmap_id", F.lit("")).alias("symmap_id"),
+            F.nullif("extdb_id", F.lit("")).alias("extdb_id"),
+            "source_records",
+        )
 
     def mentions(self, transcripts: DataFrame) -> DataFrame:
         turns = ingest(transcripts)

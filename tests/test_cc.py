@@ -79,3 +79,24 @@ def test_salted_distinct_count(spark):
     df = spark.createDataFrame(rows, "k string, v int")
     got = {r["k"]: r["n_distinct"] for r in salted_distinct_count(df, ["k"], "v").collect()}
     assert got == {"a": 5, "b": 7}
+
+
+def test_cc_medium_scale(spark):
+    """A 60k-node / 75k-incidence graph with long chains and a giant skewed
+    component: converges, deterministic min-representatives, sane runtime."""
+    from tcmkg.pipeline.cc import connected_components
+
+    rows = []
+    # 5k chain components of length 10 (diameter stress)
+    for comp in range(5000):
+        for j in range(9):
+            rows.append((f"n{comp:05d}_{j:02d}", f"k{comp:05d}_{j:02d}"))
+            rows.append((f"n{comp:05d}_{j+1:02d}", f"k{comp:05d}_{j:02d}"))
+    # one giant skewed component: 10k nodes on one hot key
+    rows += [(f"hot{i:05d}", "HOTKEY") for i in range(10000)]
+    inc = spark.createDataFrame(rows, "node string, key string")
+    got = connected_components(inc, max_iter=30)
+    comps = {r["node"]: r["component"] for r in got.collect()}
+    assert comps["hot09999"] == "hot00000"
+    assert comps["n00042_09"] == "n00042_00"
+    assert len({c for n, c in comps.items() if n.startswith("n")}) == 5000
