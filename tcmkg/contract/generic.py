@@ -263,6 +263,54 @@ FROM g GROUP BY user_id
 """
 
 
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts per customer-segment x order-status."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("O", F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce("F", F.lit(0)).cast("long").alias("n_filled"),
+            F.coalesce("P", F.lit(0)).cast("long").alias("n_partial"),
+        )
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT c_mktsegment,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_open,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT AS n_filled,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END)::BIGINT AS n_partial
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Rollup: revenue at (flag,status), (flag), and grand-total levels."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # ------------------------------------------------------- training-data ops -
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: content-hash groups with canonical survivor."""
@@ -551,6 +599,8 @@ GENERIC_QUERIES = {
     "q_xref_parse": q_xref_parse,
     "q_topk_per_group": q_topk_per_group,
     "q_sessionize": q_sessionize,
+    "q_pivot_status": q_pivot_status,
+    "q_rollup_revenue": q_rollup_revenue,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_stopword_ratio": q_stopword_ratio,
@@ -574,6 +624,8 @@ GENERIC_ORACLES = {
     "q_xref_parse": SQL_XREF_PARSE,
     "q_topk_per_group": SQL_TOPK_PER_GROUP,
     "q_sessionize": SQL_SESSIONIZE,
+    "q_pivot_status": SQL_PIVOT_STATUS,
+    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_text_stats": SQL_TEXT_STATS,
     "q_stopword_ratio": SQL_STOPWORD_RATIO,

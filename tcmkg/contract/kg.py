@@ -37,6 +37,23 @@ _SCAFFOLD = ["ÂèØÊ≤ª", "‰∏ªÊ≤ª", "Â∏∏ËßÅ", "Âè£‰∏çÊ∏¥", "Ôºö", "„ÄÅ", "Ôºå", "„Ä
 _CHOSEN: list[str] = []
 
 
+def _alias_universe() -> set[str]:
+    """Every name the Aho-Corasick automatons know ‚Äî including aliases. A
+    planted name that CONTAINS any other universe name (e.g. Á†¥‰º§È£é ‚äÉ ‰º§È£é,
+    an alias of ÊÑüÂÜí) would make the AC emit an extra mention the SQL
+    oracle cannot predict."""
+    gaz = build_gazetteers()
+    return {
+        text_norm(n)
+        for recs in gaz.tables().values()
+        for r in recs
+        for n in r.names
+    }
+
+
+_UNIVERSE = _alias_universe()
+
+
 def _pick_free(candidates: list[str], n: int) -> list[str]:
     out: list[str] = []
     for cand in candidates:
@@ -44,6 +61,7 @@ def _pick_free(candidates: list[str], n: int) -> list[str]:
             break
         ok = all(cand not in c and c not in cand for c in _CHOSEN)
         ok = ok and all(cand not in s and s not in cand for s in _SCAFFOLD)
+        ok = ok and not any(u != cand and u in cand for u in _UNIVERSE)
         if ok:
             out.append(cand)
             _CHOSEN.append(cand)
@@ -133,9 +151,11 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = _pick(POOL_SYM, F.floor(F.col("eid") / 5) % N_SYM)
     syn = _pick(POOL_SYN, F.col("eid") % N_SYN)
     dis = _pick(POOL_DIS, F.col("eid") % N_DIS)
+    dis2 = _pick(POOL_DIS, F.floor(F.col("eid") / 2) % N_DIS)
+    dis3 = _pick(POOL_DIS, F.floor(F.col("eid") / 4) % N_DIS)
 
     text = (
-        F.when(m5.isin(0, 4), F.concat(f, F.lit("Ôºö"), h1, d1, F.lit("„ÄÅ"), h2, d2, F.lit("„ÄÇ")))
+        F.when(m5 == 0, F.concat(f, F.lit("Ôºö"), h1, d1, F.lit("„ÄÅ"), h2, d2, F.lit("„ÄÇ")))
         .when(
             m5 == 1,
             F.concat(
@@ -149,8 +169,26 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("„ÄÇ"),
             ),
         )
-        .when(m5 == 2, F.concat(h1, F.lit("ÂèØÊ≤ª"), dis, F.lit("„ÄÇ")))
-        .otherwise(F.concat(syn, F.lit("Â∏∏ËßÅ"), s1, F.lit("Ôºå"), s2, F.lit("„ÄÇ")))
+        .when(
+            m5 == 2,
+            F.concat(
+                h1, F.lit("ÂèØÊ≤ª"), dis,
+                # the treats pair set cycles with eid mod 600 (lcm of the
+                # pick moduli x 5); a conflict condition aligned to that
+                # cycle (eid ‚â° 22 mod 600) kills exactly one pair residue at
+                # EVERY scale ‚Äî a kill rule coprime to the cycle (e.g. %11)
+                # would eventually erase the whole predicate
+                F.when(
+                    F.col("eid") % 600 == 22,
+                    F.concat(F.lit("„ÄÇ‰ΩÜ"), h1, F.lit("ÂèØËá¥"), dis),
+                ).otherwise(F.lit("")),
+                F.lit("„ÄÇ"),
+            ),
+        )
+        .when(m5 == 3, F.concat(syn, F.lit("Â∏∏ËßÅ"), s1, F.lit("Ôºå"), s2, F.lit("„ÄÇ")))
+        # m5 == 4: disease taxonomy line -> disease_is_a_disease with the
+        # antisymmetry rule (both directions present corpus-wide -> both die)
+        .otherwise(F.concat(dis2, F.lit("Â±û‰∫é"), dis3, F.lit("„ÄÇ")))
     )
     w = Window.partitionBy("conv_id").orderBy("ts", "eid")
     return df.select(
@@ -212,7 +250,7 @@ def q_kg_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_KG_CONTAINS = f"""
-WITH tr AS (SELECT event_id AS eid FROM events WHERE event_id % 5 IN (0, 4)),
+WITH tr AS (SELECT event_id AS eid FROM events WHERE event_id % 5 = 0),
 rows AS (
   SELECT {_sql_pick(CANON_FORMULA, f'eid % {N_F}')} AS subj,
          {_sql_pick(CANON_HERB1, f'eid % {N_H1}')} AS obj,
@@ -241,6 +279,27 @@ SQL_KG_TREATS = f"""
 SELECT DISTINCT {_sql_pick(CANON_HERB1, f'event_id % {N_H1}')} AS subj,
                 {_sql_pick(CANON_DIS, f'event_id % {N_DIS}')} AS obj
 FROM events WHERE event_id % 5 = 2
+EXCEPT
+SELECT {_sql_pick(CANON_HERB1, f'event_id % {N_H1}')},
+       {_sql_pick(CANON_DIS, f'event_id % {N_DIS}')}
+FROM events WHERE event_id % 600 = 22
+"""
+
+
+def q_kg_is_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "disease_is_a_disease").select("subj", "obj")
+
+
+SQL_KG_IS_A = f"""
+WITH pairs AS (
+  SELECT DISTINCT {_sql_pick(CANON_DIS, f'(event_id // 2) % {N_DIS}')} AS subj,
+                  {_sql_pick(CANON_DIS, f'(event_id // 4) % {N_DIS}')} AS obj
+  FROM events WHERE event_id % 5 = 4
+)
+SELECT p.subj, p.obj FROM pairs p
+WHERE p.subj <> p.obj
+  AND NOT EXISTS (SELECT 1 FROM pairs r WHERE r.subj = p.obj AND r.obj = p.subj)
 """
 
 
@@ -260,7 +319,7 @@ tr AS (
 ),
 anch AS (
   SELECT eid, conv, tix,
-         CASE WHEN eid % 5 IN (0, 4) OR (eid % 5 = 1 AND eid % 7 <> 0)
+         CASE WHEN eid % 5 = 0 OR (eid % 5 = 1 AND eid % 7 <> 0)
               THEN {_sql_pick(CANON_FORMULA, f'eid % {N_F}')} END AS anchor
   FROM tr
 ),
@@ -373,15 +432,19 @@ def _sql_text_derivation() -> str:
     s2 = _sql_pick(POOL_SYM, f"(eid // 5) % {N_SYM}")
     syn = _sql_pick(POOL_SYN, f"eid % {N_SYN}")
     dis = _sql_pick(POOL_DIS, f"eid % {N_DIS}")
+    dis2 = _sql_pick(POOL_DIS, f"(eid // 2) % {N_DIS}")
+    dis3 = _sql_pick(POOL_DIS, f"(eid // 4) % {N_DIS}")
     return f"""
   CASE
-    WHEN eid % 5 IN (0,4) THEN {f} || 'Ôºö' || {h1} || {d1} || '„ÄÅ' || {h2} || {d2} || '„ÄÇ'
+    WHEN eid % 5 = 0 THEN {f} || 'Ôºö' || {h1} || {d1} || '„ÄÅ' || {h2} || {d2} || '„ÄÇ'
     WHEN eid % 5 = 1 THEN (CASE WHEN eid % 7 = 0 THEN '‰∫¶' ELSE {f} END)
          || '‰∏ªÊ≤ª' || {s1} || 'Ôºå' || {s2}
          || (CASE WHEN eid % 3 = 0 THEN 'Ôºå' || {syn} ELSE '' END)
          || (CASE WHEN eid % 31 = 0 THEN 'ÔºåÂè£‰∏çÊ∏¥' ELSE '' END) || '„ÄÇ'
-    WHEN eid % 5 = 2 THEN {h1} || 'ÂèØÊ≤ª' || {dis} || '„ÄÇ'
-    ELSE {syn} || 'Â∏∏ËßÅ' || {s1} || 'Ôºå' || {s2} || '„ÄÇ'
+    WHEN eid % 5 = 2 THEN {h1} || 'ÂèØÊ≤ª' || {dis}
+         || (CASE WHEN eid % 600 = 22 THEN '„ÄÇ‰ΩÜ' || {h1} || 'ÂèØËá¥' || {dis} ELSE '' END) || '„ÄÇ'
+    WHEN eid % 5 = 3 THEN {syn} || 'Â∏∏ËßÅ' || {s1} || 'Ôºå' || {s2} || '„ÄÇ'
+    ELSE {dis2} || 'Â±û‰∫é' || {dis3} || '„ÄÇ'
   END"""
 
 
@@ -433,6 +496,7 @@ KG_QUERIES = {
     "kg_indicates": q_kg_indicates,
     "kg_turn_order": q_kg_turn_order,
     "kg_text_roundtrip": q_kg_text_roundtrip,
+    "kg_is_a": q_kg_is_a,
     "kg_nodes": q_kg_nodes,
 }
 
@@ -444,5 +508,6 @@ KG_ORACLES = {
     "kg_indicates": SQL_KG_INDICATES,
     "kg_turn_order": SQL_KG_TURN_ORDER,
     "kg_text_roundtrip": SQL_KG_TEXT_ROUNDTRIP,
+    "kg_is_a": SQL_KG_IS_A,
     "kg_nodes": _sql_kg_nodes(),
 }
