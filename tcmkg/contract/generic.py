@@ -24,7 +24,7 @@ Coverage map (operator ids from SURVEY.md §2):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of", "and", "to"]

@@ -137,3 +137,35 @@ def test_multimodal_real_codec_gated(spark):
     media = synth_media(spark, 3)
     with pytest.raises(Exception):
         decode_features(media, fake_decode=False).collect()
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys: the bucketed SMJ plans ZERO data
+    exchanges where the plain join needs two (SURVEY §4 partitioning row).
+    Broadcast is disabled for the probe so the join strategy is honest."""
+    import re
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("o_b")
+
+        def n_exchanges(df):
+            df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return len(re.findall(r"Exchange hashpartitioning", plan))
+
+        bucketed = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert n_exchanges(bucketed) == 0
+        assert n_exchanges(plain) == 2
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
