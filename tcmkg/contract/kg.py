@@ -483,7 +483,8 @@ def _sql_kg_nodes() -> str:
         f"('{cid}','{et}',{len(names)})" for (cid, et), names in sorted(counts.items())
     )
     return (
-        "SELECT * FROM (VALUES\n" + rows +
+        "SELECT canonical_id, entity_type, n_names::BIGINT AS n_names "
+        "FROM (VALUES\n" + rows +
         "\n) AS t(canonical_id, entity_type, n_names)"
     )
 

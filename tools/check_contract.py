@@ -69,6 +69,11 @@ def main() -> int:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL-duckdb] {name}: {str(e)[:300]}")
             continue
+        dt_s = {c: str(sdf[c].dtype) for c in sdf.columns}
+        dt_o = {c: str(odf[c].dtype) for c in odf.columns}
+        for c in set(dt_s) & set(dt_o):
+            if dt_s[c] != dt_o[c]:
+                print(f"[WARN-dtype] {name}.{c}: spark {dt_s[c]} vs duck {dt_o[c]}")
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append((name, f"schema {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
             print(f"[FAIL-schema] {name}: {sorted(sdf.columns)} vs {sorted(odf.columns)}")
