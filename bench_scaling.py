@@ -130,6 +130,22 @@ per-row Python loops, see BASELINE.md); at ~{int(lo['turns_per_sec'])} turns/sec
 {N_CORES} cores this engine's per-core rate already exceeds a per-row
 pandas loop, and the distributed plan (broadcast joins, partial
 aggregation, one Arrow kernel pass) is what carries it to cluster scale.
+
+## Extrapolation to the 10^12-turn north rule
+
+Per-core throughput at the measured {N4_CORES}-core point:
+~{int(hi['turns_per_sec'] / N4_CORES):,} turns/sec/core. The plan has no
+per-job serial terms that grow with data (one conv_id-hash shuffle, map-side
+partial aggregation into O(distinct pairs) rows, broadcast-only dictionary
+joins), so at a 4,000-core cluster (1,000 executors x 4 cores):
+
+    10^12 turns / ({int(hi['turns_per_sec'] / N4_CORES):,} x 4,000) ≈
+    {10**12 / (hi['turns_per_sec'] / N4_CORES * 4000) / 3600:.1f} hours
+
+Assumptions: gazetteers stay broadcastable (they do — dictionary side),
+transcripts land hash-partitionable by conv_id (Iceberg layout), and the
+mention-pair space stays small relative to the corpus (it does: partials
+shuffle O(distinct pairs), not O(mentions)).
 """
         )
 

@@ -156,3 +156,16 @@ def test_aho_corasick():
 def test_weight_isclose_semantics():
     # merge_utility.py:151 rel_tol analogue used in merge tests
     assert math.isclose(10.0, 11.0, rel_tol=0.2)
+
+
+def test_dose_edge_cases():
+    # 至 with no preceding segment is undefined in the reference (NameError);
+    # we contract it to null
+    assert dose_to_amount("至二钱") == (None, None)
+    assert parse_dose_string("") == (None, None)
+    # trailing 半 adds half of the LAST unit
+    a, u = parse_dose_string("一两二钱半")
+    assert u == "g" and a == pytest.approx(31.25 + 2 * 3.125 + 0.5 * 3.125)
+    # range + unit conversion
+    a, u = parse_dose_string("1-3斤")
+    assert u == "g" and a == pytest.approx(2 * 500)

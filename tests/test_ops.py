@@ -127,3 +127,16 @@ def test_ann_vs_bruteforce(spark):
         )[:3]
         for rk, (_, vid) in enumerate(sims, 1):
             assert got[(qid, rk)] == vid
+
+
+def test_json_envelope_reader(spark, tmp_path):
+    """S2: {"data": {...}} envelope unwrap + nested field access."""
+    import json
+    from pyspark.sql import functions as F
+    from tcmkg.sources.readers import read_json_envelope
+
+    p = tmp_path / "e.json"
+    p.write_text(json.dumps({"data": {"name": "x", "props": {"k1": "v1"}}}))
+    df = read_json_envelope(spark, str(p))
+    row = df.select("name", F.col("props.k1").alias("k1")).collect()[0]
+    assert (row["name"], row["k1"]) == ("x", "v1")
