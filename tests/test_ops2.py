@@ -152,6 +152,12 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+        # the in-memory catalog forgets tables between sessions but the
+        # managed-table dirs persist; clear them so saveAsTable can recreate
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("li_b", "o_b"):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
         o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("o_b")
 
