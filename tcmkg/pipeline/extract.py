@@ -153,13 +153,14 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                      cache_key: str = "default") -> DataFrame:
     """mapInPandas mention kernel. `maps`: entity_type -> {norm alias: canon}.
 
-    Emits rows (kind, conv_id, turn_idx, subj, obj, amount, unit, buke):
-      contains   subj=formula  obj=herb   amount/unit from the dose grammar
-      p_symptom  subj=formula  obj=symptom  buke = indication tail has 不渴
-      p_syndrome subj=formula  obj=syndrome
-      treats / induces  subj=herb  obj=disease
-      indicates  subj=symptom  obj=syndrome
-      is_a       subj=disease  obj=disease
+    Emits per-batch PARTIAL AGGREGATES (see MENTION_SCHEMA note above):
+      contains   subj=formula  obj=herb  n/amt_sum/n_null/n_ml from the
+                 dose grammar (combine state per pair)
+      p_symptom  subj=formula  obj=symptom  n, buke = indication tail had 不渴
+      p_syndrome subj=formula  obj=syndrome  n
+      treats / induces  subj=herb  obj=disease  n
+      indicates  subj=symptom  obj=syndrome  n
+      is_a       subj=disease  obj=disease  n
     """
     sc = spark.sparkContext
     b_maps = sc.broadcast(maps)
