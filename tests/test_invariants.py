@@ -88,3 +88,31 @@ def test_nodes_table(pipeline):
     assert {"国老", "甜草根", "粉草", "乌拉尔甘草", "甘草"} <= set(hot.iloc[0]["names"])
     # canonical ids unique
     assert pdf.canonical_id.is_unique
+
+
+def test_checkpoint_recovers_from_torn_write(tmp_path, spark, pipeline, transcripts_df):
+    """A stage directory without _SUCCESS (torn write / killed job) must be
+    recomputed even if the manifest says complete — resume is crash-safe."""
+    import os
+    import shutil
+
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    ckpt = str(tmp_path / "torn")
+    store = CheckpointStore(ckpt)
+    store.run_stage(
+        spark, "s1_mentions", lambda: pipeline.mentions(transcripts_df),
+        partition_by=["kind"],
+    )
+    n_before = store.read(spark, "s1_mentions").count()
+    # simulate the torn write: data dir half-gone, manifest still claims done
+    os.remove(os.path.join(ckpt, "s1_mentions", "_SUCCESS"))
+    assert not store.has("s1_mentions")
+    store2 = CheckpointStore(ckpt)
+    assert not store2.has("s1_mentions")
+    shutil.rmtree(os.path.join(ckpt, "s1_mentions"))
+    df = store2.run_stage(
+        spark, "s1_mentions", lambda: pipeline.mentions(transcripts_df),
+        partition_by=["kind"],
+    )
+    assert df.count() == n_before
