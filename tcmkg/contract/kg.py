@@ -215,6 +215,16 @@ def _pipeline(spark: SparkSession):
             spark.sparkContext.addPyFile(package_zip())
         except Exception:
             pass
+        # the driver supplies its own session; right-size the runtime-
+        # settable knobs (a 200-partition default makes the CC loop and the
+        # small contract tables schedule-bound)
+        try:
+            par = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(8, par)))
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        except Exception:
+            pass
         from ..pipeline.runner import KGPipeline
 
         _PIPELINE_CACHE[key] = KGPipeline(spark)
