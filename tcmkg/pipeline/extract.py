@@ -202,6 +202,14 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                                 st[1] += amt
                             if unit == "ml":
                                 st[3] += 1
+                        elif tok:
+                            # the reference counts unresolved herb mentions
+                            # (extract_prescription_herb_relation.py:88-101
+                            # unrecorded_herb Counter); we emit them as
+                            # 'unlinked' partials — diagnostics + input for
+                            # the optional embedding soft-linker
+                            k = ("unlinked", tok, f1, None)
+                            pair_n[k] = pair_n.get(k, 0) + 1
                     handled = True
                 if not handled and "主治" in t:
                     if t2f is not None and not pd.isna(t2f):

@@ -43,7 +43,7 @@ def distinct_pairs(mentions: DataFrame) -> DataFrame:
     clean line — pair-level union semantics, see oracle contract)."""
     return (
         mentions.filter(
-            (F.col("kind") != "contains")
+            (~F.col("kind").isin("contains", "unlinked"))
             & ~((F.col("kind") == "p_symptom") & F.col("buke"))
         )
         .select("kind", "subj", "obj")

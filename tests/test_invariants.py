@@ -116,3 +116,26 @@ def test_checkpoint_recovers_from_torn_write(tmp_path, spark, pipeline, transcri
         partition_by=["kind"],
     )
     assert df.count() == n_before
+
+
+def test_unlinked_diagnostics_and_soft_link(spark, pipeline, transcripts_df):
+    """Tier-3 linking: unresolved mentions surface as diagnostics (the
+    reference's unrecorded-herb counter) and the embedding soft-linker
+    resolves near-miss variants of real names above threshold."""
+    from tcmkg.pipeline.linking import soft_link, unlinked_mentions
+
+    mentions = pipeline.mentions(transcripts_df)
+    unlinked = unlinked_mentions(mentions)
+    toks = {r["token"] for r in unlinked.collect()}
+    # fixture plants 甘草霜 / 红参须 / 假黄芪 as unlinkable prescription tokens
+    assert "甘草霜" in toks
+
+    linked = soft_link(spark, unlinked, pipeline.maps["herb"], threshold=0.6)
+    got = {r["token"]: (r["canonical_id"], r["matched_alias"], r["sim"])
+           for r in linked.collect()}
+    # trigram-similar variant resolves to the true herb's canonical entity
+    from tcmkg.kernels.normalize import text_norm
+    assert got["甘草霜"][0] == pipeline.maps["herb"][text_norm("甘草")]
+    assert got["甘草霜"][2] >= 0.6
+    # every soft link must clear the threshold
+    assert all(sim >= 0.6 for _, _, sim in got.values())
