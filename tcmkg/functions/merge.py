@@ -36,6 +36,13 @@ def fold_numeric(col: str) -> Column:
     return F.first(F.col(col), ignorenulls=True).alias(col)
 
 
+def agreement_from_bounds(mn: Column, mx: Column, rel_tol: float = 0.2) -> Column:
+    """A2 closeness on precomputed group bounds: all values in [mn, mx]
+    agree within rel_tol iff the bounds do. min/max are map-side combinable,
+    so this makes the check exact even over partial aggregates."""
+    return (mx - mn) <= rel_tol * F.greatest(F.abs(mx), F.abs(mn))
+
+
 def numeric_agreement(col: str, rel_tol: float = 0.2) -> Column:
     """A2's closeness assert (merge_utility.py:151), as data not a crash:
     true iff all non-null values in the group agree within rel_tol. Emit to
@@ -43,7 +50,7 @@ def numeric_agreement(col: str, rel_tol: float = 0.2) -> Column:
     mx, mn = F.max(F.col(col)), F.min(F.col(col))
     return (
         F.when(F.count(F.col(col)) <= 1, F.lit(True))
-        .otherwise((mx - mn) <= rel_tol * F.greatest(F.abs(mx), F.abs(mn)))
+        .otherwise(agreement_from_bounds(mn, mx, rel_tol))
         .alias(f"{col}_agrees")
     )
 

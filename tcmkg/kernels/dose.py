@@ -14,10 +14,12 @@ handling so that our Spark pipeline and the plain-Python oracle agree:
       reference: processed_code/process_dose_unit.py:100-173
 
 NOTE on 至 ("up to"): the reference's loop does NOT re-parse the numeral of
-a 至 segment — it reuses the previous segment's parsed value and divides the
-total by 2 (process_dose_unit.py:164-172). Faithfulness to the emitted
-triples requires reproducing exactly that, so we do. A 至 segment with no
-preceding segment is undefined there (NameError); we return null instead.
+a 至 segment — it reuses the previous segment's parsed value, and because it
+resets ``half = 0`` at the top of every loop iteration, the final ``/ (half
++ 1)`` halves the total ONLY when the LAST segment contains 至
+(process_dose_unit.py:159-172). Faithfulness to the emitted triples requires
+reproducing exactly that, so we do. A 至 segment with no preceding segment
+is undefined there (NameError); we return null instead.
 
 All functions are pure; the Spark pipeline calls them inside Arrow batches.
 """
@@ -125,6 +127,7 @@ def dose_to_amount(dose: str | None) -> tuple[float | None, str | None]:
         half = 0
         an: float | None = None
         for i, unit in enumerate(unit_list):
+            half = 0  # reference resets per segment: only the LAST 至 halves
             cn = cn_list[i]
             if "-" in cn:
                 lo, hi = cn.split("-", 1)

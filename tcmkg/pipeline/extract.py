@@ -38,7 +38,8 @@ from ..kernels.normalize import text_norm_col
 # Weights are unaffected: sum(amt_i)/total == sum(amt_i/total).
 MENTION_SCHEMA = (
     "kind string, subj string, obj string, "
-    "n long, amt_sum double, n_null long, n_ml long, buke boolean"
+    "n long, amt_sum double, amt_min double, amt_max double, "
+    "n_null long, n_ml long, buke boolean"
 )
 
 
@@ -154,8 +155,10 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
     """mapInPandas mention kernel. `maps`: entity_type -> {norm alias: canon}.
 
     Emits per-batch PARTIAL AGGREGATES (see MENTION_SCHEMA note above):
-      contains   subj=formula  obj=herb  n/amt_sum/n_null/n_ml from the
-                 dose grammar (combine state per pair)
+      contains   subj=formula  obj=herb  n/amt_sum/amt_min/amt_max/n_null/
+                 n_ml from the dose grammar (combine state per pair; min/max
+                 feed the A2 rel-tol agreement metric — both are map-side
+                 combinable, so the check stays exact under partials)
       p_symptom  subj=formula  obj=symptom  n, buke = indication tail had 不渴
       p_syndrome subj=formula  obj=syndrome  n
       treats / induces  subj=herb  obj=disease  n
@@ -184,7 +187,8 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         for pdf in batches:
             # per-batch combine state
             pair_n: dict[tuple, int] = {}            # (kind,subj,obj,buke) -> n
-            dose: dict[tuple, list] = {}             # (f,h) -> [n, amt_sum, n_null, n_ml]
+            # (f,h) -> [n, amt_sum, n_null, n_ml, amt_min, amt_max]
+            dose: dict[tuple, list] = {}
 
             for t, f1, t2f in zip(pdf["tnorm"], pdf["f1_id"], pdf["t2_formula"]):
                 handled = False
@@ -194,12 +198,14 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                         hid = probe_herb(tok, hmap)
                         if hid is not None:
                             amt, unit = parse_dose_string(d)
-                            st = dose.setdefault((f1, hid), [0, 0.0, 0, 0])
+                            st = dose.setdefault((f1, hid), [0, 0.0, 0, 0, None, None])
                             st[0] += 1
                             if amt is None:
                                 st[2] += 1
                             else:
                                 st[1] += amt
+                                st[4] = amt if st[4] is None else min(st[4], amt)
+                                st[5] = amt if st[5] is None else max(st[5], amt)
                             if unit == "ml":
                                 st[3] += 1
                         elif tok:
@@ -253,13 +259,15 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                                     pair_n[k] = pair_n.get(k, 0) + 1
 
             kinds, subjs, objs, ns = [], [], [], []
-            amts, nnulls, nmls, bukes = [], [], [], []
+            amts, amnts, amxts, nnulls, nmls, bukes = [], [], [], [], [], []
             for (kind, s, o, buke), n in pair_n.items():
                 kinds.append(kind); subjs.append(s); objs.append(o); ns.append(n)
-                amts.append(None); nnulls.append(0); nmls.append(0); bukes.append(buke)
-            for (f, h), (n, amt_sum, n_null, n_ml) in dose.items():
+                amts.append(None); amnts.append(None); amxts.append(None)
+                nnulls.append(0); nmls.append(0); bukes.append(buke)
+            for (f, h), (n, amt_sum, n_null, n_ml, amt_min, amt_max) in dose.items():
                 kinds.append("contains"); subjs.append(f); objs.append(h); ns.append(n)
-                amts.append(amt_sum); nnulls.append(n_null); nmls.append(n_ml)
+                amts.append(amt_sum); amnts.append(amt_min); amxts.append(amt_max)
+                nnulls.append(n_null); nmls.append(n_ml)
                 bukes.append(None)
 
             yield pd.DataFrame(
@@ -269,6 +277,8 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                     "obj": pd.Series(objs, dtype="object"),
                     "n": pd.Series(ns, dtype="int64"),
                     "amt_sum": pd.Series(amts, dtype="float64"),
+                    "amt_min": pd.Series(amnts, dtype="float64"),
+                    "amt_max": pd.Series(amxts, dtype="float64"),
                     "n_null": pd.Series(nnulls, dtype="int64"),
                     "n_ml": pd.Series(nmls, dtype="int64"),
                     "buke": pd.Series(bukes, dtype="object"),

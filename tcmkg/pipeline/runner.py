@@ -98,7 +98,14 @@ class KGPipeline:
         # branches; persist so extraction (the expensive Arrow kernel pass)
         # runs once, not once per branch. The checkpointed path (run())
         # gets the same effect by materializing the stage to parquet.
+        # Repeated calls on one session (bench --runs N, contract queries)
+        # would otherwise accumulate cached partitions: release the previous
+        # call's handle before pinning a new one (one resident copy max).
+        prev = getattr(self, "_mentions_handle", None)
+        if prev is not None:
+            prev.unpersist()
         mentions = self.mentions(transcripts).persist()
+        self._mentions_handle = mentions
         return assemble_triples(mentions)
 
     # ------------------------------------------------------------------
@@ -145,4 +152,25 @@ class KGPipeline:
             F.col("pred").alias("key"),
             F.col("count").cast("double").alias("value"),
         )
-        return m.unionByName(t)
+        # A2 quality metric (SURVEY §2.4): per (formula, herb), all observed
+        # dose amounts must agree within rel_tol=0.2 (merge_utility.py:151's
+        # assert, emitted as data). Exact over the kernel's partial
+        # aggregates because min/max combine losslessly.
+        from ..functions.merge import agreement_from_bounds
+
+        viol = (
+            mentions.filter(F.col("kind") == "contains")
+            .groupBy("subj", "obj")
+            .agg(F.min("amt_min").alias("mn"), F.max("amt_max").alias("mx"))
+            .filter(
+                F.col("mn").isNotNull()
+                & ~agreement_from_bounds(F.col("mn"), F.col("mx"))
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit("numeric_tolerance_violations").alias("metric"),
+                F.lit("contains_amt").alias("key"),
+                F.col("n").cast("double").alias("value"),
+            )
+        )
+        return m.unionByName(t).unionByName(viol)

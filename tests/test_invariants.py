@@ -76,6 +76,33 @@ def test_metrics_table(tmp_path, spark, pipeline, transcripts_df):
     assert "formula_contains_herb" in preds
     total = sum(v for (m, _), v in metrics.items() if m == "triples_per_pred")
     assert total == out["triples"].count()
+    # A2 quality row is always present (0 when every pair's doses agree)
+    assert ("numeric_tolerance_violations", "contains_amt") in metrics
+
+
+def test_tolerance_violation_metric(tmp_path, spark, pipeline):
+    """A planted (formula, herb) pair dosed 三钱 then 一两 (9.375g vs 31.25g,
+    far beyond rel_tol=0.2) must surface in the quality-metrics table; a
+    same-dose control pair must not."""
+    import datetime
+
+    rows = [
+        ("c1", 0, "assistant", "四物汤：甘草三钱。", None,
+         datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "四物汤：甘草一两。", None,
+         datetime.datetime(2024, 1, 1, 0, 1, 0)),
+        ("c2", 0, "assistant", "四物汤：人参三钱。", None,
+         datetime.datetime(2024, 1, 1, 0, 2, 0)),
+        ("c2", 1, "assistant", "四物汤：人参三钱。", None,
+         datetime.datetime(2024, 1, 1, 0, 3, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    out = pipeline.run(df, checkpoint_dir=str(tmp_path / "tol"))
+    metrics = {(r.metric, r.key): r.value for r in out["metrics"].collect()}
+    assert metrics[("numeric_tolerance_violations", "contains_amt")] == 1.0
 
 
 def test_nodes_table(pipeline):

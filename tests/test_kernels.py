@@ -76,6 +76,11 @@ def test_clean_series_matches_scalar():
         # 至-range quirk: reference reuses the previous segment's numeral
         # (process_dose_unit.py:164-172) -> (1钱 + 1钱)/2
         ("一钱至二钱", 3.125, "g"),
+        # 至 NOT in the last segment: reference resets half=0 per iteration
+        # (process_dose_unit.py:159), so no halving -> 1两 + 1两 + 3钱
+        ("一两至二两三钱", 31.25 + 31.25 + 3 * 3.125, "g"),
+        # 至 IS the last segment after another unit: halving applies
+        ("三钱一两至二两", (3 * 3.125 + 31.25 + 31.25) / 2, "g"),
         ("十二铢", 12 * 1.3, "g"),
         ("一斤", 500.0, "g"),
         ("6mg", 0.006, "g"),
