@@ -17,7 +17,10 @@ Coverage map (operator ids from SURVEY.md §2):
   q_stopword_ratio     language-ID heuristic (training-data op)
   q_minhash_sigs       MinHash band signatures, md5-based (near-dup path)
   q_minhash_clusters   LSH bucket clusters (signature-identical docs)
-  q_jaccard_pairs      n-gram/token Jaccard near-dup pair join
+  q_jaccard_pairs      token Jaccard near-dup pair join (DF-guarded tokens)
+  q_lsh_pairs          LSH candidate pairs with the hot-bucket cap live
+  q_lsh_dropped        buckets the cap excluded (no-silent-caps metric)
+  q_simhash_pairs      banded-SimHash candidates with the bucket cap live
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -431,33 +434,26 @@ FROM keys GROUP BY sig_key HAVING count(*) > 1
 """
 
 
+JACCARD_MAX_DF = 60
+
+
 def q_jaccard_pairs(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs (restricted ids to bound the join)."""
+    """Token-set Jaccard near-dup pairs with the document-frequency guard:
+    tokens in more than JACCARD_MAX_DF docs are dropped from the token
+    universe before the self-join (a stopword-like token is a quadratic hot
+    key at corpus scale). The %7 id filter bounds the fixture; the DF guard
+    bounds the pattern."""
+    from ..ops.dedup import jaccard_pairs
+
     d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    t2 = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        tok.join(t2, "tok")
-        .filter(F.col("doc_id") < F.col("doc_b"))
-        .groupBy("doc_id", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    j = (
-        inter.join(sz_a, "doc_id").join(sz_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-    )
-    return j.filter(F.col("jaccard") >= 0.5).select("doc_id", "doc_b", "jaccard")
+    return jaccard_pairs(d, "doc_id", "text", threshold=0.5, max_df=JACCARD_MAX_DF)
 
 
-SQL_JACCARD_PAIRS = """
+SQL_JACCARD_PAIRS = f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
-tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM d),
+tok0 AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM d),
+hot AS (SELECT tok FROM tok0 GROUP BY tok HAVING count(*) > {JACCARD_MAX_DF}),
+tok AS (SELECT * FROM tok0 WHERE tok NOT IN (SELECT tok FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, count(*) AS i
@@ -468,7 +464,108 @@ SELECT i.doc_id, i.doc_b,
        round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id
              JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+WHERE round(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.5
+"""
+
+
+LSH_MAX_BUCKET = 50
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs with the hot-bucket cap live: buckets over
+    LSH_MAX_BUCKET members are excluded from the pair join (the degenerate-
+    bucket guard). q_lsh_dropped hash-verifies exactly what was excluded."""
+    from ..ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    return lsh_candidate_pairs(sigs, max_bucket=LSH_MAX_BUCKET).select(
+        F.col("a").alias("a"), F.col("b").alias("b")
+    )
+
+
+_SQL_MINHASH_SIGS_CTE = """
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents
+),
+bands AS (SELECT doc_id, band, tok FROM tok, (SELECT unnest([0,1,2,3]) AS band)),
+sigs AS (
+  SELECT doc_id, band, min(md5(band::VARCHAR || ':' || tok)) AS sig
+  FROM bands GROUP BY doc_id, band
+)
+"""
+
+SQL_LSH_PAIRS = f"""
+WITH {_SQL_MINHASH_SIGS_CTE},
+hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
+kept AS (SELECT * FROM sigs ANTI JOIN hot USING (band, sig))
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_lsh_dropped(spark, sf_dir):
+    """The no-silent-caps metric: exactly the buckets q_lsh_pairs skipped."""
+    from ..ops.dedup import lsh_dropped_buckets, minhash_signatures
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    return lsh_dropped_buckets(sigs, max_bucket=LSH_MAX_BUCKET).select(
+        F.col("band").cast("long").alias("band"), "sig", "n_docs"
+    )
+
+
+SQL_LSH_DROPPED = f"""
+WITH {_SQL_MINHASH_SIGS_CTE}
+SELECT band::BIGINT AS band, sig, count(*)::BIGINT AS n_docs
+FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}
+"""
+
+
+SIMHASH_MAX_BUCKET = 20
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded-SimHash candidate pairs with the bucket cap live. The DuckDB
+    oracle rebuilds the simhash bit votes relationally AND replays the band
+    bucketing + cap + Hamming distance, so the whole guarded path is
+    hash-verified."""
+    from ..ops.dedup import simhash_candidates
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_candidates(
+        d, "doc_id", "text", max_bucket=SIMHASH_MAX_BUCKET
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents)
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+u AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END)::UBIGINT AS u
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band, (u >> (band * 16)) & 65535 AS bucket, u
+  FROM u, (SELECT unnest([0,1,2,3]) AS band)
+),
+hot AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+        HAVING count(*) > {SIMHASH_MAX_BUCKET}),
+kept AS (SELECT * FROM bands ANTI JOIN hot USING (band, bucket))
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.u, b.u))::BIGINT AS hamming
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
 
@@ -607,6 +704,9 @@ GENERIC_QUERIES = {
     "q_minhash_sigs": q_minhash_sigs,
     "q_minhash_clusters": q_minhash_clusters,
     "q_jaccard_pairs": q_jaccard_pairs,
+    "q_lsh_pairs": q_lsh_pairs,
+    "q_lsh_dropped": q_lsh_dropped,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -632,6 +732,9 @@ GENERIC_ORACLES = {
     "q_minhash_sigs": SQL_MINHASH_SIGS,
     "q_minhash_clusters": SQL_MINHASH_CLUSTERS,
     "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_lsh_pairs": SQL_LSH_PAIRS,
+    "q_lsh_dropped": SQL_LSH_DROPPED,
+    "q_simhash_pairs": SQL_SIMHASH_PAIRS,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,

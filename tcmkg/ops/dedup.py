@@ -13,6 +13,19 @@ deterministic and oracle-checkable.
   simhash_candidates   banded SimHash bucket join (Hamming-adjacent docs
                        collide on at least one of 4 16-bit bands when
                        distance <= 3 of 64 bits is concentrated)
+  jaccard_pairs        token-set Jaccard pair join with a document-frequency
+                       token guard (stopword-like tokens create quadratic
+                       hot keys; drop them from the token universe)
+
+Hot-bucket guard (every candidate self-join here): one degenerate bucket —
+empty docs, boilerplate, a shared template — makes a bucket self-join
+quadratic at corpus scale. `max_bucket` caps it: bucket sizes come from a
+map-side-combinable groupBy (the hot key itself never concentrates on one
+task), the over-cap bucket list is small by construction (skew = few keys)
+and anti-broadcast-joined away. Dropped buckets are NOT silent: the
+`*_dropped_buckets` companions return exactly what was skipped so callers
+can route oversize buckets through exact_dedup (identical docs) or emit the
+drop metric.
 """
 
 from __future__ import annotations
@@ -58,17 +71,50 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def _oversize_buckets(rows: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """-> (keys..., n_docs) for buckets with more than `max_bucket` members.
+    groupBy count is map-side combinable; the result is small (few hot keys)
+    so callers can broadcast it."""
+    return (
+        rows.groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def _cap_buckets(rows: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop all rows of over-cap buckets via a broadcast anti-join."""
+    if max_bucket is None:
+        return rows
+    hot = _oversize_buckets(rows, keys, max_bucket).select(*keys)
+    return rows.join(F.broadcast(hot), keys, "left_anti")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, max_bucket: int | None = 256) -> DataFrame:
     """Docs sharing any (band, sig) bucket -> candidate near-dup pairs.
-    The self-join is on the bucket key, so only same-bucket docs pair."""
-    a = sigs.select("band", "sig", F.col("id").alias("a"))
-    b = sigs.select("band", "sig", F.col("id").alias("b"))
+    The self-join is on the bucket key, so only same-bucket docs pair.
+
+    Buckets larger than `max_bucket` are excluded (degenerate buckets go
+    quadratic; at 100 TB one boilerplate signature would dominate the whole
+    job). Inspect exclusions with lsh_dropped_buckets(sigs, max_bucket) —
+    members of an oversize bucket are near-certain duplicates of each other
+    and are better routed through exact_dedup / cluster-by-bucket directly
+    than through a pair join."""
+    capped = _cap_buckets(sigs, ["band", "sig"], max_bucket)
+    a = capped.select("band", "sig", F.col("id").alias("a"))
+    b = capped.select("band", "sig", F.col("id").alias("b"))
     return (
         a.join(b, ["band", "sig"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+
+
+def lsh_dropped_buckets(sigs: DataFrame, max_bucket: int = 256) -> DataFrame:
+    """-> (band, sig, n_docs): the buckets lsh_candidate_pairs(max_bucket)
+    skipped — the no-silent-caps metric."""
+    return _oversize_buckets(sigs, ["band", "sig"], max_bucket)
 
 
 def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
@@ -96,16 +142,25 @@ def simhash(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield _simhash_batch(batch)
 
 
-def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Banded SimHash bucket join: 4 bands x 16 bits; docs agreeing on any
-    band are candidates (catches Hamming distance <= 3 when spread across
-    the other bands)."""
+def _simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
-    bands = sh.select(
+    return sh.select(
         "id",
         "sh",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
     ).withColumn("bucket", F.expr("shiftrightunsigned(sh, band * 16) & 65535"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int | None = 256
+) -> DataFrame:
+    """Banded SimHash bucket join: 4 bands x 16 bits; docs agreeing on any
+    band are candidates (catches Hamming distance <= 3 when spread across
+    the other bands). Over-cap buckets are excluded (same degenerate-bucket
+    guard as lsh_candidate_pairs); see simhash_dropped_buckets."""
+    bands = _cap_buckets(
+        _simhash_bands(df, id_col, text_col), ["band", "bucket"], max_bucket
+    )
     a = bands.select("band", "bucket", F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     b = bands.select("band", "bucket", F.col("id").alias("b"), F.col("sh").alias("sh_b"))
     pairs = (
@@ -115,3 +170,63 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .dropDuplicates(["a", "b"])
     )
     return pairs
+
+
+def simhash_dropped_buckets(
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int = 256
+) -> DataFrame:
+    """-> (band, bucket, n_docs) skipped by simhash_candidates(max_bucket)."""
+    return _oversize_buckets(
+        _simhash_bands(df, id_col, text_col), ["band", "bucket"], max_bucket
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs with a document-frequency guard.
+
+    Tokens appearing in more than `max_df` docs (stopword-like) are dropped
+    from the token universe BEFORE the self-join — both the intersection and
+    the set sizes see the same reduced universe, so the measure stays a true
+    Jaccard (over informative tokens) while the join's hot keys are gone.
+    Inspect exclusions with jaccard_dropped_tokens."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    tok = _cap_buckets(tok, ["tok"], max_df)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t2 = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        tok.join(t2, "tok")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select("doc_id", F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_id").join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "doc_b", "jaccard")
+    )
+
+
+def jaccard_dropped_tokens(
+    df: DataFrame, id_col: str, text_col: str, max_df: int = 256
+) -> DataFrame:
+    """-> (tok, n_docs): tokens jaccard_pairs(max_df) removed."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    return _oversize_buckets(tok, ["tok"], max_df)

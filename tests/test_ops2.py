@@ -51,6 +51,69 @@ def test_simhash(spark, docs):
     assert pairs[(0, 2)] <= 16
 
 
+def test_lsh_degenerate_bucket_capped(spark):
+    """A planted degenerate bucket (many identical boilerplate docs) must
+    NOT go quadratic: with the cap active the pair count is bounded by the
+    healthy docs, and the dropped-buckets metric reports exactly what was
+    excluded (no silent caps)."""
+    from tcmkg.ops.dedup import (
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "lorem ipsum boilerplate footer text") for i in range(500)]
+    real = [(1000, "alpha beta gamma delta"), (1001, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text")
+
+    pairs = lsh_candidate_pairs(sigs, max_bucket=64).collect()
+    ids = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    assert ids <= {1000, 1001}  # 500*499/2 boilerplate pairs never materialize
+    assert (1000, 1001) in {(r["a"], r["b"]) for r in pairs}
+
+    dropped = lsh_dropped_buckets(sigs, max_bucket=64).collect()
+    assert len(dropped) == 4  # the boilerplate bucket in each of 4 bands
+    assert all(r["n_docs"] == 500 for r in dropped)
+
+    # uncapped keeps everything (the old behavior stays reachable)
+    n_uncapped = lsh_candidate_pairs(sigs, max_bucket=None).count()
+    assert n_uncapped == 500 * 499 // 2 + 1
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    from tcmkg.ops.dedup import simhash_candidates, simhash_dropped_buckets
+
+    boiler = [(i, "lorem ipsum boilerplate footer text") for i in range(300)]
+    real = [(1000, "alpha beta gamma delta"), (1001, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+
+    pairs = simhash_candidates(df, "doc_id", "text", max_bucket=64).collect()
+    ids = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    assert 0 not in ids  # boilerplate bucket excluded
+    dropped = simhash_dropped_buckets(df, "doc_id", "text", max_bucket=64).collect()
+    assert dropped and all(r["n_docs"] >= 300 for r in dropped)
+
+
+def test_jaccard_df_guard(spark):
+    """A stopword-like token shared by every doc must not create a hot join
+    key; informative tokens still pair the true near-dups."""
+    from tcmkg.ops.dedup import jaccard_dropped_tokens, jaccard_pairs
+
+    rows = [(i, f"common uniq{i} tail{i}") for i in range(200)]
+    rows += [(1000, "common alpha beta gamma"), (1001, "common alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {(r["doc_id"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(df, "doc_id", "text", 0.5, max_df=100).collect()}
+    # 'common' (DF=202) is dropped: the 200 filler docs share nothing else
+    assert set(pairs) == {(1000, 1001)}
+    assert pairs[(1000, 1001)] == 1.0  # over informative tokens only
+
+    dropped = jaccard_dropped_tokens(df, "doc_id", "text", max_df=100).collect()
+    assert {(r["tok"], r["n_docs"]) for r in dropped} == {("common", 202)}
+
+
 def test_ivf_exact_when_full_probe(spark):
     """nprobe == n_centroids degenerates to exact brute force."""
     from tcmkg.contract.generic import q_ann_topk
