@@ -21,6 +21,7 @@ Coverage map (operator ids from SURVEY.md §2):
   q_lsh_pairs          LSH candidate pairs with the hot-bucket cap live
   q_lsh_dropped        buckets the cap excluded (no-silent-caps metric)
   q_simhash_pairs      banded-SimHash candidates with the bucket cap live
+  q_literal_dict       P6 Python-literal dict parse -> xref/property columns
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -569,6 +570,63 @@ FROM kept a JOIN kept b
 """
 
 
+def q_literal_dict(spark, sf_dir):
+    """P6: Python-literal dict strings -> typed columns. The literal is
+    synthesized from event_id (so DuckDB can predict the outcome without a
+    Python parser), including a JSON-style `true/false` needing the retry
+    patch, an xref whose id itself contains a colon (split on FIRST colon
+    only), and a malformed cell every 97th row (must parse to NULL, not
+    crash). The Spark side genuinely round-trips through ast.literal_eval
+    in the vectorized kernel."""
+    from ..kernels.pydict import parse_literal_dict, prop_first, xref_ids
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    lit = F.concat(
+        F.lit("{'k': '"), (eid % 50).cast("string"),
+        F.lit("', 'xrefs': ['DB"), (eid % 3).cast("string"),
+        F.lit(":x:"), (eid % 7).cast("string"),
+        F.lit("', 'OMIM:"), (eid % 11).cast("string"),
+        F.lit("'], 'score': "), (eid % 5).cast("string"),
+        F.lit(", 'flag': "), F.when(eid % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}"),
+    )
+    lit = F.when(eid % 97 == 0, F.lit("{'k': broken")).otherwise(lit)
+    parsed = ev.select(eid.alias("eid"), parse_literal_dict(lit).alias("p"))
+    d = parsed.select(
+        prop_first(F.col("p"), "k").alias("k"),
+        prop_first(F.col("p"), "flag").alias("flag"),
+        xref_ids(F.col("p"), "OMIM").alias("omim"),
+        xref_ids(F.col("p"), "DB1").alias("db1"),
+        prop_first(F.col("p"), "score").alias("score"),
+    )
+    return d.groupBy("k", "flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("db1").cast("long").alias("n_db1"),
+        F.min("omim").alias("min_omim"),
+        F.max("score").alias("max_score"),
+    )
+
+
+SQL_LITERAL_DICT = """
+WITH d AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE (event_id % 50)::VARCHAR END AS k,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'True' ELSE 'False' END AS flag,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE (event_id % 11)::VARCHAR END AS omim,
+         CASE WHEN event_id % 97 = 0 OR event_id % 3 <> 1 THEN NULL
+              ELSE 'x:' || (event_id % 7)::VARCHAR END AS db1,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE (event_id % 5)::VARCHAR END AS score
+  FROM events
+)
+SELECT k, flag, count(*)::BIGINT AS n, count(db1)::BIGINT AS n_db1,
+       min(omim) AS min_omim, max(score) AS max_score
+FROM d GROUP BY k, flag
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors (the exact
     baseline an IVF/LSH index must reproduce). Returns ranks, not floats —
@@ -707,6 +765,7 @@ GENERIC_QUERIES = {
     "q_lsh_pairs": q_lsh_pairs,
     "q_lsh_dropped": q_lsh_dropped,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_literal_dict": q_literal_dict,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -735,6 +794,7 @@ GENERIC_ORACLES = {
     "q_lsh_pairs": SQL_LSH_PAIRS,
     "q_lsh_dropped": SQL_LSH_DROPPED,
     "q_simhash_pairs": SQL_SIMHASH_PAIRS,
+    "q_literal_dict": SQL_LITERAL_DICT,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,

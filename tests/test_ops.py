@@ -140,3 +140,49 @@ def test_json_envelope_reader(spark, tmp_path):
     df = read_json_envelope(spark, str(p))
     row = df.select("name", F.col("props.k1").alias("k1")).collect()[0]
     assert (row["name"], row["k1"]) == ("x", "v1")
+
+
+def test_literal_dict_kernel(spark):
+    """P6: the vectorized literal-dict parse must match the reference's
+    per-row semantics (ast.literal_eval + xrefs split on FIRST colon,
+    per-database ';'-join, None when absent — merge_utility.py:263-287),
+    including the true/false retry patch and malformed -> NULL."""
+    from tcmkg.kernels.pydict import (
+        extract_external_ids,
+        parse_literal_dict,
+        parse_literal_dict_py,
+        prop_first,
+    )
+
+    # pure-Python cell semantics
+    assert parse_literal_dict_py("{'a': 1, 'b': ['x', 'y']}") == {
+        "a": ["1"], "b": ["x", "y"]
+    }
+    assert parse_literal_dict_py("{'ok': true, 'n': null}") == {
+        "ok": ["True"], "n": ["None"]
+    }
+    assert parse_literal_dict_py("{'k': broken") is None
+    assert parse_literal_dict_py("[1, 2]") is None  # non-dict literal
+    assert parse_literal_dict_py(None) is None
+
+    rows = [
+        (0, "{'name': 'aspirin', 'xrefs': ['OMIM:1234', 'GO:GO:0001', 'OMIM:99'], 'flag': true}"),
+        (1, "{'name': 'x', 'xrefs': []}"),
+        (2, "{'name': 'y'}"),
+        (3, "not a dict at all"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, props string")
+    parsed = df.select("rid", parse_literal_dict(F.col("props")).alias("p"))
+    out = extract_external_ids(parsed, "p", ["OMIM", "GO"])
+    got = {
+        r["rid"]: (r["OMIM_id"], r["GO_id"], r["name"], r["flag"])
+        for r in out.select(
+            "rid", "OMIM_id", "GO_id",
+            prop_first(F.col("p"), "name").alias("name"),
+            prop_first(F.col("p"), "flag").alias("flag"),
+        ).collect()
+    }
+    assert got[0] == ("1234;99", "GO:0001", "aspirin", "True")  # first-colon split
+    assert got[1] == (None, None, "x", None)
+    assert got[2] == (None, None, "y", None)
+    assert got[3] == (None, None, None, None)
