@@ -5,7 +5,8 @@ answer an index must approximate). Scale path: IVF (inverted-file) —
 k-means-cluster the corpus, search only the `nprobe` nearest cells:
 
     build_ivf    deterministic Lloyd's k-means as DataFrame ops (assign =
-                 broadcast-join argmin over centroids; update = groupBy avg)
+                 shuffle-free F.aggregate argmin over a centroid array
+                 literal; update = map-side-combinable groupBy avg)
     ivf_search   query -> nprobe nearest centroids -> brute force within
                  those cells only (a broadcast-join + window top-k)
 
@@ -36,45 +37,72 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _argmin_cid(cent_list: list[tuple[int, list[float]]]):
+    """Column: cid of the nearest (cosine) centroid, as a shuffle-free
+    F.aggregate fold over a centroid array LITERAL. Ties keep the lowest
+    cid (the list is cid-ascending and the fold compares strictly).
+    Expects columns `v` (array<double>) and `v_norm` (its L2 norm)."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                F.lit(float(sum(x * x for x in vec)) ** 0.5).alias("cnorm"),
+            )
+            for cid, vec in cent_list
+        ]
+    )
+    acc0 = F.struct(
+        F.lit(-1).cast("int").alias("cid"), F.lit(float("inf")).alias("d")
+    )
+
+    def step(acc, c):
+        d = -_dot(F.col("v"), c["cvec"]) / (F.col("v_norm") * c["cnorm"])
+        return F.when(
+            d < acc["d"], F.struct(c["cid"].alias("cid"), d.alias("d"))
+        ).otherwise(acc)
+
+    return F.aggregate(cent_arr, acc0, step)["cid"]
+
+
 def build_ivf(
     emb: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8, n_iter: int = 5
 ) -> tuple[DataFrame, DataFrame]:
     """-> (centroids(cid, cvec), assignments(id, cid)).
 
     Deterministic init: centroids = vectors of the n smallest ids. Each
-    Lloyd round is one broadcast join (argmin over centroids via a window)
-    plus one groupBy-avg (posexplode/collect by position)."""
-    base = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    Lloyd round is ONE map-side-combinable groupBy-avg; the assign step is
+    a pure map (F.aggregate argmin over the centroid literal — no
+    crossJoin, no window, no Exchange). Centroids round-trip through the
+    driver each round: k vectors, the same tiny payload a broadcast would
+    ship, but without a per-round shuffle to argmin them.
+
+    Scale note: the literal holds k*dim scalars — fine through k in the
+    thousands at typical dims. At the k ~ 10^5-10^6 a trillion-vector
+    corpus wants, switch to hierarchical k-means (cluster a sample for
+    coarse cells, then per-cell sub-kmeans); the per-round dataflow here is
+    unchanged inside each level."""
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("v_norm", _norm(F.col("v")))
     base = base.localCheckpoint()  # iterated below; truncate lineage once
     seed_rows = base.orderBy("id").limit(n_centroids).collect()  # tiny: k vectors
-    cent = emb.sparkSession.createDataFrame(
-        [(i, r["v"]) for i, r in enumerate(seed_rows)], "cid int, cvec array<double>"
-    )
+    cent_list = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
     for _ in range(n_iter):
-        joined = base.crossJoin(F.broadcast(cent)).withColumn(
-            "dist", -_dot(F.col("v"), F.col("cvec")) / (_norm(F.col("v")) * _norm(F.col("cvec")))
-        )
-        w = Window.partitionBy("id").orderBy(F.col("dist"), F.col("cid"))
-        assign = (
-            joined.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("id", "cid", "v")
-        )
-        cent = (
+        assign = base.withColumn("cid", _argmin_cid(cent_list))
+        new_cent = (
             assign.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+            .collect()  # k rows
         )
-        cent = cent.localCheckpoint()
-    joined = base.crossJoin(F.broadcast(cent)).withColumn(
-        "dist", -_dot(F.col("v"), F.col("cvec")) / (_norm(F.col("v")) * _norm(F.col("cvec")))
-    )
-    w = Window.partitionBy("id").orderBy(F.col("dist"), F.col("cid"))
-    assignments = (
-        joined.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).select("id", "cid")
+        cent_list = sorted((r["cid"], list(r["cvec"])) for r in new_cent)
+    assignments = base.withColumn("cid", _argmin_cid(cent_list)).select("id", "cid")
+    cent = emb.sparkSession.createDataFrame(
+        cent_list, "cid int, cvec array<double>"
     )
     return cent, assignments
 
