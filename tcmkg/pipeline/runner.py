@@ -15,6 +15,9 @@ the last complete stage with identical results (determinism test).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,41 +37,106 @@ _GAZ_SCHEMA = T.StructType(
     ]
 )
 
+# default on-disk home for the canonicalized-gazetteer stage tables (repo
+# data dir; gitignored). Keyed by a content+code fingerprint, so a changed
+# gazetteer or a changed canonicalization algorithm never reads stale data.
+_DEFAULT_CANON_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data", "gazetteer_canon",
+)
+
+
+def _gaz_fingerprint(gaz: Gazetteers) -> str:
+    """Content+code key for the canonicalization cache: the gazetteer rows
+    plus the source of every module the canonical result depends on."""
+    import inspect
+
+    from ..kernels import normalize as _mod_norm
+    from . import canonicalize as _mod_canon
+    from . import cc as _mod_cc
+    from . import util as _mod_util
+
+    h = hashlib.md5()
+    for mod in (_mod_canon, _mod_cc, _mod_util, _mod_norm):
+        h.update(inspect.getsource(mod).encode())
+    for etype, records in sorted(gaz.tables().items()):
+        h.update(etype.encode())
+        for row in records_to_rows(records):
+            h.update(repr(sorted(row.items())).encode())
+    return h.hexdigest()[:16]
+
 
 class KGPipeline:
-    """Holds canonicalized gazetteers; `run` builds triples for a corpus."""
+    """Holds canonicalized gazetteers; `run` builds triples for a corpus.
+
+    Gazetteer canonicalization (5 entity types x CC + ranking) is the only
+    expensive fixed cost per fresh session; with `canon_dir` (default: the
+    repo data dir) the per-type alias map and folded node table persist as
+    CheckpointStore stage tables and later sessions resume by reading them.
+    Pass canon_dir=None to force recomputation.
+    """
 
     _instances = 0
 
-    def __init__(self, spark: SparkSession, gaz: Gazetteers | None = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        gaz: Gazetteers | None = None,
+        canon_dir: str | None = _DEFAULT_CANON_DIR,
+    ) -> None:
         self.spark = spark
         KGPipeline._instances += 1
         self._cache_key = f"pipeline{KGPipeline._instances}"
         gaz = gaz or build_gazetteers()
+        store = None
+        if canon_dir is not None:
+            store = CheckpointStore(os.path.join(canon_dir, _gaz_fingerprint(gaz)))
         self.maps: dict[str, dict[str, str]] = {}
         self.nodes: list[DataFrame] = []
+        from ..functions.merge import fold_multivalue
+
         for etype, records in gaz.tables().items():
             rec_df = spark.createDataFrame(records_to_rows(records), schema=_GAZ_SCHEMA)
-            rec2canon, alias2canon = canonicalize(rec_df, CANON_PREFIX[etype])
+            canon_cache: dict[str, DataFrame] = {}
+
+            def _canon() -> DataFrame:
+                """rec2canon, computed at most once per etype."""
+                if "rec2canon" not in canon_cache:
+                    rec2canon, alias2canon = canonicalize(rec_df, CANON_PREFIX[etype])
+                    canon_cache["rec2canon"] = rec2canon
+                    canon_cache["alias2canon"] = alias2canon
+                return canon_cache["rec2canon"]
+
+            def _alias_df() -> DataFrame:
+                _canon()
+                return canon_cache["alias2canon"]
+
+            def _nodes_df() -> DataFrame:
+                # fold merged records into one canonical row with the
+                # reference's merge_two_value semantics (set-union of
+                # `;`-tokens per column — merge_utility.py:120-156) via the
+                # A1/A2 aggregation builders
+                return (
+                    rec_df.join(_canon(), "record_id")
+                    .groupBy("canonical_id")
+                    .agg(
+                        fold_multivalue("names"),
+                        fold_multivalue("symmap_id"),
+                        fold_multivalue("extdb_id"),
+                        F.array_sort(F.collect_set("record_id")).alias("source_records"),
+                    )
+                    .withColumn("names", F.split("names", ";"))
+                    .withColumn("entity_type", F.lit(etype))
+                )
+
+            if store is not None:
+                alias2canon = store.run_stage(spark, f"alias_{etype}", _alias_df)
+                nodes_df = store.run_stage(spark, f"nodes_{etype}", _nodes_df)
+            else:
+                alias2canon, nodes_df = _alias_df(), _nodes_df()
             rows = [(r["alias"], r["canonical_id"]) for r in alias2canon.collect()]
             self.maps[etype] = normalize_alias_map(rows)
-            # fold merged records into one canonical row with the reference's
-            # merge_two_value semantics (set-union of `;`-tokens per column —
-            # merge_utility.py:120-156) via the A1/A2 aggregation builders
-            from ..functions.merge import fold_multivalue
-
-            self.nodes.append(
-                rec_df.join(rec2canon, "record_id")
-                .groupBy("canonical_id")
-                .agg(
-                    fold_multivalue("names"),
-                    fold_multivalue("symmap_id"),
-                    fold_multivalue("extdb_id"),
-                    F.array_sort(F.collect_set("record_id")).alias("source_records"),
-                )
-                .withColumn("names", F.split("names", ";"))
-                .withColumn("entity_type", F.lit(etype))
-            )
+            self.nodes.append(nodes_df)
         self.formula_alias = spark.createDataFrame(
             list(self.maps["formula"].items()), schema="alias string, canonical_id string"
         )

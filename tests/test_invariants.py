@@ -145,6 +145,30 @@ def test_checkpoint_recovers_from_torn_write(tmp_path, spark, pipeline, transcri
     assert df.count() == n_before
 
 
+def test_gazetteer_canon_checkpoint(tmp_path, spark, gazetteers):
+    """Second-session construction resumes from the canon stage tables: the
+    manifest is hit for every entity type and the resumed pipeline's alias
+    maps and node tables equal the computing run's."""
+    import os
+
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+    from tcmkg.pipeline.runner import KGPipeline, _gaz_fingerprint
+
+    d = str(tmp_path / "canon")
+    p1 = KGPipeline(spark, gazetteers, canon_dir=d)  # computes + writes
+    store = CheckpointStore(os.path.join(d, _gaz_fingerprint(gazetteers)))
+    etypes = ("herb", "formula", "symptom", "syndrome", "disease")
+    assert all(store.has(f"{k}_{e}") for k in ("alias", "nodes") for e in etypes)
+
+    p2 = KGPipeline(spark, gazetteers, canon_dir=d)  # resumes
+    assert p2.maps == p1.maps
+    n1 = {tuple(sorted(r["names"])) + (r["canonical_id"], r["entity_type"])
+          for r in p1.nodes_table().collect()}
+    n2 = {tuple(sorted(r["names"])) + (r["canonical_id"], r["entity_type"])
+          for r in p2.nodes_table().collect()}
+    assert n1 == n2
+
+
 def test_unlinked_diagnostics_and_soft_link(spark, pipeline, transcripts_df):
     """Tier-3 linking: unresolved mentions surface as diagnostics (the
     reference's unrecorded-herb counter) and the embedding soft-linker
