@@ -280,6 +280,37 @@ GROUP BY r.subj, r.obj
 """
 
 
+def q_kg_stream_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming path vs the BATCH oracle: land the transcript
+    corpus as files (whole conversations per file), run incremental_mentions
+    (availableNow micro-batches through the same kernel, epoch-keyed
+    idempotent sink), assemble triples from the landed partials — the
+    formula_contains_herb weights must hash-match SQL_KG_CONTAINS exactly,
+    proving stream==batch equivalence end to end."""
+    import os
+    import tempfile
+
+    from ..pipeline.triples import assemble_triples
+    from ..streaming.ingest import incremental_mentions
+
+    p = _pipeline(spark)
+    tmp = tempfile.mkdtemp(prefix="tcmkg_stream_contract_")
+    landing = os.path.join(tmp, "landing")
+    out = os.path.join(tmp, "mentions")
+    ckpt = os.path.join(tmp, "ckpt")
+    # whole conversations per file (the carry-forward unit): hash-cluster
+    # conversations into a handful of files -> several micro-batches
+    transcriptize(spark, sf_dir).repartition(8, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(landing)
+    q = incremental_mentions(spark, landing, out, ckpt, pipeline=p)
+    q.awaitTermination(600)
+    t = assemble_triples(spark.read.parquet(out))
+    return t.filter(F.col("pred") == "formula_contains_herb").select(
+        "subj", "obj", F.round("weight", 6).alias("weight")
+    )
+
+
 def q_kg_treats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _triples(spark, sf_dir)
     return t.filter(F.col("pred") == "herb_treats_disease").select("subj", "obj")
@@ -509,6 +540,7 @@ KG_QUERIES = {
     "kg_text_roundtrip": q_kg_text_roundtrip,
     "kg_is_a": q_kg_is_a,
     "kg_nodes": q_kg_nodes,
+    "kg_stream_contains": q_kg_stream_contains,
 }
 
 KG_ORACLES = {
@@ -521,4 +553,5 @@ KG_ORACLES = {
     "kg_text_roundtrip": SQL_KG_TEXT_ROUNDTRIP,
     "kg_is_a": SQL_KG_IS_A,
     "kg_nodes": _sql_kg_nodes(),
+    "kg_stream_contains": SQL_KG_CONTAINS,  # stream must equal batch oracle
 }

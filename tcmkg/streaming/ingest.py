@@ -9,12 +9,18 @@ arrival shape a production transcript feed has:
   streaming_turn_stats watermarked sliding-window per-conversation turn
                        counts (late data handled by the watermark)
   incremental_mentions foreachBatch: every micro-batch runs the SAME batch
-                       mention kernel and appends partial-aggregate mention
-                       rows to a target directory. Because the kernel emits
-                       map-side partials and assemble_triples is a pure
-                       reduce, triples over the union of appended partials
-                       equal a batch run over all data seen so far —
-                       exactly-once via the streaming checkpoint.
+                       mention kernel and lands partial-aggregate mention
+                       rows under an epoch_id-keyed subdirectory. Because
+                       the kernel emits map-side partials and
+                       assemble_triples is a pure reduce, triples over the
+                       union of landed partials equal a batch run over all
+                       data seen so far. foreachBatch alone is only
+                       at-least-once (a crash after the write but before
+                       the checkpoint commit replays the epoch); the
+                       epoch-keyed OVERWRITE makes the replay idempotent —
+                       the re-run replaces its own directory instead of
+                       appending duplicates — which yields exactly-once
+                       *output* end to end.
 
 Carry-forward caveat: T2b lines ("亦主治…") need the conversation's earlier
 turns; micro-batches see only new rows. `incremental_mentions` therefore
@@ -60,6 +66,21 @@ def streaming_turn_stats(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def mention_sink(pipe, out_dir: str):
+    """foreachBatch function: land this epoch's mention partials at
+    `{out_dir}/epoch=<epoch_id>` with OVERWRITE. Replaying an epoch (crash
+    between write and checkpoint commit) replaces its own directory —
+    idempotent, so downstream reads see each epoch exactly once. Readers
+    `spark.read.parquet(out_dir)` get an `epoch` partition column for free
+    (lineage: which micro-batch produced which partials)."""
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        mentions = pipe.mentions(batch_df)
+        mentions.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
+
+    return per_batch
+
+
 def incremental_mentions(
     spark: SparkSession,
     landing_dir: str,
@@ -67,18 +88,14 @@ def incremental_mentions(
     checkpoint_dir: str,
     pipeline=None,
 ):
-    """Start a stream appending mention partials per micro-batch."""
+    """Start a stream landing mention partials per micro-batch."""
     from ..pipeline.runner import KGPipeline
 
     pipe = pipeline or KGPipeline(spark)
     stream = stream_transcripts(spark, landing_dir)
 
-    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        mentions = pipe.mentions(batch_df)
-        mentions.write.mode("append").parquet(out_dir)
-
     return (
-        stream.writeStream.foreachBatch(per_batch)
+        stream.writeStream.foreachBatch(mention_sink(pipe, out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -71,3 +71,24 @@ def test_incremental_mentions_equal_batch(spark, tmp_path, landing, pipeline, go
         for r in assemble_triples(spark.read.parquet(out)).collect()
     }
     assert got2 == got
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path, transcripts_df, pipeline):
+    """Mid-epoch failure semantics: foreachBatch may re-run an epoch whose
+    write completed but whose checkpoint commit did not. Replaying the same
+    epoch_id must not duplicate partials (n/amt_sum inflation would skew
+    formula_contains_herb weights)."""
+    from tcmkg.streaming.ingest import mention_sink
+
+    out = str(tmp_path / "m")
+    sink = mention_sink(pipeline, out)
+    batch = transcripts_df
+    sink(batch, 7)
+    once = spark.read.parquet(out).groupBy().sum("n").collect()[0][0]
+    assert once and once > 0
+    sink(batch, 7)  # replayed epoch (crash-recovery path)
+    twice = spark.read.parquet(out).groupBy().sum("n").collect()[0][0]
+    assert once == twice
+    # a genuinely new epoch still lands
+    sink(batch, 8)
+    assert spark.read.parquet(out).groupBy().sum("n").collect()[0][0] == 2 * once
