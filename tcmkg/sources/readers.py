@@ -13,8 +13,9 @@ The reference ingests six heterogeneous databases with per-row Python
   S4 tsv           PharMeBINet nodes/edges at 3.4M-edge scale
                    (extract_ingredient.py:323) -> csv(sep='\\t')
   S5 excel         SymMap xlsx (extract_herb.py:57-58). No native Spark
-                   reader and no openpyxl in this image: gated behind an
-                   import-try; small dimension inputs go pandas->Spark.
+                   reader: pandas engine when installed, else the built-in
+                   stdlib ECMA-376 parser (sources/xlsx.py); small
+                   dimension inputs go pandas->Spark either way.
   S6 resource      word lists / locus maps -> small broadcast DataFrames.
 """
 
@@ -69,19 +70,21 @@ def read_tsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
-    """S5: Excel is a small dimension-table format; convert via pandas when
-    an xlsx engine is installed, else raise a clear error. (The sandbox
-    image has no openpyxl — callers fall back to CSV fixtures.)"""
+    """S5: Excel is a small dimension-table format (reference:
+    extract_herb.py:57-58, merge_tcm_symptom.py:20-22 read SymMap xlsx).
+    Prefer pandas' reader when an xlsx engine is installed; otherwise fall
+    back to the built-in stdlib-only ECMA-376 parser (sources/xlsx.py),
+    which covers the simple-table shape these dimension files have."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_excel needs openpyxl/xlrd (not in this image); "
-            "convert the workbook to CSV and use read_csv instead"
-        ) from e
-    return spark.createDataFrame(pdf)
+    except ImportError:
+        from .xlsx import read_xlsx
+
+        pdf = read_xlsx(path, sheet=sheet)
+    # nullable extension dtypes: empty cells arrive as SQL NULLs, not NaN
+    return spark.createDataFrame(pdf.convert_dtypes())
 
 
 def normalize_nulls(df: DataFrame, tokens: tuple[str, ...] = ("None", "NaN", "-", "/", "")) -> DataFrame:

@@ -186,3 +186,90 @@ def test_literal_dict_kernel(spark):
     assert got[1] == (None, None, "x", None)
     assert got[2] == (None, None, "y", None)
     assert got[3] == (None, None, None, None)
+
+
+def _write_symmap_like_xlsx(path):
+    """SymMap-shaped workbook written with stdlib zipfile only: shared
+    strings, inline strings, numbers, booleans, and a gap cell."""
+    import zipfile
+
+    ct = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+ <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+ <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+    root_rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="herb" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+    wb_rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+    sst = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+ <si><t>Herb_id</t></si><si><t>Chinese_name</t></si><si><t>weight_g</t></si>
+ <si><r><t>甘</t></r><r><t>草</t></r></si>
+</sst>"""
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="str"><v>active</v></c></row>
+  <row r="2"><c r="A2"><v>101</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>3.5</v></c><c r="D2" t="b"><v>1</v></c></row>
+  <row r="3"><c r="A3"><v>102</v></c><c r="B3" t="inlineStr"><is><t>人参</t></is></c><c r="D3" t="b"><v>0</v></c></row>
+ </sheetData>
+</worksheet>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_reader_end_to_end(spark, tmp_path):
+    """S5 exercised for real: a SymMap-like workbook goes xlsx -> pandas ->
+    Spark with no external engine, agreeing with its CSV-converted twin."""
+    from tcmkg.sources.readers import read_csv, read_excel
+    from tcmkg.sources.xlsx import read_xlsx
+
+    x = str(tmp_path / "symmap_herb.xlsx")
+    _write_symmap_like_xlsx(x)
+
+    pdf = read_xlsx(x)
+    assert list(pdf.columns) == ["Herb_id", "Chinese_name", "weight_g", "active"]
+    assert pdf.loc[0, "Chinese_name"] == "甘草"  # multi-run shared string
+    assert pdf.loc[1, "Chinese_name"] == "人参"  # inline string
+    assert pdf.loc[0, "weight_g"] == 3.5 and pdf.loc[0, "Herb_id"] == 101
+    import pandas as pd
+    assert pd.isna(pdf.loc[1, "weight_g"])       # gap cell -> missing
+    assert bool(pdf.loc[0, "active"]) and not bool(pdf.loc[1, "active"])
+
+    df = read_excel(spark, x, sheet="herb")
+    got = {r["Herb_id"]: (r["Chinese_name"], r["weight_g"], r["active"])
+           for r in df.collect()}
+    assert got == {101: ("甘草", 3.5, True), 102: ("人参", None, False)}
+
+    # CSV-converted twin drives the documented fallback route
+    c = tmp_path / "symmap_herb.csv"
+    c.write_text(
+        "Herb_id,Chinese_name,weight_g,active\n101,甘草,3.5,true\n102,人参,,false\n",
+        encoding="utf-8",
+    )
+    twin = read_csv(spark, str(c),
+                    schema="Herb_id int, Chinese_name string, weight_g double, active boolean")
+    assert {tuple(r) for r in twin.collect()} == {
+        (101, "甘草", 3.5, True), (102, "人参", None, False)
+    }
+
+    with pytest.raises(ValueError):
+        read_xlsx(x, sheet="nope")
