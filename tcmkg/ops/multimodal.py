@@ -4,8 +4,10 @@ The Spark-side plumbing is real and tested — schema, partition-preserving
 mapInPandas kernels, Arrow batch shapes, deterministic outputs. The codec
 step itself is STUBBED: no image/audio libraries ship in this container, so
 `_decode_image` / `_decode_audio` raise NotImplementedError unless a
-deterministic fake is requested. Swap the `_decode_*` internals for
-PIL/torchaudio on a real cluster; nothing else changes.
+deterministic fake is requested. On a real cluster inject your codec via
+the `decoder=` parameter (any picklable `bytes -> np.ndarray` callable,
+e.g. PIL/torchaudio-backed); nothing else changes — schema, batching, and
+plan shape are codec-independent (tested).
 
 Schema contract:
     media(doc_id long, modality string, media binary,
@@ -65,6 +67,15 @@ def _decode_image(blob: bytes, fake: bool) -> np.ndarray:
     return arr.reshape(16, 8).astype(np.float64)
 
 
+def _pick_decoder(decoder, fake_decode: bool):
+    """Decoder injection: `decoder(blob: bytes) -> np.ndarray` (any
+    picklable callable — PIL, torchvision, ...) wins; otherwise the
+    deterministic fake or the gated real path per `fake_decode`."""
+    if decoder is not None:
+        return decoder
+    return lambda blob: _decode_image(blob, fake_decode)
+
+
 def _features_from(pixels: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
     flat = pixels.ravel()
     reps = int(np.ceil(dim / flat.size)) if flat.size else 1
@@ -73,14 +84,16 @@ def _features_from(pixels: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
     return (v / n if n > 0 else v).tolist()
 
 
-def decode_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+def decode_features(df: DataFrame, fake_decode: bool = True, decoder=None) -> DataFrame:
     """media -> (doc_id, modality, features array<double>). mapInPandas:
-    partitioning preserved, batch-shaped, codec isolated in _decode_*."""
+    partitioning preserved, batch-shaped, codec isolated behind the
+    injectable `decoder` (see _pick_decoder)."""
+    dec = _pick_decoder(decoder, fake_decode)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _features_from(_decode_image(bytes(b), fake_decode))
+                _features_from(dec(bytes(b)))
                 for b in pdf["media"]
             ]
             yield pd.DataFrame(
@@ -92,9 +105,11 @@ def decode_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = True) -> DataFrame:
+def resize_images(df: DataFrame, width: int, height: int,
+                  fake_decode: bool = True, decoder=None) -> DataFrame:
     """image rows -> re-encoded binary at (width, height); non-images pass
     through untouched. Binary-in/binary-out transform shape."""
+    dec = _pick_decoder(decoder, fake_decode)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,7 +120,7 @@ def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = Tr
                     out_media.append(blob)
                     out_meta.append(meta)
                     continue
-                px = _decode_image(bytes(blob), fake_decode)
+                px = dec(bytes(blob))
                 # fake re-encode: content hash of (pixels, target size)
                 payload = hashlib.md5(
                     px.tobytes() + f":{width}x{height}".encode()

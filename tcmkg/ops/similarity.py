@@ -51,13 +51,28 @@ def _encode_batch(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
     return pd.Series(out)
 
 
-@F.pandas_udf(T.ArrayType(T.DoubleType()))
-def embed_text(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Iterator form: per-executor setup happens once (where a real model
-    would be loaded), then every Arrow batch reuses it."""
-    # setup-once section (model load goes here)
-    for batch in it:
-        yield _encode_batch(batch)
+def make_embed_udf(encoder=None):
+    """Embedding UDF factory with an injectable encoder.
+
+    `encoder(texts: pd.Series) -> pd.Series[list[float]]` — any picklable
+    callable; it ships to executors inside the UDF closure, so swapping the
+    hash-projection stand-in for a real model loader changes outputs but
+    NOT the operator shape, schema, or plan (tested). A heavyweight model
+    should be loaded lazily inside the callable on first use (the iterator
+    form calls it once per Arrow batch in one long-lived Python worker)."""
+    enc = encoder or _encode_batch
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # setup-once section (a real model's lazy load happens in `enc`)
+        for batch in it:
+            yield enc(batch)
+
+    return embed
+
+
+# default instance (deterministic hash-projection encoder)
+embed_text = make_embed_udf()
 
 
 _PAIR_SCHEMA = T.StructType(
@@ -119,12 +134,14 @@ def similarity_clusters(pairs: DataFrame) -> DataFrame:
 
 
 def cluster_symptom_like(
-    df: DataFrame, id_col: str, text_col: str, block_col: str, threshold: float = 0.98
+    df: DataFrame, id_col: str, text_col: str, block_col: str,
+    threshold: float = 0.98, encoder=None,
 ) -> DataFrame:
     """End-to-end EP3-stage-2 analogue: embed -> blocked pair sims -> CC ->
     `;`-joined member list per cluster (A10 list agg,
-    symptom_similarity_using_sentence_embedding.py:103-111)."""
-    emb = df.withColumn("_v", embed_text(F.col(text_col)))
+    symptom_similarity_using_sentence_embedding.py:103-111). `encoder`
+    swaps the embedding model (see make_embed_udf)."""
+    emb = df.withColumn("_v", make_embed_udf(encoder)(F.col(text_col)))
     pairs = block_pair_sims(emb, id_col, "_v", block_col, threshold)
     comp = similarity_clusters(pairs)
     return (

@@ -67,12 +67,18 @@ def soft_link(
     alias_map: dict[str, str],
     token_col: str = "token",
     threshold: float = 0.75,
+    encoder=None,
 ) -> DataFrame:
     """-> (token, canonical_id, matched_alias, sim): embedding-cosine top-1
-    link for unresolved mentions, kept only above `threshold`."""
+    link for unresolved mentions, kept only above `threshold`.
 
+    `encoder(names: pd.Series) -> np.ndarray` (rows L2-normalized) is
+    injectable: the gazetteer side is encoded driver-side and broadcast;
+    the token side inside the kernel — BOTH use the same callable, so a
+    real-model swap cannot desynchronize the two spaces."""
+    enc = encoder or _encode_names
     aliases = sorted(alias_map)
-    gaz_vecs = _encode_names(pd.Series(aliases))
+    gaz_vecs = enc(pd.Series(aliases))
     gaz_canon = [alias_map[a] for a in aliases]
     b = spark.sparkContext.broadcast((gaz_vecs, gaz_canon, aliases))
 
@@ -80,7 +86,7 @@ def soft_link(
         vecs, canon, alias_names = b.value
         for pdf in batches:
             toks = pdf[token_col]
-            m = _encode_names(toks)
+            m = enc(toks)
             sims = m @ vecs.T  # both sides L2-normalized
             best = sims.argmax(axis=1)
             best_sim = sims[np.arange(len(toks)), best]

@@ -238,3 +238,60 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         assert bucketed.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_encoder_and_codec_injection(spark):
+    """The advertised swap points are real dependencies, not module
+    constants: injecting a different encoder/decoder changes outputs but
+    not schemas or operator shapes."""
+    import numpy as np
+    import pandas as pd
+
+    # --- text embedding encoder (similarity.make_embed_udf)
+    from tcmkg.ops.similarity import EMBED_DIM, make_embed_udf
+
+    def toy_encoder(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[float(len(t or ""))] + [0.0] * (EMBED_DIM - 1) for t in texts]
+        )
+
+    df = spark.createDataFrame([(1, "ab"), (2, "abcd")], "id long, txt string")
+    default = df.withColumn("v", make_embed_udf()(F.col("txt")))
+    swapped = df.withColumn("v", make_embed_udf(toy_encoder)(F.col("txt")))
+    assert default.schema == swapped.schema
+    sv = {r["id"]: r["v"] for r in swapped.collect()}
+    assert sv[1][0] == 2.0 and sv[2][0] == 4.0
+    assert {r["id"]: r["v"] for r in default.collect()} != sv
+
+    # --- soft-link name encoder (both sides swap together)
+    from tcmkg.pipeline.linking import soft_link
+
+    def name_enc(names, dim=8):
+        out = np.zeros((len(names), dim))
+        for i, s in enumerate(names):
+            out[i, len(s or "") % dim] = 1.0
+        return out
+
+    toks = spark.createDataFrame([("abc",)], "token string")
+    linked = soft_link(
+        spark, toks, {"xyz": "H1", "ab": "H2"}, threshold=0.9, encoder=name_enc
+    )
+    got = {r["token"]: r["canonical_id"] for r in linked.collect()}
+    assert got == {"abc": "H1"}  # length-3 token matches the length-3 alias
+
+    # --- multimodal codec
+    from tcmkg.ops.multimodal import FEATURE_DIM, decode_features, synth_media
+
+    media = synth_media(spark, 6)
+
+    def const_decoder(blob: bytes) -> np.ndarray:
+        return np.full((4, 4), float(len(blob)))
+
+    out = decode_features(media, decoder=const_decoder)
+    fake = decode_features(media)
+    assert out.schema == fake.schema
+    orows = out.collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in orows)
+    assert {tuple(r["features"]) for r in orows} != {
+        tuple(r["features"]) for r in fake.collect()
+    }
