@@ -22,6 +22,9 @@ Coverage map (operator ids from SURVEY.md §2):
   q_lsh_dropped        buckets the cap excluded (no-silent-caps metric)
   q_simhash_pairs      banded-SimHash candidates with the bucket cap live
   q_literal_dict       P6 Python-literal dict parse -> xref/property columns
+  q_fingerprints       winnowed k-gram document fingerprints (MOSS scheme)
+  q_token_quality      whitespace + BPE-ish regex token counts, punct ratio
+  q_cos_neardup        embedding-cosine near-dup pairs (exact baseline)
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -570,6 +573,83 @@ FROM kept a JOIN kept b
 """
 
 
+def q_fingerprints(spark, sf_dir):
+    """Winnowed k-gram document fingerprints (MOSS scheme): the DuckDB
+    oracle replays gram-hashing + window-min + distinct with list
+    comprehensions, so the whole construction is hash-verified."""
+    from ..ops.fingerprint import winnow_fingerprints
+
+    d = _read(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"), F.min("fp").alias("min_fp")
+    )
+
+
+SQL_FINGERPRINTS = """
+WITH g AS (
+  SELECT doc_id,
+         [md5(substr(text, i, 8)) FOR i IN range(1, length(text) - 8 + 2)] AS gh
+  FROM documents WHERE length(text) >= 8
+),
+w AS (
+  SELECT doc_id,
+         list_distinct([list_min(gh[j:j+3]) FOR j IN range(1, len(gh) - 4 + 2)]) AS fps
+  FROM g WHERE len(gh) >= 4
+)
+SELECT doc_id, len(fps)::BIGINT AS n_fps, list_min(fps) AS min_fp FROM w
+"""
+
+
+def q_token_quality(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) and punctuation quality
+    ratio over a punctuation-bearing string (events.props || ' id=' || id)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    s = F.concat(F.col("props"), F.lit(" id="), F.col("event_id").cast("string"))
+    d = ev.select(F.col("event_id").alias("eid"), s.alias("s"))
+    bpe = F.size(F.expr("regexp_extract_all(s, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+    punct = F.size(F.expr("regexp_extract_all(s, '[^A-Za-z0-9 ]', 0)"))
+    punct_ratio = F.round(punct / F.length("s"), 6)
+    return d.select(
+        "eid",
+        F.size(F.split("s", " ")).cast("long").alias("n_ws"),
+        bpe.cast("long").alias("n_bpe"),
+        punct_ratio.alias("punct_ratio"),
+        (punct_ratio <= 0.4).alias("quality_ok"),
+    )
+
+
+SQL_TOKEN_QUALITY = """
+WITH d AS (
+  SELECT event_id AS eid, props || ' id=' || event_id::VARCHAR AS s
+  FROM events WHERE event_id % 13 = 0
+)
+SELECT eid,
+       len(string_split(s, ' '))::BIGINT AS n_ws,
+       len(regexp_extract_all(s, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))::BIGINT AS n_bpe,
+       round(len(regexp_extract_all(s, '[^A-Za-z0-9 ]', 0))::DOUBLE / length(s), 6) AS punct_ratio,
+       (round(len(regexp_extract_all(s, '[^A-Za-z0-9 ]', 0))::DOUBLE / length(s), 6) <= 0.4) AS quality_ok
+FROM d
+"""
+
+
+def q_cos_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (the
+    IVF-cell-blocked variant must return a subset of this — tested)."""
+    from ..ops.similarity import embedding_neardup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+SQL_COS_NEARDUP = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
 def q_literal_dict(spark, sf_dir):
     """P6: Python-literal dict strings -> typed columns. The literal is
     synthesized from event_id (so DuckDB can predict the outcome without a
@@ -766,6 +846,9 @@ GENERIC_QUERIES = {
     "q_lsh_dropped": q_lsh_dropped,
     "q_simhash_pairs": q_simhash_pairs,
     "q_literal_dict": q_literal_dict,
+    "q_fingerprints": q_fingerprints,
+    "q_token_quality": q_token_quality,
+    "q_cos_neardup": q_cos_neardup,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -795,6 +878,9 @@ GENERIC_ORACLES = {
     "q_lsh_dropped": SQL_LSH_DROPPED,
     "q_simhash_pairs": SQL_SIMHASH_PAIRS,
     "q_literal_dict": SQL_LITERAL_DICT,
+    "q_fingerprints": SQL_FINGERPRINTS,
+    "q_token_quality": SQL_TOKEN_QUALITY,
+    "q_cos_neardup": SQL_COS_NEARDUP,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,

@@ -133,6 +133,47 @@ def similarity_clusters(pairs: DataFrame) -> DataFrame:
     return connected_components(inc)
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """-> (a, b, cos): embedding-cosine near-duplicate pairs above
+    `threshold`. Pure JVM SQL (zip_with/aggregate dot products).
+
+    Without `assignments` this is the exact all-pairs baseline (a
+    crossJoin — fine for verification scale, never for a corpus). Pass the
+    (id, cid) table from ops/ann.build_ivf to confine the quadratic inside
+    k-means cells (the scale path): only same-cell vectors pair, the
+    standard IVF blocking trade — recall bounded by cell assignment,
+    verified subset-of-exact in tests."""
+    from .ann import _as_double, _dot, _norm
+
+    base = emb.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    if assignments is not None:
+        base = base.join(
+            assignments.select(F.col("id").alias("_id"), "cid"), "_id"
+        )
+        a = base.select("cid", F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+        b = base.select("cid", F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+        joined = a.join(b, "cid").filter(F.col("a") < F.col("b"))
+    else:
+        a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+        b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+        joined = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        joined.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def cluster_symptom_like(
     df: DataFrame, id_col: str, text_col: str, block_col: str,
     threshold: float = 0.98, encoder=None,

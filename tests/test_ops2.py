@@ -295,3 +295,55 @@ def test_encoder_and_codec_injection(spark):
     assert {tuple(r["features"]) for r in orows} != {
         tuple(r["features"]) for r in fake.collect()
     }
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee: documents sharing a long substring share a
+    fingerprint; short/degenerate docs produce no rows instead of errors;
+    ubiquitous fingerprints are capped out of the candidate join."""
+    from tcmkg.ops.fingerprint import fingerprint_candidates, winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "PREFIX0 " + shared + " SUFFIX0"),
+        (1, "PREFIXONE " + shared + " SUFFIXONE"),
+        (2, "completely unrelated content with nothing in common here"),
+        (3, "short"),                      # < k chars: no grams
+        (4, "elevenchars"),                # grams but < window of them? (11-8+1=4 -> ok)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 3 not in by_doc                     # too short -> no fingerprints
+    assert by_doc[0] & by_doc[1]               # long shared substring -> shared fp
+    assert not (by_doc[0] & by_doc[2])         # unrelated docs don't collide
+
+    pairs = {(r["a"], r["b"]) for r in fingerprint_candidates(fps).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+    # cap: a fingerprint shared by every doc must not pair everything
+    boiler = [(i, "z" * 40) for i in range(300)]
+    bfps = winnow_fingerprints(
+        spark.createDataFrame(boiler, "doc_id long, text string"),
+        "doc_id", "text", k=8, window=4,
+    )
+    assert fingerprint_candidates(bfps, max_bucket=64).count() == 0
+
+
+def test_cell_blocked_neardup_subset_of_exact(spark):
+    """IVF-cell-blocked near-dup pairs are a subset of the exact all-pairs
+    result (the blocking trades recall, never precision)."""
+    from tcmkg.ops.ann import build_ivf
+    from tcmkg.ops.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in
+             embedding_neardup_pairs(emb, "vec_id", "embedding", 0.2).collect()}
+    _, assign = build_ivf(emb, "vec_id", "embedding", n_centroids=4, n_iter=2)
+    blocked = {(r["a"], r["b"]) for r in
+               embedding_neardup_pairs(emb, "vec_id", "embedding", 0.2,
+                                       assignments=assign).collect()}
+    assert blocked <= exact
+    assert blocked  # same-cell near neighbors are found
