@@ -311,6 +311,46 @@ def q_kg_stream_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful streaming vs the BATCH oracle: every
+    conversation is SPLIT into three turn-thirds landed as three
+    time-ordered files, one file per micro-batch — so a carry-forward line
+    can only resolve through applyInPandasWithState state from an earlier
+    micro-batch. The assembled formula_contains_herb weights must still
+    hash-match SQL_KG_CONTAINS."""
+    import os
+    import tempfile
+
+    from ..pipeline.triples import assemble_triples
+    from ..streaming.ingest import incremental_triples_stateful
+
+    p = _pipeline(spark)
+    tmp = tempfile.mkdtemp(prefix="tcmkg_stateful_contract_")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    pdf = transcriptize(spark, sf_dir).toPandas()
+    pdf["tool"] = pdf["tool"].astype("string")  # all-null col: keep string type
+    pdf = pdf.sort_values(["conv_id", "turn_idx"])
+    rank = pdf.groupby("conv_id")["turn_idx"].rank(method="first")
+    size = pdf.groupby("conv_id")["turn_idx"].transform("count")
+    third = ((rank - 1) * 3 // size).astype(int)
+    for i in range(3):
+        f = os.path.join(landing, f"chunk_{i}.parquet")
+        pdf[third == i].to_parquet(
+            f, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    q = incremental_triples_stateful(
+        spark, landing, os.path.join(tmp, "mentions"), os.path.join(tmp, "ckpt"),
+        pipeline=p, max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    t = assemble_triples(spark.read.parquet(os.path.join(tmp, "mentions")))
+    return t.filter(F.col("pred") == "formula_contains_herb").select(
+        "subj", "obj", F.round("weight", 6).alias("weight")
+    )
+
+
 def q_kg_treats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _triples(spark, sf_dir)
     return t.filter(F.col("pred") == "herb_treats_disease").select("subj", "obj")
@@ -541,6 +581,7 @@ KG_QUERIES = {
     "kg_is_a": q_kg_is_a,
     "kg_nodes": q_kg_nodes,
     "kg_stream_contains": q_kg_stream_contains,
+    "kg_stream_stateful": q_kg_stream_stateful,
 }
 
 KG_ORACLES = {
@@ -554,4 +595,5 @@ KG_ORACLES = {
     "kg_is_a": SQL_KG_IS_A,
     "kg_nodes": _sql_kg_nodes(),
     "kg_stream_contains": SQL_KG_CONTAINS,  # stream must equal batch oracle
+    "kg_stream_stateful": SQL_KG_CONTAINS,  # cross-batch state, same oracle
 }

@@ -22,11 +22,15 @@ arrival shape a production transcript feed has:
                        appending duplicates — which yields exactly-once
                        *output* end to end.
 
-Carry-forward caveat: T2b lines ("亦主治…") need the conversation's earlier
-turns; micro-batches see only new rows. `incremental_mentions` therefore
-resolves anchors within each micro-batch only — feeds that split
-conversations across batches should land whole conversations per file (the
-typical log-rotation unit) or fall back to the batch pipeline.
+Carry-forward across batches: T2b lines ("亦主治…") need the conversation's
+earlier turns; micro-batches see only new rows. `incremental_mentions`
+resolves anchors within each micro-batch only (fine when feeds land whole
+conversations per file — the typical log-rotation unit). For feeds that
+split conversations across batches, `stateful_resolve_stream` /
+`incremental_triples_stateful` keep the carried anchor in
+applyInPandasWithState state per conv_id, so the split imposes no
+constraint (contract query kg_stream_stateful hash-verifies this against
+the batch oracle).
 """
 
 from __future__ import annotations
@@ -47,10 +51,12 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
-def stream_transcripts(spark: SparkSession, landing_dir: str) -> DataFrame:
+def stream_transcripts(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(landing_dir)
     )
 
@@ -63,6 +69,127 @@ def streaming_turn_stats(stream: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), "conv_id")
         .agg(F.count("*").alias("n_turns"))
         .select(F.col("w.start").alias("w_start"), "conv_id", "n_turns")
+    )
+
+
+RESOLVED_SCHEMA = (
+    "conv_id string, turn_idx int, tnorm string, f1_id string, t2_formula string"
+)
+_STATE_SCHEMA = "last_formula string, max_turn int"
+
+
+def stateful_resolve_stream(stream: DataFrame, formula_alias: dict[str, str]) -> DataFrame:
+    """Carry-forward anchor resolution ACROSS micro-batches: the custom
+    stateful operator (applyInPandasWithState) that removes the
+    whole-conversation-per-file requirement of the foreachBatch path.
+
+    Per conv_id, state = (last anchored formula, max turn seen). Each
+    micro-batch's rows for a conversation are sorted by turn_idx, resolved
+    with the same prefix rules as the batch `resolve_anchors` (vectorized
+    pandas — no per-row Python), and the running anchor seeds from state,
+    so a T2b carry-forward line ("亦主治…") resolves even when its anchor
+    arrived in an earlier micro-batch.
+
+    Ordering contract: per conversation, a turn must not arrive in an
+    EARLIER micro-batch than a lower-indexed turn (log-append feeds satisfy
+    this; within one micro-batch any order is fine). Turns at or below the
+    state's max_turn are treated as feed duplicates and dropped — the
+    upstream dedup analogue of ingest()'s window.
+    """
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        from ..kernels.normalize import text_norm
+
+        lf, max_turn = (state.get if state.exists else (None, -1))
+        chunks = list(pdf_iter)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = (
+            pdf.sort_values(["turn_idx", "ts", "text"])
+            .drop_duplicates("turn_idx")
+        )
+        pdf = pdf[pdf["turn_idx"] > max_turn]
+        if len(pdf):
+            tn = pdf["text"].map(text_norm)
+            has_colon = tn.str.contains(":", regex=False)
+            p1 = tn.str.split(":", n=1).str[0].where(has_colon)
+            f1 = p1.map(formula_alias)
+            has_zz = tn.str.contains("主治", regex=False)
+            p2 = tn.str.split("主治", n=1).str[0].where(has_zz & f1.isna())
+            f2 = p2.map(formula_alias)
+            is_assistant = pdf["role"].eq("assistant")
+            anchor = f1.fillna(f2).where(is_assistant)
+            carried = anchor.ffill()
+            if lf is not None:
+                carried = carried.fillna(lf)  # leading rows inherit state
+            t2 = f2.fillna(carried).where(has_zz & f1.isna())
+            # only assistant turns carry extractable rules (the batch
+            # rule_prefilter's role predicate); user turns still advanced
+            # the dedup/ordering state above
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "tnorm": tn,
+                    "f1_id": f1.astype(object).where(f1.notna(), None),
+                    "t2_formula": t2.astype(object).where(t2.notna(), None),
+                }
+            )[is_assistant.to_numpy()]
+            last = carried.iloc[-1]
+            lf = None if pd.isna(last) else last
+            max_turn = int(pdf["turn_idx"].max())
+            state.update((lf, max_turn))
+            yield out
+        else:
+            state.update((lf, max_turn))
+            yield pd.DataFrame(
+                {c: [] for c in ("conv_id", "turn_idx", "tnorm", "f1_id", "t2_formula")}
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn, RESOLVED_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def incremental_triples_stateful(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    pipeline=None,
+    max_files_per_trigger: int = 4,
+):
+    """Full streaming KG pipeline with cross-batch anchor state:
+    stateful resolve -> rule prefilter -> the SAME batch mention kernel
+    (mapInPandas works on streaming DataFrames) -> exactly-once parquet
+    file sink (Spark's _spark_metadata commit log). Unlike
+    incremental_mentions, conversations may be split across micro-batches.
+    """
+    from ..pipeline.extract import extract_mentions
+    from ..pipeline.runner import KGPipeline
+
+    pipe = pipeline or KGPipeline(spark)
+    stream = stream_transcripts(spark, landing_dir, max_files_per_trigger)
+    resolved = stateful_resolve_stream(stream, pipe.maps["formula"])
+    t = F.col("tnorm")
+    pre = resolved.filter(
+        F.col("f1_id").isNotNull()
+        | t.contains("主治") | t.contains("可治") | t.contains("可致")
+        | t.contains("常见") | t.contains("属于")
+    ).select("tnorm", "f1_id", "t2_formula")
+    mentions = extract_mentions(spark, pre, pipe.maps, cache_key="stream")
+    return (
+        mentions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

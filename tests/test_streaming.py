@@ -92,3 +92,64 @@ def test_epoch_replay_is_idempotent(spark, tmp_path, transcripts_df, pipeline):
     # a genuinely new epoch still lands
     sink(batch, 8)
     assert spark.read.parquet(out).groupBy().sum("n").collect()[0][0] == 2 * once
+
+
+def test_stateful_carry_forward_across_batches(
+    spark, tmp_path, transcripts_pdf, pipeline, golden_triples
+):
+    """The applyInPandasWithState path must reproduce the batch triples even
+    when every conversation is SPLIT across micro-batches (each file = one
+    micro-batch, oldest first): a carry-forward line whose anchor arrived
+    in an earlier micro-batch still resolves from state."""
+    import os
+    import time
+
+    from tcmkg.pipeline.triples import assemble_triples
+    from tcmkg.streaming.ingest import incremental_triples_stateful
+
+    # upstream-dedup'd, per-conversation ordered input (the feed contract)
+    pdf = transcripts_pdf.sort_values(["conv_id", "turn_idx", "ts", "text"])
+    pdf = pdf.drop_duplicates(["conv_id", "turn_idx"])
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    # chunk i holds the i-th third of EVERY conversation's turns
+    rank = pdf.groupby("conv_id")["turn_idx"].rank(method="first")
+    size = pdf.groupby("conv_id")["turn_idx"].transform("count")
+    third = ((rank - 1) * 3 // size).astype(int)
+    for i in range(3):
+        p = d / f"chunk_{i}.parquet"
+        pdf[third == i].to_parquet(p, **kw)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        time.sleep(0.01)
+
+    out = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_triples_stateful(
+        spark, str(d), out, ckpt, pipeline=pipeline, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in assemble_triples(spark.read.parquet(out)).collect()
+    }
+    want = {(s, p, o) for s, p, o, _ in golden_triples}
+    assert got == want
+
+    # weights too: the dose partials must sum identically to batch
+    from pyspark.sql import functions as F
+
+    rnd = lambda w: None if w is None else round(w, 9)
+    stream_w = {
+        (r["subj"], r["obj"]): rnd(r["weight"])
+        for r in assemble_triples(spark.read.parquet(out))
+        .filter(F.col("pred") == "formula_contains_herb").collect()
+    }
+    batch_w = {
+        (s, o): rnd(w)
+        for s, p, o, w in golden_triples
+        if p == "formula_contains_herb"
+    }
+    assert stream_w == batch_w
