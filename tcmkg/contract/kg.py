@@ -351,6 +351,58 @@ def q_kg_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted near-miss herb variants (tier-3 linking inputs): real-name
+# decorations/typos that exact/probe linking cannot resolve
+SOFT_LINK_TOKENS = [
+    "甘草霜", "红参须", "川黄连片", "炒白术粉", "野山参",
+    "zzz无关词", "丹参滴", "枸杞子干",
+]
+
+
+def q_kg_soft_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-3 entity linking (north-star: 'alias + context embedding
+    similarity'): embedding-cosine top-1 link of unresolved tokens against
+    the herb gazetteer. The oracle VALUES table is computed by a direct
+    driver-side numpy evaluation over the pure-Python canonical map — the
+    differential verifies the Spark side's broadcast + Arrow batching +
+    threshold filter (`sf_dir` unused: the gazetteer is the corpus)."""
+    from ..pipeline.linking import soft_link
+
+    p = _pipeline(spark)
+    toks = spark.createDataFrame([(t,) for t in SOFT_LINK_TOKENS], "token string")
+    out = soft_link(spark, toks, p.maps["herb"], threshold=0.6)
+    return out.select(
+        "token", "canonical_id", "matched_alias", F.round("sim", 6).alias("sim")
+    )
+
+
+def _sql_kg_soft_link() -> str:
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.linking import _encode_names
+
+    alias_map = {text_norm(a): c for a, c in _MAPS["herb"].items()}
+    aliases = sorted(alias_map)
+    gaz = _encode_names(pd.Series(aliases))
+    toks = _encode_names(pd.Series(SOFT_LINK_TOKENS))
+    sims = toks @ gaz.T
+    best = sims.argmax(axis=1)
+    rows = []
+    for i, t in enumerate(SOFT_LINK_TOKENS):
+        s = float(sims[i, best[i]])
+        if s >= 0.6:
+            a = aliases[best[i]]
+            rows.append(
+                f"('{t}','{alias_map[a]}','{a}',{round(s, 6)!r})"
+            )
+    return (
+        "SELECT token, canonical_id, matched_alias, sim::DOUBLE AS sim "
+        "FROM (VALUES\n" + ",\n".join(rows) +
+        "\n) AS t(token, canonical_id, matched_alias, sim)"
+    )
+
+
 def q_kg_treats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _triples(spark, sf_dir)
     return t.filter(F.col("pred") == "herb_treats_disease").select("subj", "obj")
@@ -582,6 +634,7 @@ KG_QUERIES = {
     "kg_nodes": q_kg_nodes,
     "kg_stream_contains": q_kg_stream_contains,
     "kg_stream_stateful": q_kg_stream_stateful,
+    "kg_soft_link": q_kg_soft_link,
 }
 
 KG_ORACLES = {
@@ -596,4 +649,5 @@ KG_ORACLES = {
     "kg_nodes": _sql_kg_nodes(),
     "kg_stream_contains": SQL_KG_CONTAINS,  # stream must equal batch oracle
     "kg_stream_stateful": SQL_KG_CONTAINS,  # cross-batch state, same oracle
+    "kg_soft_link": _sql_kg_soft_link(),
 }
