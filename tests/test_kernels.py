@@ -174,3 +174,90 @@ def test_dose_edge_cases():
     # range + unit conversion
     a, u = parse_dose_string("1-3斤")
     assert u == "g" and a == pytest.approx(2 * 500)
+
+
+# --------------------------------------------------- dose differential ---
+def _dose_model(dose: str):
+    """Independent test-local model of the reference's conversion loop
+    (process_dose_unit.py:100-173), deliberately structured differently
+    from kernels/dose.py (zip over segment pairs, explicit last-segment
+    至 flag) so kernel bugs can't hide in a shared implementation — the
+    shared-kernel parity gate was blind to exactly this (round-1 ADVICE)."""
+    import re
+
+    from tcmkg.kernels.cn_numerals import parse_cn_number
+    from tcmkg.kernels.dose import G_UNITS, ML_UNITS, UNIT_TIMES
+
+    half_loc = dose.find("半")
+    parts = [p for p in re.split("(分|两|钱|kg|g|mg|厘|毫|铢|公斤|斤|千克|克|合|ml|斗|升)", dose) if p]
+    if half_loc == 0:
+        if len(parts) != 2:
+            return None, None
+        u = parts[1]
+        return 0.5 * UNIT_TIMES[u], "g" if u in G_UNITS else "ml"
+    cns, units = parts[::2], parts[1::2]
+    if not units or len(cns) < len(units):
+        return None, None
+    kinds = {("g" if u in G_UNITS else "ml" if u in ML_UNITS else "?") for u in units}
+    if kinds == {"g"}:
+        out_unit = "g"
+    elif kinds == {"ml"}:
+        out_unit = "ml"
+    else:
+        return None, None
+    total, prev, last_zhi = 0.0, None, False
+    for cn, u in zip(cns, units):
+        if "-" in cn:
+            lo, hi = cn.split("-", 1)
+            try:
+                val = (parse_cn_number(lo) + parse_cn_number(hi)) / 2
+            except ValueError:
+                return None, None
+            prev = val
+        elif "至" in cn:
+            if prev is None:
+                return None, None
+            val = prev
+        else:
+            try:
+                val = parse_cn_number(cn)
+            except ValueError:
+                return None, None
+            prev = val
+        total += UNIT_TIMES[u] * val
+        last_zhi = "至" in cn
+    if half_loc > 0:
+        total += UNIT_TIMES[units[-1]] * 0.5
+    if last_zhi:
+        total /= 2
+    return total, out_unit
+
+
+def test_dose_differential_fuzz():
+    """Exhaustive-ish differential: composed dose strings (CN/ASCII
+    numerals x g-units x optional 至 segments x trailing 半) must agree
+    between the kernel and the independent model."""
+    import itertools
+
+    from tcmkg.kernels.dose import dose_to_amount
+
+    numerals = ["一", "三", "十二", "2", "0.5", "3-5"]
+    units = ["钱", "两", "分", "克"]
+    segs = [n + u for n, u in itertools.product(numerals, units)]
+    cases = []
+    for s1 in segs:
+        cases.append(s1)
+        cases.append(s1 + "半")
+        for s2 in segs[::4]:
+            cases.append(s1 + s2)
+            cases.append(s1 + "至" + s2)          # 至 mid/last segment
+            cases.append(s1 + "至" + s2 + "三分")  # 至 NOT last
+    assert len(cases) > 400
+    for dose in cases:
+        got = dose_to_amount(dose)
+        want = _dose_model(dose)
+        if want[0] is None:
+            assert got == (None, None), dose
+        else:
+            assert got[1] == want[1], dose
+            assert got[0] == pytest.approx(want[0]), dose
