@@ -203,6 +203,39 @@ class KGPipeline:
         metrics = store.run_stage(spark, "s4_metrics", lambda: self._metrics(mentions, triples))
         return {"mentions": mentions, "triples": triples, "nodes": nodes, "metrics": metrics}
 
+    def materialize_graph(
+        self,
+        triples: DataFrame,
+        edges_table: str = "tcmkg_edges",
+        nodes_table: str = "tcmkg_nodes",
+        buckets: int = 16,
+    ) -> dict[str, str]:
+        """Graph materialization for downstream traversal at scale: edges
+        bucketed+sorted by subj, nodes by canonical_id, SAME bucket count —
+        so edge⨝node (subj = canonical_id) and any subj-keyed fan-out plan
+        as bucket-local sort-merge joins with ZERO data exchanges (tested).
+        On an Iceberg catalog the same layout is `bucket(N, subj)` partition
+        transforms; parquet bucketed tables are the sandbox stand-in. An
+        obj-keyed traversal step still shuffles once (obj is not the bucket
+        key); materialize an obj-bucketed copy if that's the hot direction.
+        """
+        spark = self.spark
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (edges_table, nodes_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)  # in-memory catalog leftovers
+        (
+            triples.write.bucketBy(buckets, "subj").sortBy("subj")
+            .mode("overwrite").saveAsTable(edges_table)
+        )
+        (
+            self.nodes_table().write.bucketBy(buckets, "canonical_id")
+            .sortBy("canonical_id").mode("overwrite").saveAsTable(nodes_table)
+        )
+        return {"edges": edges_table, "nodes": nodes_table}
+
     def _metrics(self, mentions: DataFrame, triples: DataFrame) -> DataFrame:
         """Per-partition lineage + triple-count metrics (north-rule item)."""
         m = (

@@ -190,3 +190,24 @@ def test_unlinked_diagnostics_and_soft_link(spark, pipeline, transcripts_df):
     assert got["甘草霜"][2] >= 0.6
     # every soft link must clear the threshold
     assert all(sim >= 0.6 for _, _, sim in got.values())
+
+
+def test_materialize_graph_bucketed(spark, pipeline, transcripts_df):
+    """Materialized node/edge tables are co-located: the subj = canonical_id
+    join plans zero data exchanges with broadcast disabled."""
+    import re
+
+    tables = pipeline.materialize_graph(pipeline.triples(transcripts_df), buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.table(tables["edges"])
+        n = spark.table(tables["nodes"])
+        j = e.join(n, e.subj == n.canonical_id).select("subj", "pred", "obj", "entity_type")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+        # every edge subject resolves to a node of the right type
+        assert j.count() == e.count()
+        assert e.join(n, e.subj == n.canonical_id, "left_anti").count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
