@@ -25,6 +25,8 @@ Coverage map (operator ids from SURVEY.md §2):
   q_fingerprints       winnowed k-gram document fingerprints (MOSS scheme)
   q_token_quality      whitespace + BPE-ish regex token counts, punct ratio
   q_cos_neardup        embedding-cosine near-dup pairs (exact baseline)
+  q_split              deterministic hash train/val/test split
+  q_pack_bins          sequence packing into token-budget bins
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -650,6 +652,65 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_split(spark, sf_dir):
+    """Deterministic hash split (train/val/test): reproducible across runs,
+    engines, partitionings, and task retries — rand() splits are none of
+    those. Per-split counts + id checksums verified against DuckDB."""
+    from ..ops.sampling import split_by_hash
+
+    d = _read(spark, sf_dir, "documents")
+    s = split_by_hash(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("split").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+SQL_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            WHEN bucket < 10000 THEN 'test' END AS split,
+       count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+FROM b GROUP BY 1
+"""
+
+
+def q_pack_bins(spark, sf_dir):
+    """Sequence packing: docs -> fixed-token-budget bins by prefix-sum
+    chunking over doc_id order; per-bin doc counts and token sums."""
+    from ..ops.sampling import pack_greedy
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_greedy(d, "doc_id", F.col("n_tokens"), budget=500)
+    return packed.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+SQL_PACK_BINS = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT (cum_before // 500)::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens
+FROM c GROUP BY 1
+"""
+
+
 def q_literal_dict(spark, sf_dir):
     """P6: Python-literal dict strings -> typed columns. The literal is
     synthesized from event_id (so DuckDB can predict the outcome without a
@@ -849,6 +910,8 @@ GENERIC_QUERIES = {
     "q_fingerprints": q_fingerprints,
     "q_token_quality": q_token_quality,
     "q_cos_neardup": q_cos_neardup,
+    "q_split": q_split,
+    "q_pack_bins": q_pack_bins,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -881,6 +944,8 @@ GENERIC_ORACLES = {
     "q_fingerprints": SQL_FINGERPRINTS,
     "q_token_quality": SQL_TOKEN_QUALITY,
     "q_cos_neardup": SQL_COS_NEARDUP,
+    "q_split": SQL_SPLIT,
+    "q_pack_bins": SQL_PACK_BINS,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,

@@ -347,3 +347,33 @@ def test_cell_blocked_neardup_subset_of_exact(spark):
                                        assignments=assign).collect()}
     assert blocked <= exact
     assert blocked  # same-cell near neighbors are found
+
+
+def test_split_and_pack(spark):
+    from tcmkg.ops.sampling import pack_greedy, split_by_hash
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s = split_by_hash(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+    # deterministic: same assignment on recompute and under repartitioning
+    s2 = split_by_hash(df.repartition(7), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.select("k", "split").subtract(s2.select("k", "split")).count() == 0
+    # salt decorrelates
+    s3 = split_by_hash(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="x")
+    assert s.select("k", "split").subtract(s3.select("k", "split")).count() > 0
+
+    sized = df.withColumn("sz", (F.col("k") % 97 + 1).cast("long"))
+    packed = pack_greedy(sized, "k", F.col("sz"), budget=1000)
+    stats = packed.groupBy("bin").agg(F.sum("sz").alias("tok")).collect()
+    # prefix-sum chunking: every bin except possibly the last holds
+    # >= budget - max_size + 1 and < budget + max_size tokens
+    toks = {r["bin"]: r["tok"] for r in stats}
+    last = max(toks)
+    for b, t in toks.items():
+        assert t < 1000 + 97
+        if b != last:
+            assert t > 1000 - 97
