@@ -681,15 +681,19 @@ FROM b GROUP BY 1
 
 
 def q_pack_bins(spark, sf_dir):
-    """Sequence packing: docs -> fixed-token-budget bins by prefix-sum
-    chunking over doc_id order; per-bin doc counts and token sums."""
+    """Sequence packing in the SHARDED (scale) shape: shards pack
+    independently in parallel (PARTITION BY shard window, no global sort);
+    bins are (shard, bin) composites."""
     from ..ops.sampling import pack_greedy
 
     d = _read(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    packed = pack_greedy(d, "doc_id", F.col("n_tokens"), budget=500)
-    return packed.groupBy("bin").agg(
+    packed = pack_greedy(
+        d, "doc_id", F.col("n_tokens"), budget=500,
+        shard_col=(F.col("doc_id") % 4),
+    )
+    return packed.groupBy("shard", "bin").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
@@ -697,17 +701,18 @@ def q_pack_bins(spark, sf_dir):
 
 SQL_PACK_BINS = """
 WITH d AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+  SELECT doc_id, doc_id % 4 AS shard, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
 ),
 c AS (
-  SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM d
 )
-SELECT (cum_before // 500)::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+SELECT shard, (cum_before // 500)::BIGINT AS bin, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS sum_tokens
-FROM c GROUP BY 1
+FROM c GROUP BY 1, 2
 """
 
 

@@ -52,15 +52,28 @@ def split_by_hash(
 
 
 def pack_greedy(
-    df: DataFrame, id_col: str, size_col, budget: int, order_col: str | None = None
+    df: DataFrame,
+    id_col: str,
+    size_col,
+    budget: int,
+    order_col: str | None = None,
+    shard_col=None,
 ) -> DataFrame:
-    """-> df + `bin` column: prefix-sum chunking into token-budget bins.
+    """-> df + (`shard`,) `bin` columns: prefix-sum chunking into
+    token-budget bins, deterministic order = `order_col` (default id_col).
 
-    Deterministic order = `order_col` (default: id_col). The single window
-    is the op's only shuffle; at corpus scale, pre-partition by a shard key
-    and pack within shards (pass a composite order) so the sort is
-    range-partition-local rather than global."""
+    ALWAYS pass `shard_col` at corpus scale: packing is order-dependent, so
+    an unsharded window is a single-partition global sort (fine only for
+    verification-sized inputs). With a shard key the window is
+    PARTITION BY shard — each shard packs independently and in parallel,
+    bins are (shard, bin) composites, and at most one under-filled bin per
+    shard is the cost. A hash of any stable id makes a fine shard key."""
     order = order_col or id_col
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    w = Window.orderBy(order)
+    if shard_col is not None:
+        df = df.withColumn("shard", shard_col)
+        w = Window.partitionBy("shard").orderBy(order)
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
     return df.withColumn("bin", F.floor(cum_before / budget).cast("long"))
