@@ -27,6 +27,7 @@ Coverage map (operator ids from SURVEY.md §2):
   q_cos_neardup        embedding-cosine near-dup pairs (exact baseline)
   q_split              deterministic hash train/val/test split
   q_pack_bins          sequence packing into token-budget bins
+  q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -652,6 +653,38 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_shingle_jaccard(spark, sf_dir):
+    """Character 3-gram (shingle) Jaccard near-dup pairs with the shingle
+    DF cap biting (cap=30 on the %13 doc subset): order-sensitive near-dup,
+    complementing token-set q_jaccard_pairs."""
+    from ..ops.dedup import shingle_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    return shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4, max_df=30)
+
+
+SQL_SHINGLE_JACCARD = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+tok0 AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(text, i, 3) FOR i IN range(1, length(text)-3+2)])) AS tok
+  FROM d
+),
+hot AS (SELECT tok FROM tok0 GROUP BY tok HAVING count(*) > 30),
+tok AS (SELECT * FROM tok0 ANTI JOIN hot USING (tok)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.doc_b, round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.4
+"""
+
+
 def q_split(spark, sf_dir):
     """Deterministic hash split (train/val/test): reproducible across runs,
     engines, partitionings, and task retries — rand() splits are none of
@@ -917,6 +950,7 @@ GENERIC_QUERIES = {
     "q_cos_neardup": q_cos_neardup,
     "q_split": q_split,
     "q_pack_bins": q_pack_bins,
+    "q_shingle_jaccard": q_shingle_jaccard,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -951,6 +985,7 @@ GENERIC_ORACLES = {
     "q_cos_neardup": SQL_COS_NEARDUP,
     "q_split": SQL_SPLIT,
     "q_pack_bins": SQL_PACK_BINS,
+    "q_shingle_jaccard": SQL_SHINGLE_JACCARD,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,

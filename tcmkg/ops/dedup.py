@@ -228,6 +228,51 @@ def jaccard_pairs(
     )
 
 
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Character n-gram (shingle) Jaccard near-dup pairs: order-sensitive
+    where token-set Jaccard is not (catches reordered boilerplate and
+    near-verbatim passages). Shingles are generated with native sequence/
+    transform (no Python), then routed through the same DF-guarded join as
+    jaccard_pairs — a ubiquitous shingle is a quadratic hot key exactly
+    like a stopword token."""
+    text = F.col(text_col)
+    n_sh = F.length(text) - n + 1
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.array_distinct(F.transform(idx, lambda i: text.substr(i, F.lit(n))))
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles).alias("tok")
+    )
+    tok = _cap_buckets(tok, ["tok"], max_df)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t2 = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        tok.join(t2, "tok")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select("doc_id", F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_id").join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "doc_b", "jaccard")
+    )
+
+
 def jaccard_dropped_tokens(
     df: DataFrame, id_col: str, text_col: str, max_df: int = 256
 ) -> DataFrame:
