@@ -16,6 +16,8 @@ deterministic and oracle-checkable.
   jaccard_pairs        token-set Jaccard pair join with a document-frequency
                        token guard (stopword-like tokens create quadratic
                        hot keys; drop them from the token universe)
+  shingle_jaccard_pairs char n-gram Jaccard (order-sensitive near-dup),
+                       same DF guard over shingles
 
 Hot-bucket guard (every candidate self-join here): one degenerate bucket —
 empty docs, boilerplate, a shared template — makes a bucket self-join
@@ -124,16 +126,20 @@ def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
     formulation (oracle-hash-verified), ~6x faster."""
     out = np.zeros(len(texts), dtype=np.int64)
     shifts = np.arange(bits, dtype=np.uint64)
+    # token-hash memo: corpora repeat tokens heavily, so md5 cost collapses
+    # from sum(|tokens per doc|) to |vocabulary| per Arrow batch
+    memo: dict[str, int] = {}
+
+    def _h(tok: str) -> int:
+        v = memo.get(tok)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            memo[tok] = v
+        return v
+
     for i, t in enumerate(texts):
         toks = set((t or "").split(" "))
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                for tok in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
-        )
+        h = np.fromiter((_h(tok) for tok in toks), dtype=np.uint64, count=len(toks))
         bitm = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
         votes = (2 * bitm - 1).sum(axis=0)
         v = int((( votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))

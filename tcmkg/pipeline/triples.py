@@ -26,6 +26,8 @@ from .util import salted_distinct_count
 
 DEGREE_CAP = 50
 
+_prev_pairs: DataFrame | None = None  # released on the next assemble call
+
 PRED_OF_KIND = {
     "contains": "formula_contains_herb",
     "p_symptom": "prescription_treat_symptom",
@@ -109,8 +111,13 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
     the dose-weighting aggregation (contains) and once by the shared
     distinct-pairs dedup; the five non-weighted predicates then branch off
     the deduped (tiny) frame, so their filters/anti-joins/caps never touch
-    the full stream again."""
+    the full stream again. The previous call's pair cache is released
+    (same one-resident-copy rule as KGPipeline.triples' mention cache)."""
+    global _prev_pairs
+    if _prev_pairs is not None:
+        _prev_pairs.unpersist()
     pairs = distinct_pairs(mentions).persist()
+    _prev_pairs = pairs
 
     def lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
         w = F.col("weight") if weight else F.lit(None).cast("double")
