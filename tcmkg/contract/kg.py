@@ -306,9 +306,25 @@ def q_kg_stream_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = incremental_mentions(spark, landing, out, ckpt, pipeline=p)
     q.awaitTermination(600)
     t = assemble_triples(spark.read.parquet(out))
-    return t.filter(F.col("pred") == "formula_contains_herb").select(
-        "subj", "obj", F.round("weight", 6).alias("weight")
+    return _materialize_then_cleanup(
+        spark,
+        t.filter(F.col("pred") == "formula_contains_herb").select(
+            "subj", "obj", F.round("weight", 6).alias("weight")
+        ),
+        tmp,
     )
+
+
+def _materialize_then_cleanup(spark: SparkSession, df: DataFrame, tmp: str) -> DataFrame:
+    """Collect the (small) final result and rebuild it as a local DataFrame
+    so the temp landing/checkpoint directory can be deleted immediately —
+    repeated gate runs must not accumulate corpus copies in /tmp."""
+    import shutil
+
+    rows = df.collect()
+    out = spark.createDataFrame(rows, df.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_kg_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,8 +362,12 @@ def q_kg_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     t = assemble_triples(spark.read.parquet(os.path.join(tmp, "mentions")))
-    return t.filter(F.col("pred") == "formula_contains_herb").select(
-        "subj", "obj", F.round("weight", 6).alias("weight")
+    return _materialize_then_cleanup(
+        spark,
+        t.filter(F.col("pred") == "formula_contains_herb").select(
+            "subj", "obj", F.round("weight", 6).alias("weight")
+        ),
+        tmp,
     )
 
 

@@ -41,7 +41,12 @@ def _argmin_cid(cent_list: list[tuple[int, list[float]]]):
     """Column: cid of the nearest (cosine) centroid, as a shuffle-free
     F.aggregate fold over a centroid array LITERAL. Ties keep the lowest
     cid (the list is cid-ascending and the fold compares strictly).
-    Expects columns `v` (array<double>) and `v_norm` (its L2 norm)."""
+    Expects columns `v` (array<double>) and `v_norm` (its L2 norm).
+
+    Zero-norm vectors make every distance NaN; NaN comparisons are false,
+    so the accumulator never advances — seed it with the FIRST centroid so
+    degenerate vectors land in cell 0 (the window-argmin formulation's
+    NaN-ordering behavior) instead of an unreachable cid."""
     cent_arr = F.array(
         *[
             F.struct(
@@ -53,7 +58,8 @@ def _argmin_cid(cent_list: list[tuple[int, list[float]]]):
         ]
     )
     acc0 = F.struct(
-        F.lit(-1).cast("int").alias("cid"), F.lit(float("inf")).alias("d")
+        F.lit(int(cent_list[0][0])).cast("int").alias("cid"),
+        F.lit(float("inf")).alias("d"),
     )
 
     def step(acc, c):

@@ -194,24 +194,13 @@ def simhash_dropped_buckets(
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.5,
-    max_df: int | None = 256,
+def _jaccard_from_tokens(
+    tok: DataFrame, threshold: float, max_df: int | None
 ) -> DataFrame:
-    """Token-set Jaccard near-dup pairs with a document-frequency guard.
-
-    Tokens appearing in more than `max_df` docs (stopword-like) are dropped
-    from the token universe BEFORE the self-join — both the intersection and
-    the set sizes see the same reduced universe, so the measure stays a true
-    Jaccard (over informative tokens) while the join's hot keys are gone.
-    Inspect exclusions with jaccard_dropped_tokens."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    )
+    """(doc_id, tok) rows -> (doc_id, doc_b, jaccard) pairs >= threshold,
+    with the DF guard applied to the shared token universe (both the
+    intersection and the set sizes see the same reduced universe, so the
+    measure stays a true Jaccard over informative tokens)."""
     tok = _cap_buckets(tok, ["tok"], max_df)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     t2 = tok.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -232,6 +221,23 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "doc_b", "jaccard")
     )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs with a document-frequency guard:
+    tokens in more than `max_df` docs (stopword-like) never reach the
+    self-join. Inspect exclusions with jaccard_dropped_tokens."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    return _jaccard_from_tokens(tok, threshold, max_df)
 
 
 def shingle_jaccard_pairs(
@@ -257,26 +263,7 @@ def shingle_jaccard_pairs(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles).alias("tok")
     )
-    tok = _cap_buckets(tok, ["tok"], max_df)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    t2 = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        tok.join(t2, "tok")
-        .filter(F.col("doc_id") < F.col("doc_b"))
-        .groupBy("doc_id", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_a = sizes.select("doc_id", F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sz_a, "doc_id").join(sz_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id", "doc_b", "jaccard")
-    )
+    return _jaccard_from_tokens(tok, threshold, max_df)
 
 
 def jaccard_dropped_tokens(

@@ -68,10 +68,18 @@ class CheckpointStore:
         stage: str,
         compute,
         partition_by: list[str] | None = None,
+        expect_cols: list[str] | None = None,
     ) -> DataFrame:
-        """Compute-or-resume: returns the stage DataFrame either way."""
+        """Compute-or-resume: returns the stage DataFrame either way.
+
+        `expect_cols` guards schema evolution: a stage table written by an
+        older code version that lacks any expected column is recomputed
+        instead of resumed (otherwise downstream references to the new
+        columns fail — or worse, silently disappear from derived metrics)."""
         if self.has(stage):
-            return self.read(spark, stage)
+            df = self.read(spark, stage)
+            if not expect_cols or set(expect_cols) <= set(df.columns):
+                return df
         df = compute()
         self.write(df, stage, partition_by)
         return self.read(spark, stage)

@@ -48,16 +48,23 @@ _DEFAULT_CANON_DIR = os.path.join(
 
 def _gaz_fingerprint(gaz: Gazetteers) -> str:
     """Content+code key for the canonicalization cache: the gazetteer rows
-    plus the source of every module the canonical result depends on."""
+    plus the source of every module the cached tables depend on — including
+    the fold semantics (functions/merge) and THIS module (the node-folding
+    aggregation lives here), so no edit to the producing code can serve
+    stale stage tables."""
     import inspect
+    import sys
 
+    from ..functions import merge as _mod_merge
     from ..kernels import normalize as _mod_norm
     from . import canonicalize as _mod_canon
     from . import cc as _mod_cc
     from . import util as _mod_util
 
     h = hashlib.md5()
-    for mod in (_mod_canon, _mod_cc, _mod_util, _mod_norm):
+    mods = (_mod_canon, _mod_cc, _mod_util, _mod_norm, _mod_merge,
+            sys.modules[__name__])
+    for mod in mods:
         h.update(inspect.getsource(mod).encode())
     for etype, records in sorted(gaz.tables().items()):
         h.update(etype.encode())
@@ -171,7 +178,10 @@ class KGPipeline:
         # call's handle before pinning a new one (one resident copy max).
         prev = getattr(self, "_mentions_handle", None)
         if prev is not None:
-            prev.unpersist()
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # handle may belong to a stopped SparkContext
         mentions = self.mentions(transcripts).persist()
         self._mentions_handle = mentions
         return assemble_triples(mentions)
@@ -193,6 +203,9 @@ class KGPipeline:
             spark, "s1_mentions",
             lambda: self.mentions(transcripts),
             partition_by=["kind"],
+            # schema-evolution guard: a pre-amt_min/amt_max checkpoint must
+            # recompute, not resume (metrics reference the new columns)
+            expect_cols=["amt_min", "amt_max"],
         )
         triples = store.run_stage(
             spark, "s2_triples",

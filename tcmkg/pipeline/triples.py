@@ -115,7 +115,10 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
     (same one-resident-copy rule as KGPipeline.triples' mention cache)."""
     global _prev_pairs
     if _prev_pairs is not None:
-        _prev_pairs.unpersist()
+        try:
+            _prev_pairs.unpersist()
+        except Exception:
+            pass  # previous handle may belong to a stopped SparkContext
     pairs = distinct_pairs(mentions).persist()
     _prev_pairs = pairs
 

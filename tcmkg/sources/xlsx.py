@@ -105,7 +105,7 @@ def read_xlsx(path: str, sheet: str | int = 0, header: bool = True) -> pd.DataFr
                 idx = _col_index(_CELL_REF.match(ref).group(1)) if ref else i
                 cells[idx] = _cell_value(cell, shared)
             rows.append(cells)
-    if not rows:
+    if not any(rows):  # no rows, or only formatting-only (cell-less) rows
         return pd.DataFrame()
     width = max(max(r) for r in rows if r) + 1
     grid = [[r.get(i) for i in range(width)] for r in rows]

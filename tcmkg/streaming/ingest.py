@@ -114,7 +114,9 @@ def stateful_resolve_stream(stream: DataFrame, formula_alias: dict[str, str]) ->
         )
         pdf = pdf[pdf["turn_idx"] > max_turn]
         if len(pdf):
-            tn = pdf["text"].map(text_norm)
+            # null text -> "" (the batch path's text_norm_col is null-safe;
+            # "" carries no rule token, so the row contributes nothing)
+            tn = pdf["text"].map(lambda s: text_norm(s) if isinstance(s, str) else "")
             has_colon = tn.str.contains(":", regex=False)
             p1 = tn.str.split(":", n=1).str[0].where(has_colon)
             f1 = p1.map(formula_alias)
