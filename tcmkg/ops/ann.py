@@ -33,6 +33,14 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _cos(dot, na, nb):
+    """ANSI-safe cosine: zero-norm vectors yield NULL (Spark 4's ANSI mode
+    makes 0/0 a SparkArithmeticException, not NaN). NULL compares false
+    everywhere, so degenerate vectors lose every argmin/top-k comparison
+    instead of crashing the job."""
+    return F.try_divide(dot, na * nb)
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -43,10 +51,11 @@ def _argmin_cid(cent_list: list[tuple[int, list[float]]]):
     cid (the list is cid-ascending and the fold compares strictly).
     Expects columns `v` (array<double>) and `v_norm` (its L2 norm).
 
-    Zero-norm vectors make every distance NaN; NaN comparisons are false,
-    so the accumulator never advances — seed it with the FIRST centroid so
-    degenerate vectors land in cell 0 (the window-argmin formulation's
-    NaN-ordering behavior) instead of an unreachable cid."""
+    Zero-norm vectors make every distance NULL (_cos's try_divide; raw
+    division would be an ANSI-mode error); NULL comparisons are false, so
+    the accumulator never advances — seed it with the FIRST centroid so
+    degenerate vectors land in a real cell instead of an unreachable
+    cid."""
     cent_arr = F.array(
         *[
             F.struct(
@@ -63,7 +72,7 @@ def _argmin_cid(cent_list: list[tuple[int, list[float]]]):
     )
 
     def step(acc, c):
-        d = -_dot(F.col("v"), c["cvec"]) / (F.col("v_norm") * c["cnorm"])
+        d = -_cos(_dot(F.col("v"), c["cvec"]), F.col("v_norm"), c["cnorm"])
         return F.when(
             d < acc["d"], F.struct(c["cid"].alias("cid"), d.alias("d"))
         ).otherwise(acc)
@@ -130,7 +139,7 @@ def ivf_search(
     vectors that is the difference between scanning the corpus per query
     and scanning corpus/n_centroids*nprobe."""
     qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", -_dot(F.col("qv"), F.col("cvec")) / (_norm(F.col("qv")) * _norm(F.col("cvec")))
+        "dist", -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")), _norm(F.col("cvec")))
     )
     wq = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("cid"))
     probe = (
@@ -142,7 +151,7 @@ def ivf_search(
     cand = probe.join(assignments.withColumnRenamed("id", "nid"), "cid")
     cand = cand.join(base, "nid")
     scored = cand.withColumn(
-        "cos", _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+        "cos", _cos(_dot(F.col("qv"), F.col("nv")), _norm(F.col("qv")), _norm(F.col("nv")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (

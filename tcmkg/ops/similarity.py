@@ -165,7 +165,9 @@ def embedding_neardup_pairs(
         a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
         b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
         joined = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    from .ann import _cos as _safe_cos
+
+    cos = _safe_cos(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (
         joined.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)

@@ -211,3 +211,22 @@ def test_materialize_graph_bucketed(spark, pipeline, transcripts_df):
         assert e.join(n, e.subj == n.canonical_id, "left_anti").count() == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_stage_resume_schema_guard(tmp_path, spark):
+    """A stage table written by an older code version (missing an expected
+    column) must recompute instead of resuming."""
+    from pyspark.sql import functions as F
+
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "sg"))
+    old = spark.range(5).select(F.col("id").alias("a"))
+    store.write(old, "s")
+    new = spark.range(5).select(F.col("id").alias("a"), F.lit(1).alias("b"))
+    # without the guard: resumes the old (a-only) table
+    assert store.run_stage(spark, "s", lambda: new).columns == ["a"]
+    # with the guard: recomputes and persists the new schema
+    got = store.run_stage(spark, "s", lambda: new, expect_cols=["b"])
+    assert set(got.columns) == {"a", "b"}
+    assert set(store.read(spark, "s").columns) == {"a", "b"}

@@ -377,3 +377,17 @@ def test_split_and_pack(spark):
         assert t < 1000 + 97
         if b != last:
             assert t > 1000 - 97
+
+
+def test_ivf_zero_vector_stays_reachable(spark):
+    """A zero-norm embedding (NaN cosine to every centroid) must still get
+    a real cell assignment (cell of the first centroid), not vanish."""
+    from tcmkg.ops.ann import build_ivf
+
+    rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(10, 18)]
+    rows.append((99, [0.0, 0.0]))  # degenerate
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent, assign = build_ivf(emb, "vec_id", "embedding", n_centroids=3, n_iter=2)
+    cids = {r["id"]: r["cid"] for r in assign.collect()}
+    valid = {r["cid"] for r in cent.collect()}
+    assert 99 in cids and cids[99] in valid
