@@ -28,6 +28,7 @@ Coverage map (operator ids from SURVEY.md §2):
   q_split              deterministic hash train/val/test split
   q_pack_bins          sequence packing into token-budget bins
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
+  q_lang_id            script-profile language ID (zh / en / mixed)
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -685,6 +686,63 @@ WHERE round(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.4
 """
 
 
+LANG_CN_WORDS = ["甘草", "人参", "主治", "头痛", "口渴"]
+
+
+def q_lang_id(spark, sf_dir):
+    """Script-profile language ID (the n-gram-heuristic shape): classify a
+    synthesized mixed-language string by its CJK vs Latin character ratio.
+    The string mixes events.props (ASCII JSON) with modulo-picked Chinese
+    words, so zh / en / mixed all occur and DuckDB predicts the label."""
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    cn = F.element_at(
+        F.array(*[F.lit(w) for w in LANG_CN_WORDS]), (eid % 5 + 1).cast("int")
+    )
+    s = (
+        F.when(eid % 3 == 0, F.concat(cn, cn, cn))              # pure zh
+        .when(eid % 3 == 1, F.col("props"))                      # pure en/ascii
+        .otherwise(F.concat(F.col("props"), F.lit(" "), cn))     # mixed
+    )
+    d = ev.select(eid.alias("eid"), s.alias("s"))
+    n_cjk = F.size(F.expr("regexp_extract_all(s, '[\\u4e00-\\u9fff]', 0)"))
+    n_lat = F.size(F.expr("regexp_extract_all(s, '[a-zA-Z]', 0)"))
+    ratio = F.try_divide(n_cjk, n_cjk + n_lat)
+    lang = (
+        F.when(ratio >= 0.7, F.lit("zh"))
+        .when(ratio <= 0.1, F.lit("en"))
+        .otherwise(F.lit("mixed"))
+    )
+    return d.select("eid", lang.alias("lang")).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("eid").cast("long").alias("eid_sum"),
+    )
+
+
+SQL_LANG_ID = r"""
+WITH d AS (
+  SELECT event_id AS eid,
+         CASE
+           WHEN event_id % 3 = 0 THEN repeat((['甘草','人参','主治','头痛','口渴'])[(event_id % 5) + 1], 3)
+           WHEN event_id % 3 = 1 THEN props
+           ELSE props || ' ' || (['甘草','人参','主治','头痛','口渴'])[(event_id % 5) + 1]
+         END AS s
+  FROM events
+),
+c AS (
+  SELECT eid,
+         len(regexp_extract_all(s, '[\x{4e00}-\x{9fff}]', 0)) AS n_cjk,
+         len(regexp_extract_all(s, '[a-zA-Z]', 0)) AS n_lat
+  FROM d
+)
+SELECT CASE WHEN n_cjk::DOUBLE / (n_cjk + n_lat) >= 0.7 THEN 'zh'
+            WHEN n_cjk::DOUBLE / (n_cjk + n_lat) <= 0.1 THEN 'en'
+            ELSE 'mixed' END AS lang,
+       count(*)::BIGINT AS n, sum(eid)::BIGINT AS eid_sum
+FROM c GROUP BY 1
+"""
+
+
 def q_split(spark, sf_dir):
     """Deterministic hash split (train/val/test): reproducible across runs,
     engines, partitionings, and task retries — rand() splits are none of
@@ -951,6 +1009,7 @@ GENERIC_QUERIES = {
     "q_split": q_split,
     "q_pack_bins": q_pack_bins,
     "q_shingle_jaccard": q_shingle_jaccard,
+    "q_lang_id": q_lang_id,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -986,6 +1045,7 @@ GENERIC_ORACLES = {
     "q_split": SQL_SPLIT,
     "q_pack_bins": SQL_PACK_BINS,
     "q_shingle_jaccard": SQL_SHINGLE_JACCARD,
+    "q_lang_id": SQL_LANG_ID,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,

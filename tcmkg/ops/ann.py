@@ -122,6 +122,23 @@ def build_ivf(
     return cent, assignments
 
 
+def save_ivf(store, centroids: DataFrame, assignments: DataFrame, prefix: str = "ivf") -> None:
+    """Persist an IVF index as CheckpointStore stage tables — the index is
+    built once per corpus snapshot and reused across search sessions (the
+    Lloyd rounds are the expensive part; a search session only reads two
+    tables)."""
+    store.write(centroids, f"{prefix}_centroids")
+    store.write(assignments, f"{prefix}_assignments")
+
+
+def load_ivf(spark, store, prefix: str = "ivf") -> tuple[DataFrame, DataFrame]:
+    """-> (centroids, assignments) previously saved by save_ivf."""
+    return (
+        store.read(spark, f"{prefix}_centroids"),
+        store.read(spark, f"{prefix}_assignments"),
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     emb: DataFrame,

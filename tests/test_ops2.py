@@ -391,3 +391,29 @@ def test_ivf_zero_vector_stays_reachable(spark):
     cids = {r["id"]: r["cid"] for r in assign.collect()}
     valid = {r["cid"] for r in cent.collect()}
     assert 99 in cids and cids[99] in valid
+
+
+def test_ivf_index_persistence(spark, tmp_path):
+    """An IVF index persisted to the stage store searches identically after
+    reload — index build cost amortizes across sessions."""
+    from tcmkg.contract.generic import q_ann_topk
+    from tcmkg.ops.ann import _as_double, build_ivf, ivf_search, load_ivf, save_ivf
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cent, assign = build_ivf(corpus, "vec_id", "embedding", n_centroids=4, n_iter=2)
+    store = CheckpointStore(str(tmp_path / "ivf"))
+    save_ivf(store, cent, assign)
+    cent2, assign2 = load_ivf(spark, store)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    got = ivf_search(queries, corpus, cent2, assign2, "vec_id", "embedding",
+                     nprobe=4, topk=3)
+    want = q_ann_topk(spark, sf)
+    g = {(r["qid"], r["rk"]): r["neighbor"] for r in got.collect()}
+    w = {(r["qid"], r["rk"]): r["neighbor"] for r in want.collect()}
+    assert g == w  # full probe from the RELOADED index == exact brute force
