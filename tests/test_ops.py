@@ -273,3 +273,83 @@ def test_excel_reader_end_to_end(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_xlsx(x, sheet="nope")
+
+
+def test_multisource_merge_pipeline(spark, tmp_path):
+    """EP1-analogue integration: four heterogeneous sources (CSV, TSV,
+    xlsx, JSON tree) land as one record table, null soup normalized,
+    duplicate records group-merged with A1/A2 fold semantics, then
+    CC-canonicalized — the reference's multi-database ETL shape
+    (extract_herb.py / extract_ingredient.py) end to end on this engine."""
+    import json
+
+    from pyspark.sql import functions as F
+    from tcmkg.functions.merge import group_merge
+    from tcmkg.pipeline.canonicalize import canonicalize
+    from tcmkg.sources.readers import (
+        normalize_nulls,
+        read_csv,
+        read_excel,
+        read_json_tree,
+        read_tsv,
+    )
+
+    # source 1: CSV (CPMCP-like)
+    c = tmp_path / "a.csv"
+    c.write_text(
+        "record_id,names,symmap_id,extdb_id\n"
+        "CSV1,甘草;国老,SM1,None\n"
+        "CSV2,人参,SM2,-\n",
+        encoding="utf-8",
+    )
+    s1 = read_csv(spark, str(c))
+    # source 2: TSV (PharMeBINet-like) — shares SM1 with CSV1
+    t = tmp_path / "b.tsv"
+    t.write_text(
+        "record_id\tnames\tsymmap_id\textdb_id\n"
+        "TSV1\t甜草根\tSM1\tDB7\n"
+        "TSV2\t白术\t\tDB9\n",
+        encoding="utf-8",
+    )
+    s2 = read_tsv(spark, str(t))
+    # source 3: xlsx (SymMap-like) — alias 国老 links to the 甘草 component
+    from tests.test_ops import _write_symmap_like_xlsx  # same-module helper
+
+    x = tmp_path / "c.xlsx"
+    _write_symmap_like_xlsx(str(x))
+    s3 = read_excel(spark, str(x), sheet="herb").select(
+        F.concat(F.lit("XL"), F.col("Herb_id").cast("string")).alias("record_id"),
+        F.col("Chinese_name").alias("names"),
+        F.lit(None).cast("string").alias("symmap_id"),
+        F.lit(None).cast("string").alias("extdb_id"),
+    )
+    # source 4: JSON tree (TCMBank-like) — id in the path
+    jroot = tmp_path / "tree" / "herb"
+    for rid, names, ext in (("J1", "川芎", "DB5"), ("J2", "白术;于术", "DB9")):
+        d = jroot / rid
+        d.mkdir(parents=True)
+        (d / "meta.json").write_text(
+            json.dumps({"names": names, "symmap_id": None, "extdb_id": ext})
+        )
+    s4 = read_json_tree(spark, str(tmp_path / "tree")).select(
+        F.col("path_id").alias("record_id"), "names", "symmap_id", "extdb_id"
+    )
+
+    records = normalize_nulls(s1.unionByName(s2).unionByName(s3).unionByName(s4))
+    # duplicate record ids fold with set-union semantics (none here, but the
+    # A1 pass is part of the reference shape)
+    merged = group_merge(records, "record_id", ["names", "symmap_id", "extdb_id"])
+
+    rec2canon, alias2canon = canonicalize(merged.fillna(""), "IT")
+    canon = {r["record_id"]: r["canonical_id"] for r in rec2canon.collect()}
+    # CSV1 and TSV1 share symmap SM1 -> same canonical entity
+    assert canon["CSV1"] == canon["TSV1"]
+    # xlsx 甘草 record merges into the same entity via the shared name
+    assert canon["XL101"] == canon["CSV1"]
+    # TSV2 and J2 share extdb DB9 AND the name 白术 -> one entity
+    assert canon["TSV2"] == canon["J2"]
+    # unrelated herbs stay separate
+    assert canon["J1"] != canon["CSV1"] and canon["J1"] != canon["TSV2"]
+    # null soup really became NULLs (no 'None'/'-' tokens as keys)
+    aliases = {r["alias"] for r in alias2canon.collect()}
+    assert "None" not in aliases and "-" not in aliases
