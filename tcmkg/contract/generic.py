@@ -29,6 +29,7 @@ Coverage map (operator ids from SURVEY.md §2):
   q_pack_bins          sequence packing into token-budget bins
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
   q_lang_id            script-profile language ID (zh / en / mixed)
+  q_multimodal         multimodal decode plumbing vs driver-side codec oracle
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -864,6 +865,47 @@ FROM d GROUP BY k, flag
 """
 
 
+def q_multimodal(spark, sf_dir):
+    """Multimodal decode plumbing at contract level: the deterministic
+    synthetic media table flows through the mapInPandas feature kernel; the
+    oracle VALUES table is a direct driver-side evaluation of the same
+    codec (no Spark), so the differential pins the Arrow batching, schema,
+    and row alignment (`sf_dir` unused: the media table is synthesized)."""
+    from ..ops.multimodal import decode_features, synth_media
+
+    feats = decode_features(synth_media(spark, 64))
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("fsum"),
+    )
+
+
+def _sql_multimodal() -> str:
+    import hashlib
+
+    from ..ops.multimodal import _decode_image, _features_from
+
+    rows = []
+    for i in range(64):
+        modality = ("image", "audio", "video")[i % 3]
+        blob = b"".join(
+            hashlib.md5(f"{modality}:{i}:{j}".encode()).digest() for j in range(8)
+        )
+        f = _features_from(_decode_image(blob, fake=True))
+        rows.append(
+            f"({i},'{modality}',{round(f[0], 6)!r},{round(sum(f), 6)!r})"
+        )
+    return (
+        "SELECT doc_id::BIGINT AS doc_id, modality, f0::DOUBLE AS f0, "
+        "fsum::DOUBLE AS fsum FROM (VALUES\n" + ",\n".join(rows) +
+        "\n) AS t(doc_id, modality, f0, fsum)"
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors (the exact
     baseline an IVF/LSH index must reproduce). Returns ranks, not floats —
@@ -1010,6 +1052,7 @@ GENERIC_QUERIES = {
     "q_pack_bins": q_pack_bins,
     "q_shingle_jaccard": q_shingle_jaccard,
     "q_lang_id": q_lang_id,
+    "q_multimodal": q_multimodal,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -1046,6 +1089,7 @@ GENERIC_ORACLES = {
     "q_pack_bins": SQL_PACK_BINS,
     "q_shingle_jaccard": SQL_SHINGLE_JACCARD,
     "q_lang_id": SQL_LANG_ID,
+    "q_multimodal": _sql_multimodal(),
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,
