@@ -30,6 +30,8 @@ Coverage map (operator ids from SURVEY.md §2):
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
   q_lang_id            script-profile language ID (zh / en / mixed)
   q_multimodal         multimodal decode plumbing vs driver-side codec oracle
+  q_merge_tolerance    A2 rel-tol agreement per group (data, not a crash)
+  q_stable_rank        W2 two-pass ranking == naive global row_number
   q_ann_topk           brute-force cosine top-k neighbors (ANN baseline)
   q_embed_centroids    per-label centroid (vector agg via posexplode)
 """
@@ -865,6 +867,44 @@ FROM d GROUP BY k, flag
 """
 
 
+def q_merge_tolerance(spark, sf_dir):
+    """A2 rel-tol agreement at contract level: per customer, do order
+    totals agree within rel_tol=0.2? (merge_utility.py:151 as data)."""
+    from ..functions.merge import numeric_agreement
+
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n"),
+        numeric_agreement("o_totalprice"),
+    )
+
+
+SQL_MERGE_TOLERANCE = """
+SELECT o_custkey, count(*)::BIGINT AS n,
+       CASE WHEN count(o_totalprice) <= 1 THEN TRUE
+            ELSE (max(o_totalprice) - min(o_totalprice))
+                 <= 0.2 * greatest(abs(max(o_totalprice)), abs(min(o_totalprice)))
+       END AS o_totalprice_agrees
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_stable_rank(spark, sf_dir):
+    """W2 deterministic surrogate ranking at contract level: the two-pass
+    range-partitioned rank (no global single-partition window) must equal
+    the naive global row_number the oracle computes."""
+    from ..pipeline.util import stable_rank
+
+    keys = _read(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return stable_rank(keys, "o_custkey", "rank")
+
+
+SQL_STABLE_RANK = """
+SELECT o_custkey, (row_number() OVER (ORDER BY o_custkey) - 1)::BIGINT AS rank
+FROM (SELECT DISTINCT o_custkey FROM orders)
+"""
+
+
 def q_multimodal(spark, sf_dir):
     """Multimodal decode plumbing at contract level: the deterministic
     synthetic media table flows through the mapInPandas feature kernel; the
@@ -1053,6 +1093,8 @@ GENERIC_QUERIES = {
     "q_shingle_jaccard": q_shingle_jaccard,
     "q_lang_id": q_lang_id,
     "q_multimodal": q_multimodal,
+    "q_merge_tolerance": q_merge_tolerance,
+    "q_stable_rank": q_stable_rank,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_simhash": q_simhash,
@@ -1090,6 +1132,8 @@ GENERIC_ORACLES = {
     "q_shingle_jaccard": SQL_SHINGLE_JACCARD,
     "q_lang_id": SQL_LANG_ID,
     "q_multimodal": _sql_multimodal(),
+    "q_merge_tolerance": SQL_MERGE_TOLERANCE,
+    "q_stable_rank": SQL_STABLE_RANK,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_simhash": SQL_SIMHASH,
