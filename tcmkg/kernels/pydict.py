@@ -73,8 +73,14 @@ def prop_values(parsed: Column, key: str) -> Column:
 
 
 def prop_first(parsed: Column, key: str) -> Column:
-    """Scalar property: first element of the normalized array, or NULL."""
-    return F.element_at(parsed.getItem(key), 1)
+    """Scalar property: first element of the normalized array, or NULL.
+
+    try_element_at, not element_at: under Spark 4 ANSI mode an EMPTY array
+    value (e.g. {'xrefs': []}) would make element_at raise
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — this module's contract is data, not
+    a crash (the reference's extract_properties returns the empty value
+    without crashing, merge_utility.py:290-307)."""
+    return F.try_element_at(parsed.getItem(key), F.lit(1))
 
 
 def xref_ids(parsed: Column, database: str, xrefs_key: str = "xrefs") -> Column:
@@ -86,7 +92,10 @@ def xref_ids(parsed: Column, database: str, xrefs_key: str = "xrefs") -> Column:
         F.coalesce(parsed.getItem(xrefs_key), F.array()),
         lambda x: F.split(x, ":", 2).getItem(0) == database,
     )
-    ids = F.transform(matches, lambda x: F.element_at(F.split(x, ":", 2), 2))
+    # try_element_at: a colon-less xref entry has no suffix — yield NULL for
+    # that entry instead of an ANSI-mode crash (the reference would crash
+    # here; "data, not a crash" is this module's documented superset)
+    ids = F.transform(matches, lambda x: F.try_element_at(F.split(x, ":", 2), F.lit(2)))
     return F.when(F.size(ids) > 0, F.array_join(ids, ";"))
 
 

@@ -85,6 +85,11 @@ def build_ivf(
 ) -> tuple[DataFrame, DataFrame]:
     """-> (centroids(cid, cvec), assignments(id, cid)).
 
+    Returns exactly n_centroids cells (bounded by the input row count):
+    a cluster that goes empty in a Lloyd round keeps its previous centroid
+    rather than silently shrinking k — ivf_search's nprobe/recall semantics
+    are sized against n_centroids.
+
     Deterministic init: centroids = vectors of the n smallest ids. Each
     Lloyd round is ONE map-side-combinable groupBy-avg; the assign step is
     a pure map (F.aggregate argmin over the centroid literal — no
@@ -114,7 +119,13 @@ def build_ivf(
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
             .collect()  # k rows
         )
-        cent_list = sorted((r["cid"], list(r["cvec"])) for r in new_cent)
+        # a centroid that attracted no vectors this round vanishes from the
+        # groupBy result; keep its previous position instead of silently
+        # shrinking k (callers size nprobe/recall against n_centroids)
+        updated = {r["cid"]: list(r["cvec"]) for r in new_cent}
+        cent_list = sorted(
+            (cid, updated.get(cid, prev)) for cid, prev in cent_list
+        )
     assignments = base.withColumn("cid", _argmin_cid(cent_list)).select("id", "cid")
     cent = emb.sparkSession.createDataFrame(
         cent_list, "cid int, cvec array<double>"

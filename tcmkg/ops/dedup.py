@@ -156,7 +156,13 @@ def simhash(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def _simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    # NULL text carries no signal: drop it BEFORE signing. (Signing "" would
+    # give NULL-text docs a shared signature and join them into buckets —
+    # and diverge from the relational oracle, where string_split(NULL)
+    # unnests to no vote rows at all.)
+    sh = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    )
     return sh.select(
         "id",
         "sh",

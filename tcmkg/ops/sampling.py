@@ -69,8 +69,18 @@ def pack_greedy(
     bins are (shard, bin) composites, and at most one under-filled bin per
     shard is the cost. A hash of any stable id makes a fine shard key."""
     order = order_col or id_col
-    w = Window.orderBy(order)
-    if shard_col is not None:
+    if shard_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_greedy without shard_col builds a SINGLE-PARTITION global-"
+            "sort window — verification-sized inputs only. Pass shard_col "
+            "(hash of any stable id) to pack shards independently in "
+            "parallel at corpus scale.",
+            stacklevel=2,
+        )
+        w = Window.orderBy(order)
+    else:
         df = df.withColumn("shard", shard_col)
         w = Window.partitionBy("shard").orderBy(order)
     cum_before = F.coalesce(

@@ -173,10 +173,16 @@ def incremental_triples_stateful(
     file sink (Spark's _spark_metadata commit log). Unlike
     incremental_mentions, conversations may be split across micro-batches.
     """
+    import shutil
+
     from ..pipeline.extract import extract_mentions
     from ..pipeline.runner import KGPipeline
 
     pipe = pipeline or KGPipeline(spark)
+    # same lineage coupling as incremental_mentions: the file sink's
+    # _spark_metadata commit log belongs to one checkpoint lineage
+    if _fresh_checkpoint(checkpoint_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
     stream = stream_transcripts(spark, landing_dir, max_files_per_trigger)
     resolved = stateful_resolve_stream(stream, pipe.maps["formula"])
     t = F.col("tnorm")
@@ -210,6 +216,18 @@ def mention_sink(pipe, out_dir: str):
     return per_batch
 
 
+def _fresh_checkpoint(checkpoint_dir: str) -> bool:
+    """True when the checkpoint has no committed micro-batches — i.e. epoch
+    ids will start from 0."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    try:
+        return not any(not e.startswith(".") for e in os.listdir(commits))
+    except FileNotFoundError:
+        return True
+
+
 def incremental_mentions(
     spark: SparkSession,
     landing_dir: str,
@@ -217,10 +235,21 @@ def incremental_mentions(
     checkpoint_dir: str,
     pipeline=None,
 ):
-    """Start a stream landing mention partials per micro-batch."""
+    """Start a stream landing mention partials per micro-batch.
+
+    Epoch-keyed OVERWRITE is exactly-once only WITHIN one checkpoint
+    lineage: a fresh/deleted checkpoint restarts epoch ids at 0, which would
+    overwrite epoch=0 but leave stale higher-epoch partials from the prior
+    lineage silently double-counting mentions. So a fresh checkpoint clears
+    out_dir before the stream starts — one output directory belongs to one
+    checkpoint lineage."""
+    import shutil
+
     from ..pipeline.runner import KGPipeline
 
     pipe = pipeline or KGPipeline(spark)
+    if _fresh_checkpoint(checkpoint_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
     stream = stream_transcripts(spark, landing_dir)
 
     return (

@@ -1,0 +1,144 @@
+"""Round-3 hardening tests: ANSI-safe pydict extraction, simhash NULL-text
+agreement with the oracle, IVF empty-cluster reseed, fresh-checkpoint epoch
+hygiene, pack_greedy footgun guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_prop_first_empty_list_is_null_not_crash(spark):
+    """{'xrefs': []} must yield NULL, not INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    (Spark 4 ANSI mode is on by default; the reference's extract_properties
+    returns the empty value without crashing)."""
+    from tcmkg.kernels.pydict import parse_literal_dict, prop_first, xref_ids
+
+    rows = [
+        (0, "{'xrefs': [], 'score': 3}"),          # empty list property
+        (1, "{'xrefs': ['OMIM:1', 'OMIM'], 'score': 7}"),  # colon-less entry
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    out = (
+        df.select(
+            "id",
+            parse_literal_dict(F.col("props")).alias("p"),
+        )
+        .select(
+            "id",
+            prop_first(F.col("p"), "xrefs").alias("first_xref"),
+            prop_first(F.col("p"), "score").alias("score"),
+            xref_ids(F.col("p"), "OMIM").alias("omim"),
+        )
+        .collect()
+    )
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["first_xref"] is None      # empty array -> NULL, no crash
+    assert by_id[0]["score"] == "3"
+    assert by_id[0]["omim"] is None            # no matching xref entries
+    assert by_id[1]["first_xref"] == "OMIM:1"
+    # colon-less 'OMIM' entry matches the database prefix but has no suffix:
+    # its NULL id is skipped by array_join, leaving the real one
+    assert by_id[1]["omim"] == "1"
+    assert by_id[2]["first_xref"] is None      # NULL cell stays NULL
+
+
+def test_simhash_null_text_never_buckets(spark):
+    """NULL-text docs must not receive a signature from '' and join into
+    buckets — the relational oracle (string_split(NULL) unnests to nothing)
+    drops them, so the Spark path must too."""
+    from tcmkg.ops.dedup import simhash_candidates, simhash_dropped_buckets
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta epsilon"),
+        (2, None),
+        (3, None),  # two NULL docs: signing "" would pair them
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]) for r in
+             simhash_candidates(df, "doc_id", "text", max_bucket=None).collect()}
+    assert (2, 3) not in pairs
+    ids = {i for p in pairs for i in p}
+    assert ids <= {0, 1}
+    assert simhash_dropped_buckets(df, "doc_id", "text").count() == 0
+
+
+def test_ivf_empty_cluster_keeps_k(spark):
+    """A Lloyd round that empties a cluster must not silently shrink k:
+    the returned centroids table keeps n_centroids rows (empty cells retain
+    their previous centroid)."""
+    from tcmkg.ops.ann import build_ivf
+
+    # seeds are the vectors of the 3 smallest ids; ids 0 and 1 are identical,
+    # so every point strictly prefers cluster 0 or 2 and cluster 1 goes
+    # empty in round one
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent, assign = build_ivf(df, "vec_id", "embedding", n_centroids=3, n_iter=3)
+    assert cent.count() == 3                       # no silent shrink
+    assert assign.count() == 5
+    # every assignment still lands in a real cell
+    cids = {r["cid"] for r in cent.collect()}
+    assert {r["cid"] for r in assign.collect()} <= cids
+
+
+def test_fresh_checkpoint_clears_stale_epochs(spark, tmp_path, pipeline, transcripts_pdf):
+    """Reusing out_dir with a DELETED checkpoint restarts epoch ids at 0;
+    stale higher-epoch partials from the prior lineage must not survive and
+    double-count mentions."""
+    import shutil
+
+    from tcmkg.pipeline.triples import assemble_triples
+    from tcmkg.streaming.ingest import incremental_mentions
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    convs = sorted(transcripts_pdf.conv_id.unique())
+    half = set(convs[: len(convs) // 2])
+    transcripts_pdf[transcripts_pdf.conv_id.isin(half)].to_parquet(
+        landing / "a.parquet", **kw)
+    transcripts_pdf[~transcripts_pdf.conv_id.isin(half)].to_parquet(
+        landing / "b.parquet", **kw)
+
+    out, ckpt = str(tmp_path / "mentions"), str(tmp_path / "ckpt")
+    q = incremental_mentions(spark, str(landing), out, ckpt, pipeline=pipeline)
+    q.awaitTermination(240)
+    want = sorted(
+        (r["subj"], r["pred"], r["obj"], round(r["weight"] or 0.0, 9))
+        for r in assemble_triples(spark.read.parquet(out)).collect()
+    )
+
+    # new lineage over the same out_dir: epochs restart at 0
+    shutil.rmtree(ckpt)
+    q2 = incremental_mentions(spark, str(landing), out, ckpt, pipeline=pipeline)
+    q2.awaitTermination(240)
+    got = sorted(
+        (r["subj"], r["pred"], r["obj"], round(r["weight"] or 0.0, 9))
+        for r in assemble_triples(spark.read.parquet(out)).collect()
+    )
+    assert got == want  # identical, not doubled
+
+
+def test_pack_greedy_warns_without_shard(spark):
+    from tcmkg.ops.sampling import pack_greedy
+
+    df = spark.createDataFrame([(i, 10) for i in range(20)], "id long, sz long")
+    with pytest.warns(UserWarning, match="SINGLE-PARTITION"):
+        packed = pack_greedy(df, "id", F.col("sz"), budget=50)
+    assert packed.count() == 20
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # sharded path must stay silent
+        packed = pack_greedy(
+            df, "id", F.col("sz"), budget=50, shard_col=(F.col("id") % 2)
+        )
+    assert packed.count() == 20
