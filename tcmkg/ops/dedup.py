@@ -272,6 +272,149 @@ def shingle_jaccard_pairs(
     return _jaccard_from_tokens(tok, threshold, max_df)
 
 
+def pair_jaccard(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Token-set Jaccard for SPECIFIC (a, b) pairs — the verification step
+    of a candidates→verify chain. Unlike jaccard_pairs (a token self-join
+    that needs the DF guard), this attaches each doc's distinct-token array
+    to the bounded candidate set with two equi-joins and scores per row with
+    native array ops; the full token universe applies (no guard needed —
+    nothing here is quadratic)."""
+    toks = df.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+    )
+    out = (
+        pairs.join(toks.withColumnRenamed("_jid", "a").withColumnRenamed("_toks", "ta"), "a")
+        .join(toks.withColumnRenamed("_jid", "b").withColumnRenamed("_toks", "tb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")),
+                6,
+            ),
+        )
+    )
+    return out.select("a", "b", "jaccard")
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    max_bucket: int = 256,
+    threshold: float = 0.5,
+) -> dict[str, DataFrame]:
+    """End-to-end near-duplicate deduplication — corpus in, deduplicated
+    corpus + removal map + drop metrics out (the operator a training-data
+    pipeline actually calls; composition analogous to the reference's
+    union-find merge driver, merge_utility.py:166-231 as driven by
+    extract_herb.py:410-446).
+
+    Chain (every stage is the already-verified building block):
+      1. minhash_signatures        pure-JVM band signatures
+      2. lsh_candidate_pairs       bucket join, hot buckets capped
+      3. pair_jaccard >= threshold verification on the bounded candidates
+      4. oversize-bucket routing   members of dropped buckets are
+                                   near-certain duplicates: route them
+                                   through exact_dedup (identical text →
+                                   certain, jaccard≡1.0) instead of a
+                                   quadratic pair join
+      5. connected_components      transitive closure over verified + exact
+                                   edges; survivor = min id per component
+
+    Returns {"kept", "removals", "dropped_buckets", "metrics"}:
+      kept            df minus removed docs
+      removals        (removed_doc, keep_doc, via): via = 'near' (verified
+                      candidate chain) or 'exact_hot_bucket' (identical-text
+                      member of a capped bucket)
+      dropped_buckets the lsh_dropped_buckets metric (no silent caps: a
+                      hot-bucket doc whose text is NOT identical to another
+                      member is conservatively KEPT and visible here)
+      metrics         (metric, value) counts for lineage
+
+    Scale shape: no all-pairs path — candidates are bucketed AND capped,
+    verification touches only candidates, the exact route is a map-side-
+    combinable hash groupBy, and CC is the checkpointed min-label
+    propagation whose MIN aggregations neutralize hot keys.
+    """
+    from ..pipeline.cc import connected_components
+
+    ids = F.col(id_col)
+    sigs = minhash_signatures(df, id_col, text_col, n_bands)
+    pairs = lsh_candidate_pairs(sigs, max_bucket)
+    dropped = lsh_dropped_buckets(sigs, max_bucket)
+
+    verified = pair_jaccard(pairs, df, id_col, text_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+    # oversize-bucket routing: identical-text members of capped buckets are
+    # certain duplicates; dedup them by content hash (never a pair join)
+    hot_docs = (
+        sigs.join(F.broadcast(dropped.select("band", "sig")), ["band", "sig"], "left_semi")
+        .select(F.col("id").alias("hid"))
+        .distinct()
+    )
+    hot_texts = df.select(ids.alias("hid"), F.md5(F.col(text_col)).alias("th")).join(
+        hot_docs, "hid"
+    )
+    exact_keep = hot_texts.groupBy("th").agg(F.min("hid").alias("keep"))
+    exact_edges = (
+        hot_texts.join(exact_keep, "th")
+        .filter(F.col("hid") != F.col("keep"))
+        .select(F.col("keep").alias("a"), F.col("hid").alias("b"))
+    )
+
+    # one CC over both edge kinds: components merge transitively even when a
+    # doc is reachable through both routes, so survivors are consistent
+    edges = verified.select("a", "b").unionByName(exact_edges).dropDuplicates(["a", "b"])
+    ekey = F.concat(F.col("a").cast("string"), F.lit("|"), F.col("b").cast("string"))
+    incidence = (
+        edges.select(F.col("a").alias("node"), ekey.alias("key"))
+        .unionByName(edges.select(F.col("b").alias("node"), ekey.alias("key")))
+    )
+    comp = connected_components(incidence)
+    removals = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("removed_doc"), F.col("component").alias("keep_doc")
+    )
+    exact_removed = exact_edges.select(F.col("b").alias("removed_doc")).distinct()
+    removals = removals.join(
+        exact_removed.withColumn("_ex", F.lit(True)), "removed_doc", "left"
+    ).select(
+        "removed_doc",
+        "keep_doc",
+        F.when(F.col("_ex"), F.lit("exact_hot_bucket")).otherwise(F.lit("near")).alias("via"),
+    )
+
+    kept = df.join(
+        removals.select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
+    )
+
+    def _count1(name: str, d: DataFrame) -> DataFrame:
+        return d.agg(F.count("*").cast("long").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    metrics = (
+        _count1("n_docs", df)
+        .unionByName(_count1("n_candidate_pairs", pairs))
+        .unionByName(_count1("n_verified_pairs", verified))
+        .unionByName(_count1("n_dropped_buckets", dropped))
+        .unionByName(_count1("n_hot_docs", hot_docs))
+        .unionByName(_count1("n_removed", removals))
+    )
+    return {
+        "kept": kept,
+        "removals": removals,
+        "dropped_buckets": dropped,
+        "metrics": metrics,
+    }
+
+
 def jaccard_dropped_tokens(
     df: DataFrame, id_col: str, text_col: str, max_df: int = 256
 ) -> DataFrame:

@@ -126,6 +126,44 @@ def test_fresh_checkpoint_clears_stale_epochs(spark, tmp_path, pipeline, transcr
     assert got == want  # identical, not doubled
 
 
+def test_near_dedup_composition(spark):
+    """Corpus in → deduplicated corpus + removal map out, with bounded work
+    on a planted boilerplate cluster: 500 identical docs route through
+    exact_dedup (hash groupBy, one survivor), near-identical variants chain
+    through candidates→verify→CC, and unrelated docs survive untouched."""
+    from tcmkg.ops.dedup import near_dedup
+
+    boiler = [(i, "lorem ipsum boilerplate footer text") for i in range(500)]
+    near = [
+        (1000, "alpha beta gamma delta epsilon zeta"),
+        (1001, "alpha beta gamma delta epsilon eta"),      # near-dup of 1000
+        (1002, "alpha beta gamma delta theta iota"),       # near-dup of 1000/1001
+    ]
+    distinct = [
+        (2000, "spark shuffles partitions across cluster nodes"),
+        (2001, "completely different content about query optimizers"),
+    ]
+    df = spark.createDataFrame(boiler + near + distinct, "doc_id long, text string")
+    out = near_dedup(df, "doc_id", "text", max_bucket=64, threshold=0.5)
+
+    removals = {r["removed_doc"]: (r["keep_doc"], r["via"]) for r in out["removals"].collect()}
+    kept = {r["doc_id"] for r in out["kept"].collect()}
+
+    # the 499 boilerplate copies collapse to doc 0 via the exact route —
+    # without 500*499/2 candidate pairs ever materializing
+    assert all(removals[i] == (0, "exact_hot_bucket") for i in range(1, 500))
+    # the near-dup chain collapses transitively to min id 1000
+    assert removals[1001][0] == 1000 and removals[1001][1] == "near"
+    assert removals[1002][0] == 1000
+    assert kept == {0, 1000, 2000, 2001}
+
+    m = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+    assert m["n_docs"] == 505 and m["n_removed"] == 501
+    assert m["n_dropped_buckets"] == 4          # the boilerplate bucket x 4 bands
+    assert m["n_hot_docs"] == 500
+    assert m["n_candidate_pairs"] < 50          # bounded: no quadratic path
+
+
 def test_pack_greedy_warns_without_shard(spark):
     from tcmkg.ops.sampling import pack_greedy
 
