@@ -1065,6 +1065,27 @@ def q_ann_ivf(spark, sf_dir):
                       nprobe=4, topk=3)
 
 
+def q_ann_ivf2(spark, sf_dir):
+    """TWO-LEVEL (hierarchical) IVF with full probe: coarse cells from a
+    deterministic sample + joint sub-kmeans (broadcast-join assign, no
+    k-sized literal), flattened and searched across ALL cells — must
+    reproduce exact brute-force top-k, hash-verified against the same
+    oracle as q_ann_topk. This is the k~10^5 build path proven on small k."""
+    from ..ops.ann import _as_double, build_ivf2, flatten_ivf2, ivf_search
+
+    e = _read(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent2, assign2 = build_ivf2(
+        corpus, "vec_id", "embedding", n_coarse=2, n_sub=2, n_iter=2
+    )
+    cent, assign = flatten_ivf2(cent2, assign2)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    return ivf_search(queries, corpus, cent, assign, "vec_id", "embedding",
+                      nprobe=4, topk=3)
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash per document (vectorized pandas UDF). The DuckDB
     oracle rebuilds the bit votes relationally (unnest tokens x 64 bits),
@@ -1155,6 +1176,7 @@ GENERIC_QUERIES = {
     "q_stable_rank": q_stable_rank,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_ivf2": q_ann_ivf2,
     "q_simhash": q_simhash,
     "q_embed_centroids": q_embed_centroids,
 }
@@ -1195,6 +1217,7 @@ GENERIC_ORACLES = {
     "q_stable_rank": SQL_STABLE_RANK,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
+    "q_ann_ivf2": SQL_ANN_TOPK,  # two-level full probe: same exactness bar
     "q_simhash": SQL_SIMHASH,
     "q_embed_centroids": SQL_EMBED_CENTROIDS,
 }

@@ -99,9 +99,8 @@ def build_ivf(
 
     Scale note: the literal holds k*dim scalars — fine through k in the
     thousands at typical dims. At the k ~ 10^5-10^6 a trillion-vector
-    corpus wants, switch to hierarchical k-means (cluster a sample for
-    coarse cells, then per-cell sub-kmeans); the per-round dataflow here is
-    unchanged inside each level."""
+    corpus wants, use build_ivf2 (hierarchical: sample-based coarse cells +
+    one joint broadcast-join sub-kmeans — no k-sized literal anywhere)."""
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("v_norm", _norm(F.col("v")))
@@ -131,6 +130,175 @@ def build_ivf(
         cent_list, "cid int, cvec array<double>"
     )
     return cent, assignments
+
+
+def _argmin_sub(subs):
+    """Column: scid of the nearest sub-centroid, folding over an array
+    COLUMN of struct<scid,cvec,cnorm> (vs _argmin_cid's literal) — the
+    two-level assign step. Same semantics: strict < keeps the lowest scid on
+    ties (arrays are scid-ascending), NULL distances (zero-norm vectors)
+    never advance the accumulator so the seed (first sub-centroid) wins."""
+    acc0 = F.struct(
+        F.element_at(subs, 1)["scid"].alias("scid"), F.lit(float("inf")).alias("d")
+    )
+
+    def step(acc, c):
+        d = -_cos(_dot(F.col("v"), c["cvec"]), F.col("v_norm"), c["cnorm"])
+        return F.when(
+            d < acc["d"], F.struct(c["scid"].alias("scid"), d.alias("d"))
+        ).otherwise(acc)
+
+    return F.aggregate(subs, acc0, step)["scid"]
+
+
+def _subs_df(spark, sub: dict[int, list[list[float]]]) -> DataFrame:
+    """sub: cid -> scid-ordered sub-centroid vectors, as the broadcastable
+    (cid, subs) side of the joint sub-assign join."""
+    rows = [
+        (
+            cid,
+            [
+                (scid, vec, float(sum(x * x for x in vec)) ** 0.5)
+                for scid, vec in enumerate(vecs)
+            ],
+        )
+        for cid, vecs in sorted(sub.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cid int, subs array<struct<scid:int, cvec:array<double>, cnorm:double>>",
+    )
+
+
+def build_ivf2(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_coarse: int = 4,
+    n_sub: int = 4,
+    n_iter: int = 3,
+    sample_size: int = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level (hierarchical) IVF build — the k ~ 10^5+ path build_ivf's
+    scale note names. Effective k = n_coarse * n_sub cells WITHOUT a k-sized
+    expression literal anywhere:
+
+      level 1  coarse k-means on a deterministic sample (the n smallest
+               ids), run driver-side in numpy — the sample is tiny by
+               construction, and the resulting n_coarse centroids are small
+               enough for _argmin_cid's literal fold (map-only, no Exchange).
+      level 2  ONE JOINT sub-kmeans across all coarse cells: each Lloyd
+               round assigns via broadcast-join (cid -> that cell's
+               sub-centroid array) + an F.aggregate argmin fold over the
+               joined array column, then updates with a single map-side-
+               combinable groupBy(cid, scid) average. Cost per round is
+               independent of the number of cells; the fact table is never
+               hash-shuffled (BroadcastExchange only — asserted in tests).
+
+    The broadcast payload is the index itself (n_coarse*n_sub vectors) —
+    the same thing ivf_search must broadcast anyway, so memory is not a new
+    constraint. Empty (cid, scid) cells keep their previous centroid (no
+    silent k shrink, same rule as build_ivf).
+
+    -> (centroids(cid, scid, gid, cvec), assignments(id, cid, scid, gid))
+    with gid = cid * n_sub + scid, the flat cell id ivf_search consumes via
+    flatten_ivf2."""
+    import numpy as np
+
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("v_norm", _norm(F.col("v")))
+    base = base.localCheckpoint()
+
+    samp = base.orderBy("id").limit(sample_size).collect()
+    S = np.array([list(r["v"]) for r in samp], dtype=float)
+
+    def _cos_sims(X, C):
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (X @ C.T) / (xn * cn.T)
+        # zero-norm rows: no signal -> first centroid (the fold's seed rule)
+        return np.nan_to_num(sims, nan=-np.inf)
+
+    k1 = min(n_coarse, len(S))
+    C = S[:k1].copy()
+    for _ in range(n_iter):
+        a = np.argmax(_cos_sims(S, C), axis=1)  # first max = lowest cid, as the fold
+        for c in range(k1):
+            members = S[a == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    coarse_list = [(i, [float(x) for x in C[i]]) for i in range(k1)]
+
+    # sub-init from the sample: per cell, its first n_sub distinct member
+    # vectors (id order); short cells pad with the coarse centroid — a
+    # duplicate seed attracts nothing and the keep-previous rule retains it,
+    # so every cell keeps exactly n_sub sub-centroids
+    a = np.argmax(_cos_sims(S, C), axis=1)
+    sub: dict[int, list[list[float]]] = {}
+    for c in range(k1):
+        seen, picks = set(), []
+        for vec in S[a == c]:
+            t = tuple(vec)
+            if t not in seen:
+                seen.add(t)
+                picks.append([float(x) for x in vec])
+            if len(picks) >= n_sub:
+                break
+        while len(picks) < n_sub:
+            picks.append([float(x) for x in C[c]])
+        sub[c] = picks
+
+    spark = emb.sparkSession
+    coarse_assigned = base.withColumn("cid", _argmin_cid(coarse_list))
+    for _ in range(n_iter):
+        assigned = coarse_assigned.join(F.broadcast(_subs_df(spark, sub)), "cid").withColumn(
+            "scid", _argmin_sub(F.col("subs"))
+        )
+        new_sub = (
+            assigned.select("cid", "scid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "scid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid", "scid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", "scid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+            .collect()  # k1*k2 rows — the index size, small by definition
+        )
+        updated = {(r["cid"], r["scid"]): list(r["cvec"]) for r in new_sub}
+        sub = {
+            c: [updated.get((c, s), prev) for s, prev in enumerate(vecs)]
+            for c, vecs in sub.items()
+        }
+
+    assignments = (
+        coarse_assigned.join(F.broadcast(_subs_df(spark, sub)), "cid")
+        .withColumn("scid", _argmin_sub(F.col("subs")))
+        .select(
+            "id", "cid", "scid",
+            (F.col("cid") * n_sub + F.col("scid")).cast("int").alias("gid"),
+        )
+    )
+    centroids = spark.createDataFrame(
+        [
+            (c, s, c * n_sub + s, vec)
+            for c, vecs in sorted(sub.items())
+            for s, vec in enumerate(vecs)
+        ],
+        "cid int, scid int, gid int, cvec array<double>",
+    )
+    return centroids, assignments
+
+
+def flatten_ivf2(
+    centroids: DataFrame, assignments: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level index -> the flat (cid, cvec) / (id, cid) shape ivf_search
+    consumes: gid becomes the flat cell id."""
+    return (
+        centroids.select(F.col("gid").alias("cid"), "cvec"),
+        assignments.select("id", F.col("gid").alias("cid")),
+    )
 
 
 def save_ivf(store, centroids: DataFrame, assignments: DataFrame, prefix: str = "ivf") -> None:

@@ -164,6 +164,34 @@ def test_near_dedup_composition(spark):
     assert m["n_candidate_pairs"] < 50          # bounded: no quadratic path
 
 
+def test_ivf2_full_probe_equals_exact(spark):
+    """Two-level IVF, all cells probed, must reproduce brute-force top-k —
+    and its assign dataflow must never hash-shuffle the fact table
+    (BroadcastExchange only)."""
+    import re
+
+    from tcmkg.contract.generic import q_ann_ivf2, q_ann_topk
+    from tcmkg.ops.ann import build_ivf2
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["qid"], r["rk"], r["neighbor"]) for r in q_ann_topk(spark, sf).collect()}
+    got = {(r["qid"], r["rk"], r["neighbor"]) for r in q_ann_ivf2(spark, sf).collect()}
+    assert got == exact
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cent, assign = build_ivf2(emb, "vec_id", "embedding", n_coarse=3, n_sub=2, n_iter=2)
+    assert cent.count() == 6                      # no silent cell shrink
+    rows = assign.collect()
+    assert len(rows) == emb.count()
+    assert all(r["gid"] == r["cid"] * 2 + r["scid"] for r in rows)
+
+    # the assign plan: zero data exchanges (broadcast join + map-side fold)
+    assign.count()
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_pack_greedy_warns_without_shard(spark):
     from tcmkg.ops.sampling import pack_greedy
 
