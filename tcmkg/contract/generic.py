@@ -169,6 +169,42 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs r WHERE r.a = p.b AND r.b = p.a)
 """
 
 
+def q_two_hop(spark, sf_dir):
+    """Obj-direction traversal: 2-hop paths a→via→b over a directed edge
+    set, aggregated per endpoint pair (the forward+reverse edge walk of
+    merge_utility.py:11-34 as a join). At scale this join runs bucket-local
+    over the subj- and obj-bucketed copies materialize_graph writes (zero
+    data exchanges — asserted in tests/test_round3.py); the contract query
+    uses the same plain-join semantics the oracle can replay."""
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            (F.col("l_partkey") % 400).alias("a"), (F.col("l_suppkey") % 400).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    hop1 = pairs.filter(F.col("a") < 50).select("a", F.col("b").alias("via"))
+    hop2 = pairs.select(F.col("a").alias("via"), F.col("b").alias("c"))
+    return (
+        hop1.join(hop2, "via")
+        .groupBy("a", "c")
+        .agg(F.count("*").cast("long").alias("n_paths"), F.min("via").alias("min_via"))
+    )
+
+
+SQL_TWO_HOP = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey % 400 AS a, l_suppkey % 400 AS b
+  FROM lineitem WHERE l_partkey % 400 <> l_suppkey % 400
+)
+SELECT p1.a, p2.b AS c, count(*)::BIGINT AS n_paths, min(p1.b) AS min_via
+FROM pairs p1 JOIN pairs p2 ON p1.b = p2.a
+WHERE p1.a < 50
+GROUP BY p1.a, p2.b
+"""
+
+
 def q_semi_anti(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
@@ -1146,6 +1182,7 @@ GENERIC_QUERIES = {
     "q_outer_join_align": q_outer_join_align,
     "q_dim_join_revenue": q_dim_join_revenue,
     "q_antisymmetry": q_antisymmetry,
+    "q_two_hop": q_two_hop,
     "q_semi_anti": q_semi_anti,
     "q_degree_cap": q_degree_cap,
     "q_xref_parse": q_xref_parse,
@@ -1187,6 +1224,7 @@ GENERIC_ORACLES = {
     "q_outer_join_align": SQL_OUTER_JOIN_ALIGN,
     "q_dim_join_revenue": SQL_DIM_JOIN_REVENUE,
     "q_antisymmetry": SQL_ANTISYMMETRY,
+    "q_two_hop": SQL_TWO_HOP,
     "q_semi_anti": SQL_SEMI_ANTI,
     "q_degree_cap": SQL_DEGREE_CAP,
     "q_xref_parse": SQL_XREF_PARSE,

@@ -192,6 +192,35 @@ def test_ivf2_full_probe_equals_exact(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_two_hop_bucket_local(spark, pipeline, transcripts_df):
+    """The 2-hop subj→obj→obj traversal over the materialized graph must
+    (a) equal a plain DataFrame self-join of the triples and (b) plan ZERO
+    data exchanges — hop 1 reads the obj-bucketed copy, hop 2 the
+    subj-bucketed copy, so the join key is the bucket key on both sides."""
+    import re
+
+    triples = pipeline.triples(transcripts_df)
+    pipeline.materialize_graph(triples)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        paths = pipeline.two_hop()
+        got = {(r["a"], r["via"], r["b"], r["pred1"], r["pred2"])
+               for r in paths.collect()}
+        plan = paths._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    e1 = triples.select(F.col("subj").alias("a"), F.col("pred").alias("pred1"),
+                        F.col("obj").alias("via"))
+    e2 = triples.select(F.col("subj").alias("via"), F.col("pred").alias("pred2"),
+                        F.col("obj").alias("b"))
+    want = {(r["a"], r["via"], r["b"], r["pred1"], r["pred2"])
+            for r in e1.join(e2, "via").collect()}
+    assert got == want and got  # non-empty: herb→disease→disease chains exist
+
+
 def test_pack_greedy_warns_without_shard(spark):
     from tcmkg.ops.sampling import pack_greedy
 
