@@ -371,6 +371,48 @@ def q_kg_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BATCH maintenance vs the full-batch oracle: the corpus
+    lands in two tranches (whole conversations per tranche), each processed
+    by run_incremental — only unseen files are read, mention partials merge
+    across tranches (they are combinable by construction), and the final
+    formula_contains_herb weights must hash-match SQL_KG_CONTAINS exactly:
+    two incremental runs ≡ one full-batch run."""
+    import os
+    import shutil
+    import tempfile
+
+    p = _pipeline(spark)
+    tmp = tempfile.mkdtemp(prefix="tcmkg_incr_contract_")
+    landing = os.path.join(tmp, "landing")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(landing)
+    full = transcriptize(spark, sf_dir)
+    half = F.crc32(F.col("conv_id")) % 2 == 0
+    tranche_a = os.path.join(tmp, "a")
+    tranche_b = os.path.join(tmp, "b")
+    full.filter(half).repartition(4, "conv_id").write.parquet(tranche_a)
+    full.filter(~half).repartition(4, "conv_id").write.parquet(tranche_b)
+
+    def _land(src: str, prefix: str) -> None:
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(landing, f"{prefix}_{i}.parquet"))
+
+    _land(tranche_a, "t0")
+    p.run_incremental(landing, ckpt)  # tranche 1
+    _land(tranche_b, "t1")
+    out = p.run_incremental(landing, ckpt)  # tranche 2: only the new files
+    t = out["triples"]
+    return _materialize_then_cleanup(
+        spark,
+        t.filter(F.col("pred") == "formula_contains_herb").select(
+            "subj", "obj", F.round("weight", 6).alias("weight")
+        ),
+        tmp,
+    )
+
+
 # planted near-miss herb variants (tier-3 linking inputs): real-name
 # decorations/typos that exact/probe linking cannot resolve
 SOFT_LINK_TOKENS = [
@@ -654,6 +696,7 @@ KG_QUERIES = {
     "kg_nodes": q_kg_nodes,
     "kg_stream_contains": q_kg_stream_contains,
     "kg_stream_stateful": q_kg_stream_stateful,
+    "kg_incremental": q_kg_incremental,
     "kg_soft_link": q_kg_soft_link,
 }
 
@@ -669,5 +712,6 @@ KG_ORACLES = {
     "kg_nodes": _sql_kg_nodes(),
     "kg_stream_contains": SQL_KG_CONTAINS,  # stream must equal batch oracle
     "kg_stream_stateful": SQL_KG_CONTAINS,  # cross-batch state, same oracle
+    "kg_incremental": SQL_KG_CONTAINS,  # two tranches must equal full batch
     "kg_soft_link": _sql_kg_soft_link(),
 }

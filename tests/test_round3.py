@@ -221,6 +221,66 @@ def test_two_hop_bucket_local(spark, pipeline, transcripts_df):
     assert got == want and got  # non-empty: herb→disease→disease chains exist
 
 
+def _land_halves(tmp_path, transcripts_pdf):
+    """Two arrival tranches, whole conversations per tranche."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    convs = sorted(transcripts_pdf.conv_id.unique())
+    half = set(convs[: len(convs) // 2])
+    a = transcripts_pdf[transcripts_pdf.conv_id.isin(half)]
+    b = transcripts_pdf[~transcripts_pdf.conv_id.isin(half)]
+    return landing, a, b, kw
+
+
+def test_run_incremental_two_tranches_equal_batch(
+    spark, tmp_path, pipeline, golden_triples, transcripts_pdf
+):
+    """Two incremental runs over staggered arrivals must equal one batch
+    run (and the oracle); a third run with no new files is a no-op; a
+    crashed run's uncommitted tranche dir is cleaned up, not double-counted."""
+    import os
+    import shutil
+
+    landing, a, b, kw = _land_halves(tmp_path, transcripts_pdf)
+    ckpt = str(tmp_path / "ckpt")
+
+    a.to_parquet(landing / "arrival_0.parquet", **kw)
+    out1 = pipeline.run_incremental(str(landing), ckpt)
+    assert out1["n_new_files"] == 1
+
+    b.to_parquet(landing / "arrival_1.parquet", **kw)
+    out2 = pipeline.run_incremental(str(landing), ckpt)
+    assert out2["n_new_files"] == 1
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out2["triples"].collect()}
+    want = {(s, p, o) for s, p, o, _ in golden_triples}
+    assert got == want
+
+    # no new files -> nothing recomputed, identical result
+    out3 = pipeline.run_incremental(str(landing), ckpt)
+    assert out3["n_new_files"] == 0
+    assert {(r["subj"], r["pred"], r["obj"])
+            for r in out3["triples"].collect()} == want
+
+    # kill-between-tranches: a tranche dir written WITHOUT a manifest
+    # commit (crash between write and rename) must be swept, and the
+    # replayed run must land the same totals — not doubled
+    stale = os.path.join(ckpt, "mention_tranches", "tranche=deadbeef")
+    committed = os.path.join(ckpt, "mention_tranches")
+    src = next(d for d in os.listdir(committed) if d.startswith("tranche="))
+    shutil.copytree(os.path.join(committed, src), stale)
+    out4 = pipeline.run_incremental(str(landing), ckpt)
+    assert not os.path.exists(stale)
+    assert {(r["subj"], r["pred"], r["obj"])
+            for r in out4["triples"].collect()} == want
+    # weights prove no double-count (n/amt_sum inflation would skew them)
+    w4 = {(r["subj"], r["obj"]): round(r["weight"] or 0.0, 9)
+          for r in out4["triples"].filter(F.col("pred") == "formula_contains_herb").collect()}
+    w2 = {(r["subj"], r["obj"]): round(r["weight"] or 0.0, 9)
+          for r in out2["triples"].filter(F.col("pred") == "formula_contains_herb").collect()}
+    assert w4 == w2
+
+
 def test_pack_greedy_warns_without_shard(spark):
     from tcmkg.ops.sampling import pack_greedy
 
