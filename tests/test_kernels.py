@@ -261,3 +261,102 @@ def test_dose_differential_fuzz():
         else:
             assert got[1] == want[1], dose
             assert got[0] == pytest.approx(want[0]), dose
+
+
+# --------------------------------------------------------------------------
+# Differential fuzz for the token/probe kernels: an INDEPENDENT test-local
+# model of the reference's prescription loop, so a shared-kernel bug cannot
+# hide (the same blind-spot closure the dose fuzz above provides).
+# Reference semantics modeled: extract_prescription_herb_relation.py:24-37
+# (paren/noise strip, [^五]加 split, token-level dose peel) and :69-91
+# (two-stage dictionary probe with decoration stripping).
+def _split_model(text):
+    import re as _re
+
+    s = _re.sub(r"（[^）]*）|\([^)]*\)", "", text)
+    s = _re.sub(r"（.*|\(.*", "", s)
+    s = _re.sub(
+        "各等分|不拘多少|辅料为|少许|若干|制成|减半|等分|不以多少|倍用|不拘分两|不限多少", "", s
+    )
+    # ASCII ',' is this repo's documented Q2B-normalization variant
+    return [t for t in _re.split(r"[、，。,\s]|[^五]加", s) if t]
+
+
+def _pairs_model(text):
+    import re as _re
+
+    dose_re = _re.compile(
+        r"([0-9\.一二三四五六七八九十百半\-\/]+"
+        r"[瓶钱分两公斤厘合握枚条个粒颗升gml对片朵株丸具茎字张铢]+)+[半]*"
+    )
+    out = []
+    for tok in _split_model(text):
+        m = dose_re.search(tok)
+        if m and tok[: m.start()]:
+            out.append((tok[: m.start()], m.group()))
+        elif m is None:
+            out.append((tok, None))
+    return out
+
+
+def _probe_model(herb, herb_map):
+    import re as _re
+
+    herb = herb.strip()
+    m = _re.search(r"^[一-龥]+(?<![（(])", herb)
+    if not m:
+        return None
+    sub = m.group()
+    if sub in herb_map:
+        return herb_map[sub]
+    m2 = _re.search(r"(?![川吴姜干炒煨醋熟制炙真])[一-龥]+(?<![粉末屑梢汁])", sub)
+    if not m2:
+        return None
+    return herb_map.get(m2.group())
+
+
+def test_probe_token_differential_fuzz():
+    """Composed prescription lines (decorated herbs x doses x separators x
+    parentheticals x noise phrases x the 加-split quirk) must tokenize,
+    dose-peel, and probe identically between the repo kernels and the
+    independent model."""
+    import itertools
+
+    from tcmkg.kernels.matcher import extract_herb_dose_pairs, probe_herb
+
+    herb_map = {
+        "甘草": "H1", "人参": "H2", "黄连": "H3", "白术": "H4",
+        "炙甘草": "H5", "五加皮": "H6", "大枣": "H7",
+    }
+    herbs = [
+        "甘草", "人参", "黄连", "白术", "五加皮", "大枣",
+        "川黄连",          # stage-2: strip decoration prefix
+        "炙甘草",          # stage-1 hit on the decorated form itself
+        "白术粉",          # material suffix (stage-2 lookbehind)
+        "姜人参末",        # prefix AND suffix decoration
+        "真甘草",          # decoration char with no dict entry for the rest
+        "abc人参",         # non-CJK prefix: stage-1 regex must skip it
+        "（注）甘草",      # paren char in front (lookbehind case)
+        "",
+    ]
+    doses = ["三钱", "9g", "半两", "1.5-2两", "2钱半", "不拘多少", ""]
+    seps = ["、", "，", "。", " ", ",", "再加", "五加", "（水煎服）", "(aside)", "（dangling"]
+    noise = ["", "各等分", "若干"]
+
+    lines, n = [], 0
+    for h1, d1, sep, h2, d2, nz in itertools.product(
+        herbs[:8], doses, seps, herbs[4:], doses[::3], noise
+    ):
+        n += 1
+        if n % 17:  # deterministic thinning to ~700 cases
+            continue
+        lines.append(f"{h1}{d1}{sep}{h2}{d2}{nz}")
+    assert len(lines) > 480
+
+    for line in lines:
+        assert extract_herb_dose_pairs(line) == _pairs_model(line), line
+
+    toks = {t for line in lines for t, _ in _pairs_model(line)} | set(herbs)
+    assert len(toks) > 20
+    for tok in sorted(toks):
+        assert probe_herb(tok, herb_map) == _probe_model(tok, herb_map), tok
