@@ -123,7 +123,9 @@ def resolve_anchors(turns: DataFrame, formula_alias: DataFrame) -> DataFrame:
     return df.drop("_p1", "_p2", "_anchor")
 
 
-def rule_prefilter(resolved: DataFrame) -> DataFrame:
+def rule_prefilter(
+    resolved: DataFrame, kernel_partitions: int | None = None
+) -> DataFrame:
     """JVM-side predicate: only rule-bearing assistant turns reach Python.
 
     At 10^12-turn scale most turns carry no extractable pattern; this filter
@@ -146,8 +148,20 @@ def rule_prefilter(resolved: DataFrame) -> DataFrame:
     # stage running on a handful of tasks. Round-robin repartition keys the
     # kernel's parallelism to the cluster, not to the byte size. (Spark
     # sorts before round-robin redistribution, so this stays deterministic.)
-    par = resolved.sparkSession.sparkContext.defaultParallelism
-    return out.repartition(par * 2)
+    #
+    # Default cores*2. The kernel streams bounded Arrow batches (per-batch
+    # state resets; maxRecordsPerBatch caps memory), so per-task CPU is
+    # linear in rows and the multiplier trades scheduling overhead against
+    # wave balance only. Measured (tools/stress_4x.py + an interleaved ABBA
+    # run, BENCH/BASELINE.md): per-turn cost at 4x data is ~1.01x at a
+    # fixed multiplier (round 2's 1.45x was host noise), and cores*8 is
+    # ~1.25x SLOWER than cores*2 on quiet windows (task/python-worker
+    # dispatch overhead) — the constant stays. Callers with a known row
+    # volume can override kernel_partitions directly.
+    if kernel_partitions is None:
+        par = resolved.sparkSession.sparkContext.defaultParallelism
+        kernel_partitions = par * 2
+    return out.repartition(kernel_partitions)
 
 
 def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, str]],

@@ -162,10 +162,12 @@ class KGPipeline:
             "source_records",
         )
 
-    def mentions(self, transcripts: DataFrame) -> DataFrame:
+    def mentions(
+        self, transcripts: DataFrame, kernel_partitions: int | None = None
+    ) -> DataFrame:
         turns = ingest(transcripts)
         resolved = resolve_anchors(turns, self.formula_alias)
-        pre = rule_prefilter(resolved)
+        pre = rule_prefilter(resolved, kernel_partitions=kernel_partitions)
         return extract_mentions(self.spark, pre, self.maps, cache_key=self._cache_key)
 
     def triples(self, transcripts: DataFrame) -> DataFrame:
