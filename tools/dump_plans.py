@@ -132,6 +132,48 @@ def main() -> None:
         )
     )
 
+    from tcmkg.ops.ann import build_ivf2
+
+    _, assign2 = build_ivf2(emb, "vec_id", "embedding", n_coarse=2, n_sub=2, n_iter=1)
+    sections.append(
+        (
+            "Hierarchical IVF assign (build_ivf2: the k~10^5 path)",
+            "Two-level assign = coarse argmin map + BROADCAST join to the "
+            "per-cell sub-centroid arrays + fold over the joined column: "
+            "the fact table is never hash-shuffled no matter how many "
+            "cells (no k-sized literal anywhere).",
+            assign2,
+        )
+    )
+
+    from tcmkg.ops.dedup import pair_jaccard
+
+    verify = pair_jaccard(capped, docs, "doc_id", "text")
+    sections.append(
+        (
+            "near_dedup verification join (pair_jaccard)",
+            "Candidate verification attaches each doc's distinct-token "
+            "array to the BOUNDED candidate set with two equi-joins and "
+            "scores per row with native array ops — the full-universe "
+            "Jaccard without any quadratic path.",
+            verify,
+        )
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tr300 = transcriptize(spark, sf)
+    pipe.materialize_graph(pipe.triples(tr300))
+    sections.append(
+        (
+            "two_hop over the materialized graph (obj + subj bucketed copies)",
+            "Hop-1 reads the obj-bucketed edge copy, hop-2 the subj-bucketed "
+            "copy: the join key is the bucket key on both sides, so the "
+            "2-hop traversal plans ZERO data exchanges (broadcast disabled "
+            "here to keep the strategy honest).",
+            pipe.two_hop(),
+        )
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (auto-generated by tools/dump_plans.py)\n\n"
