@@ -301,6 +301,68 @@ def flatten_ivf2(
     )
 
 
+def ivf2_search(
+    queries: DataFrame,
+    emb: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_coarse_probe: int = 2,
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """Hierarchical probe over a build_ivf2 index: rank COARSE cells first
+    (each coarse centroid = mean of its sub-centroids — derived here from
+    the tiny centroids table, no extra state), keep the n_coarse_probe
+    nearest, then rank only THOSE cells' sub-centroids and keep nprobe gids
+    per query. Query-side centroid work is O(k1 + n_coarse_probe*k2) rather
+    than a flat O(k1*k2) — at k~10^5 total cells that is the difference
+    between scoring ~10^5 and ~10^2 centroids per query. Candidate scan is
+    then the usual cell-pruned join. With n_coarse_probe and nprobe covering
+    every cell this degenerates to exact brute force (tested)."""
+    coarse = (
+        centroids.select("cid", F.posexplode("cvec").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("ccvec"))
+    )
+    qc = queries.crossJoin(F.broadcast(coarse)).withColumn(
+        "cdist",
+        -_cos(_dot(F.col("qv"), F.col("ccvec")), _norm(F.col("qv")), _norm(F.col("ccvec"))),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cid"))
+    probe_c = (
+        qc.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= n_coarse_probe)
+        .select("qid", "qv", "cid")
+    )
+    qs = probe_c.join(F.broadcast(centroids), "cid").withColumn(
+        "sdist",
+        -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")), _norm(F.col("cvec"))),
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("sdist"), F.col("gid"))
+    probe = (
+        qs.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= nprobe)
+        .select("qid", "qv", "gid")
+    )
+    base = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
+    cand = probe.join(assignments.withColumnRenamed("id", "nid").select("nid", "gid"), "gid")
+    cand = cand.join(base, "nid")
+    scored = cand.withColumn(
+        "cos", _cos(_dot(F.col("qv"), F.col("nv")), _norm(F.col("qv")), _norm(F.col("nv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", F.col("rk").cast("long").alias("rk"), F.col("nid").alias("neighbor"))
+    )
+
+
 def save_ivf(store, centroids: DataFrame, assignments: DataFrame, prefix: str = "ivf") -> None:
     """Persist an IVF index as CheckpointStore stage tables — the index is
     built once per corpus snapshot and reused across search sessions (the

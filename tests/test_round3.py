@@ -281,6 +281,37 @@ def test_run_incremental_two_tranches_equal_batch(
     assert w4 == w2
 
 
+def test_ivf2_hierarchical_search(spark):
+    """ivf2_search probes coarse cells then sub-cells: covering every cell
+    must reproduce exact brute force; a partial probe returns a subset of
+    the corpus ranking with usable recall on this data."""
+    from tcmkg.contract.generic import q_ann_topk
+    from tcmkg.ops.ann import _as_double, build_ivf2, ivf2_search
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent, assign = build_ivf2(corpus, "vec_id", "embedding",
+                              n_coarse=2, n_sub=2, n_iter=2)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    exact = {(r["qid"], r["rk"], r["neighbor"])
+             for r in q_ann_topk(spark, sf).collect()}
+    full = {(r["qid"], r["rk"], r["neighbor"])
+            for r in ivf2_search(q, corpus, cent, assign, "vec_id", "embedding",
+                                 n_coarse_probe=2, nprobe=4).collect()}
+    assert full == exact
+
+    part = ivf2_search(q, corpus, cent, assign, "vec_id", "embedding",
+                       n_coarse_probe=1, nprobe=2).collect()
+    got = {(r["qid"], r["neighbor"]) for r in part}
+    want = {(a, c) for a, _, c in exact}
+    # partial probe: every query answered, recall >= 0.5 of exact top-3
+    assert {r["qid"] for r in part} == {r[0] for r in exact}
+    assert len(got & want) / len(want) >= 0.5
+
+
 def test_pack_greedy_warns_without_shard(spark):
     from tcmkg.ops.sampling import pack_greedy
 
