@@ -272,6 +272,9 @@ def shingle_jaccard_pairs(
     return _jaccard_from_tokens(tok, threshold, max_df)
 
 
+_prev_near_sigs = None
+
+
 def pair_jaccard(
     pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -343,8 +346,19 @@ def near_dedup(
     """
     from ..pipeline.cc import connected_components
 
+    global _prev_near_sigs
     ids = F.col(id_col)
-    sigs = minhash_signatures(df, id_col, text_col, n_bands)
+    # the signature table feeds THREE consumers (candidate pairs, dropped
+    # buckets, hot-doc routing): persist it so tokenize+explode+min-agg runs
+    # once, not three times. One resident copy max — the previous call's
+    # handle is released here (same rule as KGPipeline.triples' caches).
+    if _prev_near_sigs is not None:
+        try:
+            _prev_near_sigs.unpersist()
+        except Exception:
+            pass  # handle may belong to a stopped SparkContext
+    sigs = minhash_signatures(df, id_col, text_col, n_bands).persist()
+    _prev_near_sigs = sigs
     pairs = lsh_candidate_pairs(sigs, max_bucket)
     dropped = lsh_dropped_buckets(sigs, max_bucket)
 
