@@ -94,8 +94,15 @@ def xref_ids(parsed: Column, database: str, xrefs_key: str = "xrefs") -> Column:
     )
     # try_element_at: a colon-less xref entry has no suffix — yield NULL for
     # that entry instead of an ANSI-mode crash (the reference would crash
-    # here; "data, not a crash" is this module's documented superset)
-    ids = F.transform(matches, lambda x: F.try_element_at(F.split(x, ":", 2), F.lit(2)))
+    # here; "data, not a crash" is this module's documented superset).
+    # NULL ids are then filtered BEFORE the size check: a record whose only
+    # matching entry is colon-less must return NULL, not '' (array_join
+    # drops NULLs, and a shared '' would cross-link such records in
+    # downstream equality joins).
+    ids = F.filter(
+        F.transform(matches, lambda x: F.try_element_at(F.split(x, ":", 2), F.lit(2))),
+        lambda x: x.isNotNull(),
+    )
     return F.when(F.size(ids) > 0, F.array_join(ids, ";"))
 
 

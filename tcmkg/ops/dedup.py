@@ -310,6 +310,7 @@ def near_dedup(
     n_bands: int = 4,
     max_bucket: int = 256,
     threshold: float = 0.5,
+    cc_max_iter: int = 25,
 ) -> dict[str, DataFrame]:
     """End-to-end near-duplicate deduplication — corpus in, deduplicated
     corpus + removal map + drop metrics out (the operator a training-data
@@ -351,7 +352,9 @@ def near_dedup(
     # the signature table feeds THREE consumers (candidate pairs, dropped
     # buckets, hot-doc routing): persist it so tokenize+explode+min-agg runs
     # once, not three times. One resident copy max — the previous call's
-    # handle is released here (same rule as KGPipeline.triples' caches).
+    # handle is released here (same rule as KGPipeline.triples' caches), so
+    # frames returned by an EARLIER near_dedup call stay correct but
+    # recompute their signatures if evaluated after a later call.
     if _prev_near_sigs is not None:
         try:
             _prev_near_sigs.unpersist()
@@ -391,7 +394,10 @@ def near_dedup(
         edges.select(F.col("a").alias("node"), ekey.alias("key"))
         .unionByName(edges.select(F.col("b").alias("node"), ekey.alias("key")))
     )
-    comp = connected_components(incidence)
+    # cc_max_iter bounds propagation rounds at the component DIAMETER;
+    # connected_components warns (no silent cap) if a pathological chain
+    # exceeds it — raise cc_max_iter for corpora with long templated chains
+    comp = connected_components(incidence, max_iter=cc_max_iter)
     removals = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("removed_doc"), F.col("component").alias("keep_doc")
     )

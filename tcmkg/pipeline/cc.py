@@ -48,6 +48,7 @@ def connected_components(
     labels = inc.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint()
 
+    n_changed = 0
     for i in range(max_iter):
         kmin = (
             inc.join(labels, "node")
@@ -73,5 +74,18 @@ def connected_components(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+
+    if n_changed != 0:
+        # no silent caps: labels are still moving after max_iter rounds
+        # (component diameter > max_iter) — surviving labels may be
+        # non-minimal, which downstream reads as wrong survivors
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (component diameter exceeds it); labels "
+            "may be non-minimal. Raise max_iter.",
+            stacklevel=2,
+        )
 
     return labels.withColumnRenamed("label", "component")

@@ -265,8 +265,17 @@ class KGPipeline:
             if os.path.basename(d).split("=", 1)[1] not in manifest["tranches"]:
                 shutil.rmtree(d, ignore_errors=True)
 
-        seen = {f for fl in manifest["tranches"].values() for f in fl}
-        files = sorted(glob.glob(os.path.join(landing_dir, "*.parquet")))
+        # realpath both sides: the same landing dir spelled differently
+        # (relative vs absolute, symlinks) must not re-process files
+        seen = {
+            os.path.realpath(f)
+            for fl in manifest["tranches"].values()
+            for f in fl
+        }
+        files = sorted(
+            os.path.realpath(f)
+            for f in glob.glob(os.path.join(landing_dir, "*.parquet"))
+        )
         new = [f for f in files if f not in seen]
         if new:
             key = hashlib.md5("\n".join(new).encode()).hexdigest()[:16]
@@ -285,7 +294,9 @@ class KGPipeline:
         else:
             from .extract import MENTION_SCHEMA
 
-            mentions = spark.createDataFrame([], MENTION_SCHEMA)
+            # same schema as the committed-tranche branch (incl. the
+            # partition column) so callers can union results across calls
+            mentions = spark.createDataFrame([], MENTION_SCHEMA + ", tranche string")
         return {
             "mentions": mentions,
             "triples": assemble_triples(mentions),
@@ -318,9 +329,10 @@ class KGPipeline:
         spark = self.spark
         import shutil
 
-        tables = [edges_table, nodes_table] + (
-            [edges_obj_table] if edges_obj_table else []
-        )
+        # drop the DEFAULT obj copy even when this call skips writing one —
+        # otherwise a stale obj table from an earlier materialization would
+        # silently pair with the fresh subj table in two_hop()
+        tables = [edges_table, nodes_table, edges_obj_table or "tcmkg_edges_obj"]
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -330,9 +342,13 @@ class KGPipeline:
             .mode("overwrite").saveAsTable(edges_table)
         )
         if edges_obj_table:
+            # re-read the just-written subj table: the obj copy re-sorts
+            # already-materialized rows instead of executing the full
+            # triples plan a second time (and both copies are guaranteed
+            # the same snapshot)
             (
-                triples.write.bucketBy(buckets, "obj").sortBy("obj")
-                .mode("overwrite").saveAsTable(edges_obj_table)
+                spark.table(edges_table).write.bucketBy(buckets, "obj")
+                .sortBy("obj").mode("overwrite").saveAsTable(edges_obj_table)
             )
         (
             self.nodes_table().write.bucketBy(buckets, "canonical_id")

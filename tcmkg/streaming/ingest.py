@@ -173,16 +173,28 @@ def incremental_triples_stateful(
     file sink (Spark's _spark_metadata commit log). Unlike
     incremental_mentions, conversations may be split across micro-batches.
     """
+    import os
     import shutil
+    import warnings
 
     from ..pipeline.extract import extract_mentions
     from ..pipeline.runner import KGPipeline
 
     pipe = pipeline or KGPipeline(spark)
     # same lineage coupling as incremental_mentions: the file sink's
-    # _spark_metadata commit log belongs to one checkpoint lineage
-    if _fresh_checkpoint(checkpoint_dir):
-        shutil.rmtree(out_dir, ignore_errors=True)
+    # _spark_metadata commit log belongs to one checkpoint lineage. Only a
+    # directory that IS a prior file-sink output (it has _spark_metadata)
+    # is cleared — never unrelated caller data behind a typo'd path.
+    if _fresh_checkpoint(checkpoint_dir) and os.path.isdir(out_dir):
+        if os.path.exists(os.path.join(out_dir, "_spark_metadata")):
+            shutil.rmtree(out_dir, ignore_errors=True)
+        elif os.listdir(out_dir):
+            warnings.warn(
+                f"fresh checkpoint but out_dir {out_dir!r} is non-empty and "
+                "not a prior stream-sink output; leaving it untouched — "
+                "readers may see mixed lineages",
+                stacklevel=2,
+            )
     stream = stream_transcripts(spark, landing_dir, max_files_per_trigger)
     resolved = stateful_resolve_stream(stream, pipe.maps["formula"])
     t = F.col("tnorm")
@@ -241,15 +253,19 @@ def incremental_mentions(
     lineage: a fresh/deleted checkpoint restarts epoch ids at 0, which would
     overwrite epoch=0 but leave stale higher-epoch partials from the prior
     lineage silently double-counting mentions. So a fresh checkpoint clears
-    out_dir before the stream starts — one output directory belongs to one
-    checkpoint lineage."""
+    the prior lineage's epoch=* partial dirs before the stream starts — one
+    output directory belongs to one checkpoint lineage. Only epoch=* dirs
+    are removed (this sink's own layout), never unrelated caller data."""
+    import glob
+    import os
     import shutil
 
     from ..pipeline.runner import KGPipeline
 
     pipe = pipeline or KGPipeline(spark)
     if _fresh_checkpoint(checkpoint_dir):
-        shutil.rmtree(out_dir, ignore_errors=True)
+        for d in glob.glob(os.path.join(out_dir, "epoch=*")):
+            shutil.rmtree(d, ignore_errors=True)
     stream = stream_transcripts(spark, landing_dir)
 
     return (

@@ -16,6 +16,7 @@ def test_prop_first_empty_list_is_null_not_crash(spark):
         (0, "{'xrefs': [], 'score': 3}"),          # empty list property
         (1, "{'xrefs': ['OMIM:1', 'OMIM'], 'score': 7}"),  # colon-less entry
         (2, None),
+        (3, "{'xrefs': ['OMIM'], 'score': 1}"),    # ONLY a colon-less entry
     ]
     df = spark.createDataFrame(rows, "id long, props string")
     out = (
@@ -40,6 +41,9 @@ def test_prop_first_empty_list_is_null_not_crash(spark):
     # its NULL id is skipped by array_join, leaving the real one
     assert by_id[1]["omim"] == "1"
     assert by_id[2]["first_xref"] is None      # NULL cell stays NULL
+    # a record whose ONLY matching entry is colon-less must be NULL, not ''
+    # ('' would cross-link all such records in downstream equality joins)
+    assert by_id[3]["omim"] is None
 
 
 def test_simhash_null_text_never_buckets(spark):

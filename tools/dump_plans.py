@@ -50,6 +50,17 @@ def main() -> None:
 
     sections = []
 
+    def render(df):
+        """Capture BOTH plans NOW (lazy capture would let a later conf
+        change — e.g. the two_hop broadcast-disable — leak into earlier
+        sections and misrepresent production behavior)."""
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        df.count()  # execute so AQE finalizes (exchange reuse, coalescing)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        return plan, executed
+
     tr = transcriptize(spark, sf)
     chain = rule_prefilter(resolve_anchors(ingest(tr), pipe.formula_alias))
     sections.append(
@@ -58,7 +69,7 @@ def main() -> None:
             "One hash(conv_id) exchange feeds the dedup window, the "
             "carry-forward window, and the prefilter; alias maps ride as "
             "broadcasts; the scan reads only the referenced columns.",
-            chain,
+            *render(chain),
         )
     )
     triples = pipe.triples(tr)
@@ -68,7 +79,7 @@ def main() -> None:
             "Mention partials are persisted once (InMemoryTableScan below); "
             "weighted and pair predicates are reduce-side aggregations over "
             "O(distinct pairs) rows.",
-            triples,
+            *render(triples),
         )
     )
     sections.append(
@@ -76,7 +87,7 @@ def main() -> None:
             "q_tpch_q1 (scan+agg shape)",
             "Filter and column pruning pushed into the parquet scan; "
             "two-phase hash aggregate.",
-            q_tpch_q1(spark, sf),
+            *render(q_tpch_q1(spark, sf)),
         )
     )
     sections.append(
@@ -84,14 +95,14 @@ def main() -> None:
             "q_dim_join_revenue (dimension join)",
             "Explicit broadcast of the dimension side: no shuffle of the "
             "fact table for the join.",
-            q_dim_join_revenue(spark, sf),
+            *render(q_dim_join_revenue(spark, sf)),
         )
     )
     sections.append(
         (
             "q_topk_per_group (window top-k)",
             "WindowGroupLimit pushes the k=3 limit below the full sort.",
-            q_topk_per_group(spark, sf),
+            *render(q_topk_per_group(spark, sf)),
         )
     )
 
@@ -118,7 +129,7 @@ def main() -> None:
             "over-cap bucket list is broadcast and anti-joined away "
             "(BroadcastExchange below), so the degenerate bucket never "
             "reaches the pair self-join.",
-            capped,
+            *render(capped),
         )
     )
 
@@ -128,7 +139,7 @@ def main() -> None:
             "Argmin over the centroid array literal is a pure map: scan → "
             "project, zero Exchanges per Lloyd round (the round's only "
             "shuffle is the map-side-combinable centroid-update groupBy).",
-            assign,
+            *render(assign),
         )
     )
 
@@ -142,7 +153,7 @@ def main() -> None:
             "per-cell sub-centroid arrays + fold over the joined column: "
             "the fact table is never hash-shuffled no matter how many "
             "cells (no k-sized literal anywhere).",
-            assign2,
+            *render(assign2),
         )
     )
 
@@ -156,21 +167,25 @@ def main() -> None:
             "array to the BOUNDED candidate set with two equi-joins and "
             "scores per row with native array ops — the full-universe "
             "Jaccard without any quadratic path.",
-            verify,
+            *render(verify),
         )
     )
 
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     tr300 = transcriptize(spark, sf)
     pipe.materialize_graph(pipe.triples(tr300))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        two_hop_rendered = render(pipe.two_hop())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     sections.append(
         (
             "two_hop over the materialized graph (obj + subj bucketed copies)",
             "Hop-1 reads the obj-bucketed edge copy, hop-2 the subj-bucketed "
             "copy: the join key is the bucket key on both sides, so the "
             "2-hop traversal plans ZERO data exchanges (broadcast disabled "
-            "here to keep the strategy honest).",
-            pipe.two_hop(),
+            "during THIS capture only, to keep the strategy honest).",
+            *two_hop_rendered,
         )
     )
 
@@ -179,12 +194,7 @@ def main() -> None:
             "# PLANS — physical-plan evidence (auto-generated by tools/dump_plans.py)\n\n"
             "Run on local[8]; plan shapes are partitioning-count independent.\n"
         )
-        for title, why, df in sections:
-            plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            df.count()  # execute so AQE finalizes (exchange reuse, coalescing)
-            executed = df._jdf.queryExecution().executedPlan().toString()
+        for title, why, plan, executed in sections:
             f.write(f"\n## {title}\n\n{why}\n\n")
             f.write("Executed (AQE-final) plan:\n" + summarize(executed) + "\n\n")
             f.write("<details><summary>formatted plan</summary>\n\n```\n")
