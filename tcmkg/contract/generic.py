@@ -28,6 +28,8 @@ Coverage map (operator ids from SURVEY.md §2):
   q_token_quality      whitespace + BPE-ish regex token counts, punct ratio
   q_cos_neardup        embedding-cosine near-dup pairs (exact baseline)
   q_split              deterministic hash train/val/test split
+  q_quality_filter     composed corpus-hygiene filter (reason precedence)
+  q_stratified_sample  deterministic per-stratum hash sampling
   q_pack_bins          sequence packing into token-budget bins
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
   q_lang_id            script-profile language ID (zh / en / mixed)
@@ -839,6 +841,95 @@ FROM c GROUP BY 1
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composed corpus-hygiene operator: documents are doctored per
+    doc_id%7 so every removal reason occurs deterministically (short stub /
+    punctuation wall / stopword-free filler / one-token repetition), then
+    quality_filter's removal provenance + kept set are hash-verified — the
+    reason PRECEDENCE (first failing rule wins) is part of the contract."""
+    from ..ops.quality import quality_flags
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = (
+        F.when(did % 7 == 0, F.substring("text", 1, 10))
+        .when(did % 7 == 1, F.repeat(F.lit("!?"), 40))
+        .when(did % 7 == 2, F.rtrim(F.repeat(F.lit("word "), 30)))
+        .when(did % 7 == 3, F.rtrim(F.repeat(F.lit("the "), 30)))
+        .otherwise(F.col("text"))
+    )
+    flags = quality_flags(d.select("doc_id", s.alias("text")), "doc_id", "text")
+    return flags.groupBy(F.coalesce("reason", F.lit("kept")).alias("reason")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+_q_sw = ",".join(f"'{s}'" for s in STOPWORDS)
+SQL_QUALITY_FILTER = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN substr(text, 1, 10)
+           WHEN doc_id % 7 = 1 THEN repeat('!?', 40)
+           WHEN doc_id % 7 = 2 THEN rtrim(repeat('word ', 30))
+           WHEN doc_id % 7 = 3 THEN rtrim(repeat('the ', 30))
+           ELSE text
+         END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         length(text) < 20 AS too_short,
+         round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))::DOUBLE
+               / length(text), 6) > 0.3 AS too_much_punct,
+         round(len(list_filter(string_split(text,' '), x -> x IN ({_q_sw})))::DOUBLE
+               / len(string_split(text,' ')), 6) < 0.01 AS no_stopwords,
+         round(len(list_distinct(string_split(text,' ')))::DOUBLE
+               / len(string_split(text,' ')), 6) < 0.3 AS too_repetitive
+  FROM d
+)
+SELECT coalesce(CASE WHEN too_short THEN 'too_short'
+            WHEN too_much_punct THEN 'too_much_punct'
+            WHEN no_stopwords THEN 'no_stopwords'
+            WHEN too_repetitive THEN 'too_repetitive' END, 'kept') AS reason,
+       count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+FROM f GROUP BY 1
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash sampling (the reproducible sampleBy):
+    per-segment fractions compile to one CASE cutoff — single scan, no
+    join, stable under retries/repartitioning, unlike rand-based sampleBy."""
+    from ..ops.sampling import stratified_sample_by_hash
+
+    c = _read(spark, sf_dir, "customer")
+    s = stratified_sample_by_hash(
+        c, "c_custkey", "c_mktsegment",
+        {"BUILDING": 0.5, "MACHINERY": 0.2}, default_fraction=0.05,
+    )
+    return s.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT c_custkey, c_mktsegment,
+         ('0x' || substr(md5(c_custkey::VARCHAR || ''), 1, 8))::BIGINT % 10000 AS bucket
+  FROM customer
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS key_sum
+FROM b
+WHERE bucket < (CASE c_mktsegment WHEN 'BUILDING' THEN 5000
+                                  WHEN 'MACHINERY' THEN 2000
+                                  ELSE 500 END)
+GROUP BY c_mktsegment
+"""
+
+
 def q_split(spark, sf_dir):
     """Deterministic hash split (train/val/test): reproducible across runs,
     engines, partitionings, and task retries — rand() splits are none of
@@ -1205,6 +1296,8 @@ GENERIC_QUERIES = {
     "q_token_quality": q_token_quality,
     "q_cos_neardup": q_cos_neardup,
     "q_split": q_split,
+    "q_quality_filter": q_quality_filter,
+    "q_stratified_sample": q_stratified_sample,
     "q_pack_bins": q_pack_bins,
     "q_shingle_jaccard": q_shingle_jaccard,
     "q_lang_id": q_lang_id,
@@ -1247,6 +1340,8 @@ GENERIC_ORACLES = {
     "q_token_quality": SQL_TOKEN_QUALITY,
     "q_cos_neardup": SQL_COS_NEARDUP,
     "q_split": SQL_SPLIT,
+    "q_quality_filter": SQL_QUALITY_FILTER,
+    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_pack_bins": SQL_PACK_BINS,
     "q_shingle_jaccard": SQL_SHINGLE_JACCARD,
     "q_lang_id": SQL_LANG_ID,

@@ -498,6 +498,32 @@ WHERE p.subj <> p.obj
 """
 
 
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop traversal ON THE KG ITSELF: herb —treats→ disease —is_a→
+    disease (the forward+reverse walk of merge_utility.py:11-34 applied to
+    this graph's own predicates). The oracle composes the treats and is_a
+    oracles and replays the join — so both edge derivations AND the
+    traversal are hash-verified together. At scale this is exactly the
+    join two_hop runs bucket-local over the materialized copies
+    (tests/test_round3.py asserts the zero-exchange plan)."""
+    t = _triples(spark, sf_dir)
+    e1 = t.filter(F.col("pred") == "herb_treats_disease").select(
+        F.col("subj").alias("herb"), F.col("obj").alias("via")
+    )
+    e2 = t.filter(F.col("pred") == "disease_is_a_disease").select(
+        F.col("subj").alias("via"), F.col("obj").alias("disease")
+    )
+    return e1.join(e2, "via").select("herb", "via", "disease").distinct()
+
+
+SQL_KG_TWO_HOP = f"""
+WITH treats AS ({SQL_KG_TREATS}),
+isa AS ({SQL_KG_IS_A})
+SELECT DISTINCT t.subj AS herb, t.obj AS via, i.obj AS disease
+FROM treats t JOIN isa i ON t.obj = i.subj
+"""
+
+
 def q_kg_p_symptom(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _triples(spark, sf_dir)
     return t.filter(F.col("pred") == "prescription_treat_symptom").select("subj", "obj")
@@ -693,6 +719,7 @@ KG_QUERIES = {
     "kg_turn_order": q_kg_turn_order,
     "kg_text_roundtrip": q_kg_text_roundtrip,
     "kg_is_a": q_kg_is_a,
+    "kg_two_hop": q_kg_two_hop,
     "kg_nodes": q_kg_nodes,
     "kg_stream_contains": q_kg_stream_contains,
     "kg_stream_stateful": q_kg_stream_stateful,
@@ -709,6 +736,7 @@ KG_ORACLES = {
     "kg_turn_order": SQL_KG_TURN_ORDER,
     "kg_text_roundtrip": SQL_KG_TEXT_ROUNDTRIP,
     "kg_is_a": SQL_KG_IS_A,
+    "kg_two_hop": SQL_KG_TWO_HOP,
     "kg_nodes": _sql_kg_nodes(),
     "kg_stream_contains": SQL_KG_CONTAINS,  # stream must equal batch oracle
     "kg_stream_stateful": SQL_KG_CONTAINS,  # cross-batch state, same oracle

@@ -1,0 +1,79 @@
+"""Document quality filtering — the composed corpus-hygiene operator a
+training-data pipeline runs before dedup/packing.
+
+Each rule is a native column expression (no Python): length floor,
+punctuation-ratio ceiling, stopword-ratio floor (the language-ID heuristic),
+and a repetition guard (distinct-token ratio). `quality_flags` emits every
+rule verdict plus a deterministic `reason` (the FIRST failing rule in fixed
+order — so the removal provenance is stable and oracle-checkable);
+`quality_filter` splits the corpus into kept/removed with per-reason
+metrics. All rules are embarrassingly parallel maps: at 100 TB this is a
+single scan, no shuffle except the tiny metrics aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# fixed rule order = removal-reason precedence
+RULES = ("too_short", "too_much_punct", "no_stopwords", "too_repetitive")
+
+
+def quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+    min_chars: int = 20,
+    max_punct_ratio: float = 0.3,
+    min_stop_ratio: float = 0.01,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """-> df + rule columns + `keep` boolean + `reason` (NULL when kept)."""
+    stopwords = DEFAULT_STOPWORDS if stopwords is None else stopwords
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_tok = F.size(toks)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    n_punct = F.size(F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9 ]', 0)"))
+
+    too_short = F.coalesce(F.length(text) < min_chars, F.lit(True))
+    punct_ratio = F.round(F.try_divide(n_punct, F.length(text)), 6)
+    too_punct = F.coalesce(punct_ratio > max_punct_ratio, F.lit(True))
+    stop_ratio = F.round(F.try_divide(n_stop, n_tok), 6)
+    no_stop = F.coalesce(stop_ratio < min_stop_ratio, F.lit(True))
+    distinct_ratio = F.round(F.try_divide(F.size(F.array_distinct(toks)), n_tok), 6)
+    too_rep = F.coalesce(distinct_ratio < min_distinct_ratio, F.lit(True))
+
+    flagged = df.withColumns(
+        {
+            "too_short": too_short,
+            "too_much_punct": too_punct,
+            "no_stopwords": no_stop,
+            "too_repetitive": too_rep,
+        }
+    )
+    reason = F.lit(None).cast("string")
+    for r in reversed(RULES):  # wrap inward: first rule in RULES wins
+        reason = F.when(F.col(r), F.lit(r)).otherwise(reason)
+    return flagged.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason").isNull()
+    )
+
+
+def quality_filter(
+    df: DataFrame, id_col: str, text_col: str, **thresholds
+) -> dict[str, DataFrame]:
+    """-> {"kept", "removed", "metrics"}: removed carries the reason;
+    metrics = per-reason counts (no silent drops)."""
+    flags = quality_flags(df, id_col, text_col, **thresholds)
+    kept = flags.filter(F.col("keep")).select(*df.columns)
+    removed = flags.filter(~F.col("keep")).select(id_col, "reason")
+    metrics = removed.groupBy("reason").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return {"kept": kept, "removed": removed, "metrics": metrics}

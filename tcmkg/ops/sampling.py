@@ -51,6 +51,38 @@ def split_by_hash(
     return df.withColumn("split", expr)
 
 
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5 bucket
+    falls under its stratum's fraction cutoff. Same reproducibility
+    properties as split_by_hash (stable across runs, engines,
+    partitionings, task retries; a document keeps its verdict as the corpus
+    grows) — which df.sampleBy (rand-based) lacks. The stratum→fraction map
+    compiles to a CASE expression: a single scan, no join, no shuffle."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_DENOM
+    )
+    cutoff = F.lit(int(round(default_fraction * SPLIT_DENOM)))
+    for stratum, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(frac * SPLIT_DENOM)))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
+
+
 def pack_greedy(
     df: DataFrame,
     id_col: str,

@@ -332,3 +332,51 @@ def test_pack_greedy_warns_without_shard(spark):
             df, "id", F.col("sz"), budget=50, shard_col=(F.col("id") % 2)
         )
     assert packed.count() == 20
+
+
+def test_quality_filter_composition(spark):
+    """kept/removed/metrics split with deterministic reason precedence:
+    the FIRST failing rule in fixed order wins."""
+    from tcmkg.ops.quality import quality_filter
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog entirely"),  # kept
+        (1, "tiny"),                                                  # too_short
+        (2, "!?" * 40),                                # too_much_punct
+        (3, ("word " * 30).strip()),                   # no_stopwords
+        (4, ("the " * 30).strip()),                    # too_repetitive
+        (5, "x " + "!?" * 20),                         # punct AND no-stop -> punct wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_filter(df, "doc_id", "text")
+    removed = {r["doc_id"]: r["reason"] for r in out["removed"].collect()}
+    assert {r["doc_id"] for r in out["kept"].collect()} == {0}
+    assert removed == {
+        1: "too_short", 2: "too_much_punct", 3: "no_stopwords",
+        4: "too_repetitive", 5: "too_much_punct",
+    }
+    metrics = {r["reason"]: r["n"] for r in out["metrics"].collect()}
+    assert metrics == {"too_short": 1, "too_much_punct": 2,
+                       "no_stopwords": 1, "too_repetitive": 1}
+
+
+def test_stratified_sample_deterministic(spark):
+    """Per-stratum hash sampling is stable across repartitionings and
+    re-executions (the property rand-based sampleBy lacks), and respects
+    per-stratum fractions within tolerance."""
+    from tcmkg.ops.sampling import stratified_sample_by_hash
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    frac = {"a": 0.5, "b": 0.1}
+    got1 = {r["k"] for r in stratified_sample_by_hash(df, "k", "s", frac).collect()}
+    got2 = {r["k"] for r in
+            stratified_sample_by_hash(df.repartition(13), "k", "s", frac).collect()}
+    assert got1 == got2                       # partitioning-independent
+    n_a = sum(1 for k in got1 if k % 2 == 0)
+    n_b = sum(1 for k in got1 if k % 2 == 1)
+    assert abs(n_a / 1000 - 0.5) < 0.08
+    assert abs(n_b / 1000 - 0.1) < 0.05
+    # default fraction 0.0: an unlisted stratum contributes nothing
+    df2 = df.withColumn("s", F.lit("zzz"))
+    assert stratified_sample_by_hash(df2, "k", "s", frac).count() == 0
