@@ -28,6 +28,8 @@ Coverage map (operator ids from SURVEY.md §2):
   q_token_quality      whitespace + BPE-ish regex token counts, punct ratio
   q_cos_neardup        embedding-cosine near-dup pairs (exact baseline)
   q_split              deterministic hash train/val/test split
+  q_prepare_corpus     capstone: quality → near-dedup → split → pack,
+                       full four-stage pipeline vs one replayed oracle
   q_quality_filter     composed corpus-hygiene filter (reason precedence)
   q_stratified_sample  deterministic per-stratum hash sampling
   q_pack_bins          sequence packing into token-budget bins
@@ -930,6 +932,122 @@ GROUP BY c_mktsegment
 """
 
 
+def q_prepare_corpus(spark, sf_dir):
+    """THE capstone composition: quality_filter → near_dedup → hash split →
+    sharded packing in one operator call, over documents doctored so the
+    quality stage removes deterministic classes first. The DuckDB oracle
+    replays the ENTIRE four-stage pipeline (rules + precedence, minhash/LSH
+    cap, per-pair Jaccard, exact hot-bucket routing, recursive-CTE CC,
+    split cutoffs, pack windows) — the composition itself is
+    hash-verified, not just the stages."""
+    from ..ops.prepare import prepare_corpus
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = (
+        F.when(did % 7 == 0, F.substring("text", 1, 10))
+        .when(did % 7 == 1, F.repeat(F.lit("!?"), 40))
+        .when(did % 7 == 2, F.rtrim(F.repeat(F.lit("word "), 30)))
+        .when(did % 7 == 3, F.rtrim(F.repeat(F.lit("the "), 30)))
+        .otherwise(F.col("text"))
+    )
+    out = prepare_corpus(
+        d.select("doc_id", s.alias("text")), "doc_id", "text",
+        fractions={"train": 0.9, "val": 0.1}, budget=500,
+        max_bucket=LSH_MAX_BUCKET, threshold=0.5,
+    )
+    return out["corpus"].groupBy("shard", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+_PC_DOCTOR = """
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN substr(text, 1, 10)
+           WHEN doc_id % 7 = 1 THEN repeat('!?', 40)
+           WHEN doc_id % 7 = 2 THEN rtrim(repeat('word ', 30))
+           WHEN doc_id % 7 = 3 THEN rtrim(repeat('the ', 30))
+           ELSE text
+         END AS text
+  FROM documents
+"""
+
+SQL_PREPARE_CORPUS = f"""
+WITH RECURSIVE doc0 AS ({_PC_DOCTOR}),
+kept0 AS (
+  SELECT doc_id, text FROM doc0
+  WHERE NOT (length(text) < 20)
+    AND NOT (round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))::DOUBLE
+             / length(text), 6) > 0.3)
+    AND NOT (round(len(list_filter(string_split(text,' '), x -> x IN ({_q_sw})))::DOUBLE
+             / len(string_split(text,' ')), 6) < 0.01)
+    AND NOT (round(len(list_distinct(string_split(text,' ')))::DOUBLE
+             / len(string_split(text,' ')), 6) < 0.3)
+),
+tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM kept0),
+bands AS (SELECT doc_id, band, tok FROM tok, (SELECT unnest([0,1,2,3]) AS band)),
+sigs AS (
+  SELECT doc_id, band, min(md5(band::VARCHAR || ':' || tok)) AS sig
+  FROM bands GROUP BY doc_id, band
+),
+hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
+keptsig AS (SELECT * FROM sigs ANTI JOIN hot USING (band, sig)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM keptsig a JOIN keptsig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+dtok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM kept0),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN dtok ta ON ta.doc_id = c.a
+  JOIN dtok tb ON tb.doc_id = c.b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) >= 0.5
+),
+hotdocs AS (SELECT DISTINCT doc_id FROM sigs SEMI JOIN hot USING (band, sig)),
+hx AS (SELECT k.doc_id, md5(k.text) AS th FROM kept0 k SEMI JOIN hotdocs USING (doc_id)),
+ekeep AS (SELECT th, min(doc_id) AS keep FROM hx GROUP BY th),
+eedges AS (
+  SELECT k.keep AS a, h.doc_id AS b FROM hx h JOIN ekeep k USING (th)
+  WHERE h.doc_id <> k.keep
+),
+edges AS (SELECT a, b FROM ver UNION SELECT a, b FROM eedges),
+und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b AS x, a AS y FROM edges),
+nodes AS (SELECT DISTINCT x AS n FROM und),
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, u.y FROM reach r JOIN und u ON r.dst = u.x
+),
+removed AS (
+  SELECT src AS node FROM reach GROUP BY src HAVING src <> min(dst)
+),
+final AS (
+  SELECT k.doc_id, len(string_split(k.text, ' '))::BIGINT AS n_tokens
+  FROM kept0 k ANTI JOIN removed r ON k.doc_id = r.node
+),
+sp AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT % 10000 < 9000
+              THEN 'train' ELSE 'val' END AS split
+  FROM final
+),
+packed AS (
+  SELECT split || '|' || (doc_id % 4)::VARCHAR AS shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY split || '|' || (doc_id % 4)::VARCHAR ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sp
+)
+SELECT shard, (cum_before // 500)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
 def q_split(spark, sf_dir):
     """Deterministic hash split (train/val/test): reproducible across runs,
     engines, partitionings, and task retries — rand() splits are none of
@@ -1296,6 +1414,7 @@ GENERIC_QUERIES = {
     "q_token_quality": q_token_quality,
     "q_cos_neardup": q_cos_neardup,
     "q_split": q_split,
+    "q_prepare_corpus": q_prepare_corpus,
     "q_quality_filter": q_quality_filter,
     "q_stratified_sample": q_stratified_sample,
     "q_pack_bins": q_pack_bins,
@@ -1340,6 +1459,7 @@ GENERIC_ORACLES = {
     "q_token_quality": SQL_TOKEN_QUALITY,
     "q_cos_neardup": SQL_COS_NEARDUP,
     "q_split": SQL_SPLIT,
+    "q_prepare_corpus": SQL_PREPARE_CORPUS,
     "q_quality_filter": SQL_QUALITY_FILTER,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_pack_bins": SQL_PACK_BINS,

@@ -1,0 +1,65 @@
+"""prepare_corpus — the end-to-end training-data preparation pipeline:
+
+    corpus → quality_filter → near_dedup → deterministic split → packing
+
+One call, four already-verified stages, full provenance out: the packed
+corpus (split + shard + bin assignments), the quality-removal map (with
+reasons), the near-dup removal map (with survivor + via), and unified
+metrics. This is the composition a data team actually schedules nightly;
+each stage's scale story is documented at its own operator (quality: one
+scan; near_dedup: capped candidate joins + CC; split: hash bucket map;
+packing: sharded windows — no global sort anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import near_dedup
+from .quality import quality_filter
+from .sampling import pack_greedy, split_by_hash
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    fractions: dict[str, float],
+    budget: int,
+    shard_mod: int = 4,
+    max_bucket: int = 256,
+    threshold: float = 0.5,
+    quality_kwargs: dict | None = None,
+) -> dict[str, DataFrame]:
+    """-> {"corpus", "quality_removed", "dedup_removals", "metrics"}.
+
+    corpus carries (split, shard, bin, n_tokens) — bins are packed WITHIN
+    split (shard = '<split>|<id mod shard_mod>'), so a bin never mixes
+    train and val documents. Documents removed by quality never reach the
+    dedup stage (cheapest filter first)."""
+    q = quality_filter(df, id_col, text_col, **(quality_kwargs or {}))
+    nd = near_dedup(
+        q["kept"], id_col, text_col, max_bucket=max_bucket, threshold=threshold
+    )
+    base = nd["kept"].withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+    s = split_by_hash(base, id_col, fractions)
+    shard = F.concat_ws("|", F.col("split"), (F.col(id_col) % shard_mod).cast("string"))
+    corpus = pack_greedy(s, id_col, F.col("n_tokens"), budget=budget, shard_col=shard)
+    metrics = (
+        q["metrics"]
+        .select(
+            F.concat(F.lit("quality_removed_"), "reason").alias("metric"),
+            F.col("n").cast("long").alias("value"),
+        )
+        .unionByName(nd["metrics"])
+    )
+    return {
+        "corpus": corpus,
+        "quality_removed": q["removed"],
+        "dedup_removals": nd["removals"],
+        "metrics": metrics,
+    }
