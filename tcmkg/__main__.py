@@ -4,9 +4,12 @@
     python -m tcmkg build --input <transcripts.parquet> --output <dir>      # local
 
 Subcommands:
-    build     run the full KG pipeline: transcripts -> nodes/edges/metrics
-    bench     one timed pipeline run (JSON line)
-    fixture   write a synthetic transcript corpus (deterministic)
+    build       run the full KG pipeline: transcripts -> nodes/edges/metrics
+    incremental process only landing files not yet in the manifest
+    bench       one timed pipeline run (JSON line)
+    fixture     write a synthetic transcript corpus (deterministic)
+    dedup       near-duplicate dedup a document corpus (kept + removal map)
+    prepare     full training-data prep: quality -> dedup -> split -> pack
 """
 
 from __future__ import annotations
@@ -61,6 +64,57 @@ def cmd_fixture(args) -> None:
                       "conversations": args.conversations}))
 
 
+def cmd_incremental(args) -> None:
+    from .pipeline.runner import KGPipeline
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-incremental", cores=args.cores)
+    pipe = KGPipeline(spark)
+    out = pipe.run_incremental(args.landing, args.checkpoint)
+    out["triples"].write.mode("overwrite").partitionBy("pred").parquet(
+        args.output.rstrip("/") + "/edges"
+    )
+    counts = {r["pred"]: r["count"] for r in out["triples"].groupBy("pred").count().collect()}
+    print(json.dumps({"status": "ok", "n_new_files": out["n_new_files"],
+                      "edges_by_pred": counts, "output": args.output}))
+
+
+def cmd_dedup(args) -> None:
+    from .ops.dedup import near_dedup
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-dedup", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    out = near_dedup(docs, args.id_col, args.text_col,
+                     max_bucket=args.max_bucket, threshold=args.threshold)
+    root = args.output.rstrip("/")
+    out["kept"].write.mode("overwrite").parquet(root + "/kept")
+    out["removals"].write.mode("overwrite").parquet(root + "/removals")
+    out["dropped_buckets"].write.mode("overwrite").parquet(root + "/dropped_buckets")
+    metrics = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+    print(json.dumps({"status": "ok", "metrics": metrics, "output": args.output}))
+
+
+def cmd_prepare(args) -> None:
+    import ast
+
+    from .ops.prepare import prepare_corpus
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-prepare", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    fractions = ast.literal_eval(args.fractions)
+    out = prepare_corpus(docs, args.id_col, args.text_col,
+                         fractions=fractions, budget=args.budget,
+                         max_bucket=args.max_bucket, threshold=args.threshold)
+    root = args.output.rstrip("/")
+    out["corpus"].write.mode("overwrite").partitionBy("split").parquet(root + "/corpus")
+    out["quality_removed"].write.mode("overwrite").parquet(root + "/quality_removed")
+    out["dedup_removals"].write.mode("overwrite").parquet(root + "/dedup_removals")
+    metrics = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+    print(json.dumps({"status": "ok", "metrics": metrics, "output": args.output}))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tcmkg")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -81,6 +135,35 @@ def main(argv=None) -> int:
     f.add_argument("--output", required=True)
     f.add_argument("--conversations", type=int, default=1000)
     f.set_defaults(fn=cmd_fixture)
+
+    inc = sub.add_parser("incremental", help="process only unseen landing files")
+    inc.add_argument("--landing", required=True, help="landing dir of parquet arrivals")
+    inc.add_argument("--checkpoint", required=True, help="manifest + tranche dir")
+    inc.add_argument("--output", required=True)
+    inc.add_argument("--cores", default=None)
+    inc.set_defaults(fn=cmd_incremental)
+
+    dd = sub.add_parser("dedup", help="near-duplicate dedup a document corpus")
+    dd.add_argument("--input", required=True, help="documents parquet path")
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--id-col", dest="id_col", default="doc_id")
+    dd.add_argument("--text-col", dest="text_col", default="text")
+    dd.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--cores", default=None)
+    dd.set_defaults(fn=cmd_dedup)
+
+    pp = sub.add_parser("prepare", help="quality -> dedup -> split -> pack")
+    pp.add_argument("--input", required=True, help="documents parquet path")
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--id-col", dest="id_col", default="doc_id")
+    pp.add_argument("--text-col", dest="text_col", default="text")
+    pp.add_argument("--fractions", default="{'train': 0.9, 'val': 0.1}")
+    pp.add_argument("--budget", type=int, default=2048)
+    pp.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
+    pp.add_argument("--threshold", type=float, default=0.5)
+    pp.add_argument("--cores", default=None)
+    pp.set_defaults(fn=cmd_prepare)
 
     args = ap.parse_args(argv)
     args.fn(args)
