@@ -276,18 +276,35 @@ _prev_near_sigs = None
 
 
 def pair_jaccard(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode: str = "token",
+    n: int = 3,
 ) -> DataFrame:
-    """Token-set Jaccard for SPECIFIC (a, b) pairs — the verification step
-    of a candidates→verify chain. Unlike jaccard_pairs (a token self-join
-    that needs the DF guard), this attaches each doc's distinct-token array
-    to the bounded candidate set with two equi-joins and scores per row with
-    native array ops; the full token universe applies (no guard needed —
-    nothing here is quadratic)."""
-    toks = df.select(
-        F.col(id_col).alias("_jid"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
-    )
+    """Set Jaccard for SPECIFIC (a, b) pairs — the verification step of a
+    candidates→verify chain. Unlike jaccard_pairs (a token self-join that
+    needs the DF guard), this attaches each doc's distinct-element array to
+    the bounded candidate set with two equi-joins and scores per row with
+    native array ops; the full element universe applies (no guard needed —
+    nothing here is quadratic).
+
+    mode='token' (whitespace tokens, order-insensitive) or 'shingle'
+    (char n-grams — order-SENSITIVE, rejects reordered boilerplate that
+    token sets cannot distinguish)."""
+    if mode == "token":
+        elems = F.array_distinct(F.split(F.col(text_col), " "))
+    elif mode == "shingle":
+        text = F.col(text_col)
+        n_sh = F.length(text) - n + 1
+        idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+            F.array().cast("array<int>")
+        )
+        elems = F.array_distinct(F.transform(idx, lambda i: text.substr(i, F.lit(n))))
+    else:
+        raise ValueError(f"unknown mode {mode!r} (token|shingle)")
+    toks = df.select(F.col(id_col).alias("_jid"), elems.alias("_toks"))
     out = (
         pairs.join(toks.withColumnRenamed("_jid", "a").withColumnRenamed("_toks", "ta"), "a")
         .join(toks.withColumnRenamed("_jid", "b").withColumnRenamed("_toks", "tb"), "b")
@@ -311,6 +328,7 @@ def near_dedup(
     max_bucket: int = 256,
     threshold: float = 0.5,
     cc_max_iter: int = 25,
+    verify: str = "token",
 ) -> dict[str, DataFrame]:
     """End-to-end near-duplicate deduplication — corpus in, deduplicated
     corpus + removal map + drop metrics out (the operator a training-data
@@ -365,7 +383,9 @@ def near_dedup(
     pairs = lsh_candidate_pairs(sigs, max_bucket)
     dropped = lsh_dropped_buckets(sigs, max_bucket)
 
-    verified = pair_jaccard(pairs, df, id_col, text_col).filter(
+    # verify='shingle' scores candidates on char n-grams instead of token
+    # sets: order-sensitive, so reordered boilerplate no longer verifies
+    verified = pair_jaccard(pairs, df, id_col, text_col, mode=verify).filter(
         F.col("jaccard") >= threshold
     )
 

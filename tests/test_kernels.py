@@ -360,3 +360,38 @@ def test_probe_token_differential_fuzz():
     assert len(toks) > 20
     for tok in sorted(toks):
         assert probe_herb(tok, herb_map) == _probe_model(tok, herb_map), tok
+
+
+def test_aho_corasick_property_fuzz():
+    """Property-based differential: AhoCorasick.find_set must equal the
+    naive `pattern in text` scan (the reference's membership semantics,
+    add_more_prescription_symptom_map.py:22-28) for arbitrary pattern sets
+    and texts over a small CJK+ASCII alphabet (overlaps, nesting, and
+    shared prefixes/suffixes all arise at this alphabet size)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tcmkg.kernels.matcher import AhoCorasick
+
+    alphabet = "甘草参黄xy"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.text(alphabet=alphabet, min_size=1, max_size=4),
+                 min_size=1, max_size=8),
+        st.text(alphabet=alphabet, max_size=30),
+    )
+    def check(patterns, text):
+        ac = AhoCorasick(patterns)
+        assert ac.find_set(text) == {p for p in patterns if p and p in text}
+
+    check()
+
+
+def test_aho_corasick_find_all_offsets():
+    """find_all returns every (start, pattern) occurrence incl. overlaps."""
+    from tcmkg.kernels.matcher import AhoCorasick
+
+    ac = AhoCorasick(["aa", "aaa", "b"])
+    got = sorted(ac.find_all("aaab"))
+    assert got == [(0, "aa"), (0, "aaa"), (1, "aa"), (3, "b")]

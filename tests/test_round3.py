@@ -380,3 +380,30 @@ def test_stratified_sample_deterministic(spark):
     # default fraction 0.0: an unlisted stratum contributes nothing
     df2 = df.withColumn("s", F.lit("zzz"))
     assert stratified_sample_by_hash(df2, "k", "s", frac).count() == 0
+
+
+def test_near_dedup_shingle_verification(spark):
+    """verify='shingle' is order-sensitive: reordered boilerplate shares
+    the full token SET (token-mode Jaccard 1.0) but few char n-grams, so
+    the shingle mode keeps both docs while token mode collapses them."""
+    from tcmkg.ops.dedup import near_dedup, pair_jaccard
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "h g f e d c b a"),   # same token SET, fully reordered
+        (2, "a b c d e f g x"),   # near-verbatim of 0 (one char differs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tok = near_dedup(df, "doc_id", "text", threshold=0.5, verify="token")
+    assert {r["removed_doc"] for r in tok["removals"].collect()} >= {1}
+
+    sh = near_dedup(df, "doc_id", "text", threshold=0.5, verify="shingle")
+    removed = {r["removed_doc"] for r in sh["removals"].collect()}
+    assert 1 not in removed                      # reordered doc survives
+    assert 2 in removed                          # near-verbatim still dies
+
+    pairs = spark.createDataFrame([(0, 1)], "a long, b long")
+    j_tok = pair_jaccard(pairs, df, "doc_id", "text", mode="token").collect()[0]["jaccard"]
+    j_sh = pair_jaccard(pairs, df, "doc_id", "text", mode="shingle").collect()[0]["jaccard"]
+    assert j_tok == 1.0 and j_sh < 0.5  # 0.3 vs 1.0: order matters
