@@ -407,3 +407,34 @@ def test_near_dedup_shingle_verification(spark):
     j_tok = pair_jaccard(pairs, df, "doc_id", "text", mode="token").collect()[0]["jaccard"]
     j_sh = pair_jaccard(pairs, df, "doc_id", "text", mode="shingle").collect()[0]["jaccard"]
     assert j_tok == 1.0 and j_sh < 0.5  # 0.3 vs 1.0: order matters
+
+
+def test_ivf2_index_persistence(spark, tmp_path):
+    """Two-level index round-trips through CheckpointStore via its
+    flattened shape: build once, reload in a 'later session', full-probe
+    search over the reloaded index still equals exact brute force."""
+    from tcmkg.contract.generic import q_ann_topk
+    from tcmkg.ops.ann import (
+        _as_double, build_ivf2, flatten_ivf2, ivf_search, load_ivf, save_ivf,
+    )
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent, assign = flatten_ivf2(
+        *build_ivf2(corpus, "vec_id", "embedding", n_coarse=2, n_sub=2, n_iter=2)
+    )
+    store = CheckpointStore(str(tmp_path / "ivf2"))
+    save_ivf(store, cent, assign, prefix="ivf2")
+    cent2, assign2 = load_ivf(spark, store, prefix="ivf2")
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    got = {(r["qid"], r["rk"], r["neighbor"])
+           for r in ivf_search(q, corpus, cent2, assign2, "vec_id", "embedding",
+                               nprobe=4, topk=3).collect()}
+    exact = {(r["qid"], r["rk"], r["neighbor"])
+             for r in q_ann_topk(spark, sf).collect()}
+    assert got == exact
