@@ -438,3 +438,97 @@ def test_ivf2_index_persistence(spark, tmp_path):
     exact = {(r["qid"], r["rk"], r["neighbor"])
              for r in q_ann_topk(spark, sf).collect()}
     assert got == exact
+
+
+def _near_dedup_model(docs, n_bands, max_bucket, threshold):
+    """Independent pure-Python model of the WHOLE near_dedup chain
+    (md5-band minhash, bucket cap, pair Jaccard w/ Spark's HALF_UP round,
+    exact hot-bucket routing, union-find closure) — no Spark, no shared
+    code with ops/dedup.py."""
+    import hashlib
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    buckets = defaultdict(list)
+    for d, text in docs.items():
+        toks = set(text.split(" "))
+        for b in range(n_bands):
+            buckets[(b, min(md5(f"{b}:{t}") for t in toks))].append(d)
+    hot = {k for k, v in buckets.items() if len(v) > max_bucket}
+    pairs = set()
+    for k, v in buckets.items():
+        if k in hot:
+            continue
+        v = sorted(v)
+        pairs |= {(v[i], v[j]) for i in range(len(v)) for j in range(i + 1, len(v))}
+
+    def jac(a, b):
+        ta, tb = set(docs[a].split(" ")), set(docs[b].split(" "))
+        q = Decimal(len(ta & tb)) / Decimal(len(ta | tb))
+        return float(q.quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    edges = {(a, b) for a, b in pairs if jac(a, b) >= threshold}
+    hotdocs = {d for k in hot for d in buckets[k]}
+    byhash = defaultdict(list)
+    for d in hotdocs:
+        byhash[md5(docs[d])].append(d)
+    exact_removed = set()
+    for v in byhash.values():
+        keep = min(v)
+        for d in v:
+            if d != keep:
+                edges.add((keep, d))
+                exact_removed.add(d)
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    comp = {d: find(d) for e in edges for d in e}
+    return {
+        d: (c, "exact_hot_bucket" if d in exact_removed else "near")
+        for d, c in comp.items()
+        if d != c
+    }
+
+
+def test_near_dedup_differential_model(spark):
+    """Spark near_dedup vs the independent model on a seeded random corpus
+    that exercises every path at once: a hot identical-boilerplate cluster
+    (exact route), overlapping near-dup chains (verify + CC transitivity),
+    and unique filler (survivors)."""
+    import random
+
+    from tcmkg.ops.dedup import near_dedup
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for d in range(20):                       # hot boilerplate, identical
+        docs[d] = "footer legal boilerplate text line"
+    base = rng.sample(vocab, 6)
+    for i in range(8):                        # chain: each drifts one token
+        docs[100 + i] = " ".join(base[: 6 - 1] + [f"drift{i}"])
+    for d in range(200, 230):                 # unique filler
+        docs[d] = " ".join(rng.sample(vocab, rng.randint(3, 6)))
+
+    df = spark.createDataFrame(sorted(docs.items()), "doc_id long, text string")
+    out = near_dedup(df, "doc_id", "text", max_bucket=8, threshold=0.5)
+    got = {r["removed_doc"]: (r["keep_doc"], r["via"])
+           for r in out["removals"].collect()}
+    want = _near_dedup_model(docs, n_bands=4, max_bucket=8, threshold=0.5)
+    assert got == want
+    assert any(v[1] == "exact_hot_bucket" for v in want.values())  # both
+    assert any(v[1] == "near" for v in want.values())              # paths hit
