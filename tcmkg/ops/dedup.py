@@ -455,6 +455,125 @@ def near_dedup(
     }
 
 
+def near_dedup_incremental(
+    seen: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    max_bucket: int = 256,
+    threshold: float = 0.5,
+    cc_max_iter: int = 25,
+    verify: str = "token",
+) -> dict[str, DataFrame]:
+    """Dedup NEW arrivals against an existing (already-deduped) corpus —
+    the daily-crawl operator. Work is proportional to the new tranche, not
+    the corpus: seen-vs-seen candidate pairs are filtered out BEFORE
+    verification (the O(seen²) work a full re-run would redo), and the
+    seen corpus is immutable — only new docs are ever removed.
+
+    PRECONDITION (asserted): every seen id < every new id (monotone corpus
+    ids — the standard ingestion layout). Min-id survivorship then keeps
+    seen docs automatically, so "new doc duplicates corpus doc" resolves
+    to the corpus doc without special-casing.
+
+    -> {"kept_new", "removals" (removed_doc, keep_doc, via), "metrics"}.
+    At 10^12 docs the signature side for `seen` should be the persisted
+    index (compute once via minhash_signatures and store) — recomputation
+    here keeps the operator self-contained; both shapes plan identically
+    from the bucket join onward."""
+    from ..pipeline.cc import connected_components
+
+    bounds = (
+        seen.agg(F.max(F.col(id_col)).alias("mx"))
+        .crossJoin(new.agg(F.min(F.col(id_col)).alias("mn")))
+        .collect()[0]
+    )
+    if bounds["mx"] is not None and bounds["mn"] is not None:
+        assert bounds["mx"] < bounds["mn"], (
+            "near_dedup_incremental requires max(seen id) < min(new id) "
+            f"(got {bounds['mx']!r} >= {bounds['mn']!r})"
+        )
+
+    union = seen.select(F.col(id_col), F.col(text_col)).unionByName(
+        new.select(F.col(id_col), F.col(text_col))
+    )
+    new_ids = new.select(F.col(id_col).alias("_nid"))
+    sigs = minhash_signatures(union, id_col, text_col, n_bands)
+    pairs_all = lsh_candidate_pairs(sigs, max_bucket)
+    dropped = lsh_dropped_buckets(sigs, max_bucket)
+    # the incremental saving: only pairs touching a new doc are verified.
+    # ids are ordered seen < new, so "b is new" covers every such pair.
+    pairs = pairs_all.join(
+        F.broadcast(new_ids).withColumnRenamed("_nid", "b"), "b", "left_semi"
+    )
+    verified = pair_jaccard(pairs, union, id_col, text_col, mode=verify).filter(
+        F.col("jaccard") >= threshold
+    )
+
+    # hot-bucket exact route, restricted to buckets that gained a NEW doc
+    hot_with_new = (
+        sigs.join(F.broadcast(dropped.select("band", "sig")), ["band", "sig"], "left_semi")
+        .join(F.broadcast(new_ids).withColumnRenamed("_nid", "id"), "id", "left_semi")
+        .select("band", "sig")
+        .distinct()
+    )
+    hot_docs = (
+        sigs.join(F.broadcast(hot_with_new), ["band", "sig"], "left_semi")
+        .select(F.col("id").alias("hid"))
+        .distinct()
+    )
+    hot_texts = union.select(
+        F.col(id_col).alias("hid"), F.md5(F.col(text_col)).alias("th")
+    ).join(hot_docs, "hid")
+    exact_keep = hot_texts.groupBy("th").agg(F.min("hid").alias("keep"))
+    exact_edges = (
+        hot_texts.join(exact_keep, "th")
+        .filter(F.col("hid") != F.col("keep"))
+        .select(F.col("keep").alias("a"), F.col("hid").alias("b"))
+        .join(F.broadcast(new_ids).withColumnRenamed("_nid", "b"), "b", "left_semi")
+    )
+
+    edges = verified.select("a", "b").unionByName(exact_edges).dropDuplicates(["a", "b"])
+    ekey = F.concat(F.col("a").cast("string"), F.lit("|"), F.col("b").cast("string"))
+    incidence = edges.select(F.col("a").alias("node"), ekey.alias("key")).unionByName(
+        edges.select(F.col("b").alias("node"), ekey.alias("key"))
+    )
+    comp = connected_components(incidence, max_iter=cc_max_iter)
+    removals = (
+        comp.filter(F.col("node") != F.col("component"))
+        .join(F.broadcast(new_ids).withColumnRenamed("_nid", "node"), "node", "left_semi")
+        .select(
+            F.col("node").alias("removed_doc"), F.col("component").alias("keep_doc")
+        )
+    )
+    exact_removed = exact_edges.select(F.col("b").alias("removed_doc")).distinct()
+    removals = removals.join(
+        exact_removed.withColumn("_ex", F.lit(True)), "removed_doc", "left"
+    ).select(
+        "removed_doc",
+        "keep_doc",
+        F.when(F.col("_ex"), F.lit("exact_hot_bucket")).otherwise(F.lit("near")).alias("via"),
+    )
+    kept_new = new.join(
+        removals.select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
+    )
+
+    def _count1(name: str, d: DataFrame) -> DataFrame:
+        return d.agg(F.count("*").cast("long").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    metrics = (
+        _count1("n_new", new)
+        .unionByName(_count1("n_candidate_pairs", pairs))
+        .unionByName(_count1("n_verified_pairs", verified))
+        .unionByName(_count1("n_dropped_buckets", dropped))
+        .unionByName(_count1("n_removed", removals))
+    )
+    return {"kept_new": kept_new, "removals": removals, "metrics": metrics}
+
+
 def jaccard_dropped_tokens(
     df: DataFrame, id_col: str, text_col: str, max_df: int = 256
 ) -> DataFrame:

@@ -532,3 +532,49 @@ def test_near_dedup_differential_model(spark):
     assert got == want
     assert any(v[1] == "exact_hot_bucket" for v in want.values())  # both
     assert any(v[1] == "near" for v in want.values())              # paths hit
+
+
+def test_near_dedup_incremental(spark):
+    """New arrivals dedup against an immutable seen corpus: new-vs-seen
+    and new-vs-new duplicates are removed (survivor = corpus doc / lowest
+    new id), seen docs are never removed, and seen-vs-seen candidate pairs
+    are excluded from verification (the incremental saving)."""
+    from tcmkg.ops.dedup import near_dedup, near_dedup_incremental
+
+    # seen: deduped, but docs 10/11 share a bucket while staying below the
+    # 0.5 threshold — a seen-seen candidate a full re-run would re-verify.
+    # 't6092' md5-hashes below every other token under band 0 (checked
+    # offline), so both docs carry the same band-0 min signature.
+    seen_rows = [
+        (10, "t6092 alpha beta gamma delta epsilon zeta"),
+        (11, "t6092 unrelated filler words here now indeed"),
+        (12, "spark shuffles partitions across cluster nodes"),
+    ]
+    new_rows = [
+        (100, "t6092 alpha beta gamma delta epsilon eta"),  # near-dup of seen 10
+        (101, "spark shuffles partitions across cluster nodes"),  # exact dup of 12
+        (102, "completely fresh unique content today"),
+        (103, "completely fresh unique content today respun"),  # near-dup of 102
+    ]
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    out = near_dedup_incremental(seen, new, "doc_id", "text", threshold=0.5)
+    removals = {r["removed_doc"]: r["keep_doc"] for r in out["removals"].collect()}
+    assert removals[100] == 10       # resolves to the corpus doc
+    assert removals[101] == 12       # exact dup of corpus doc
+    assert removals[103] == 102      # within-new dup keeps lowest new id
+    assert set(removals) == {100, 101, 103}
+    assert {r["doc_id"] for r in out["kept_new"].collect()} == {102}
+
+    # incremental verifies strictly fewer candidates than a full union run
+    # (the seen-seen 10-11 candidate is excluded)
+    m_inc = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+    full = near_dedup(seen.unionByName(new), "doc_id", "text", threshold=0.5)
+    m_full = {r["metric"]: r["value"] for r in full["metrics"].collect()}
+    assert m_inc["n_candidate_pairs"] < m_full["n_candidate_pairs"]
+
+    # precondition: overlapping id ranges must be rejected loudly
+    bad_new = spark.createDataFrame([(5, "x y z")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="max.seen id."):
+        near_dedup_incremental(seen, bad_new, "doc_id", "text")
