@@ -23,6 +23,8 @@ Coverage map (operator ids from SURVEY.md §2):
   q_simhash_pairs      banded-SimHash candidates with the bucket cap live
   q_near_dedup         composed end-to-end near-dup dedup (candidates →
                        verify → exact hot-bucket routing → CC → survivor)
+  q_near_dedup_inc     incremental near-dedup: arrivals vs immutable seen
+                       corpus, work ∝ tranche (b-side-new restriction)
   q_literal_dict       P6 Python-literal dict parse -> xref/property columns
   q_fingerprints       winnowed k-gram document fingerprints (MOSS scheme)
   q_token_quality      whitespace + BPE-ish regex token counts, punct ratio
@@ -674,6 +676,71 @@ SELECT node AS removed_doc, comp AS keep_doc,
        CASE WHEN node IN (SELECT DISTINCT b FROM eedges)
             THEN 'exact_hot_bucket' ELSE 'near' END AS via
 FROM comp WHERE node <> comp
+"""
+
+
+NEAR_INC_CUT = 400  # documents < cut are the seen corpus, >= cut the arrivals
+
+
+def q_near_dedup_inc(spark, sf_dir):
+    """Incremental near-dup dedup: arrivals (doc_id >= cut) against the
+    seen corpus (< cut). The oracle replays the union chain with the
+    incremental restrictions — only candidates/edges whose b side is new,
+    hot-route only for buckets that gained a new doc, removals only among
+    new docs — so the work-∝-tranche semantics are hash-verified."""
+    from ..ops.dedup import near_dedup_incremental
+
+    d = _read(spark, sf_dir, "documents")
+    out = near_dedup_incremental(
+        d.filter(F.col("doc_id") < NEAR_INC_CUT),
+        d.filter(F.col("doc_id") >= NEAR_INC_CUT),
+        "doc_id", "text",
+        max_bucket=LSH_MAX_BUCKET, threshold=0.5,
+    )
+    return out["removals"].select("removed_doc", "keep_doc", "via")
+
+
+SQL_NEAR_DEDUP_INC = f"""
+WITH RECURSIVE {_SQL_MINHASH_SIGS_CTE},
+hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
+kept AS (SELECT * FROM sigs ANTI JOIN hot USING (band, sig)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= {NEAR_INC_CUT}
+),
+dtok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN dtok ta ON ta.doc_id = c.a
+  JOIN dtok tb ON tb.doc_id = c.b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) >= 0.5
+),
+hotn AS (
+  SELECT DISTINCT band, sig FROM sigs SEMI JOIN hot USING (band, sig)
+  WHERE doc_id >= {NEAR_INC_CUT}
+),
+hotdocs AS (SELECT DISTINCT doc_id FROM sigs SEMI JOIN hotn USING (band, sig)),
+hx AS (SELECT d.doc_id, md5(d.text) AS th FROM documents d SEMI JOIN hotdocs USING (doc_id)),
+ekeep AS (SELECT th, min(doc_id) AS keep FROM hx GROUP BY th),
+eedges AS (
+  SELECT k.keep AS a, h.doc_id AS b FROM hx h JOIN ekeep k USING (th)
+  WHERE h.doc_id <> k.keep AND h.doc_id >= {NEAR_INC_CUT}
+),
+edges AS (SELECT a, b FROM ver UNION SELECT a, b FROM eedges),
+und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b AS x, a AS y FROM edges),
+nodes AS (SELECT DISTINCT x AS n FROM und),
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, u.y FROM reach r JOIN und u ON r.dst = u.x
+),
+comp AS (SELECT src AS node, min(dst) AS comp FROM reach GROUP BY src)
+SELECT node AS removed_doc, comp AS keep_doc,
+       CASE WHEN node IN (SELECT DISTINCT b FROM eedges)
+            THEN 'exact_hot_bucket' ELSE 'near' END AS via
+FROM comp WHERE node <> comp AND node >= {NEAR_INC_CUT}
 """
 
 
@@ -1409,6 +1476,7 @@ GENERIC_QUERIES = {
     "q_lsh_dropped": q_lsh_dropped,
     "q_simhash_pairs": q_simhash_pairs,
     "q_near_dedup": q_near_dedup,
+    "q_near_dedup_inc": q_near_dedup_inc,
     "q_literal_dict": q_literal_dict,
     "q_fingerprints": q_fingerprints,
     "q_token_quality": q_token_quality,
@@ -1454,6 +1522,7 @@ GENERIC_ORACLES = {
     "q_lsh_dropped": SQL_LSH_DROPPED,
     "q_simhash_pairs": SQL_SIMHASH_PAIRS,
     "q_near_dedup": SQL_NEAR_DEDUP,
+    "q_near_dedup_inc": SQL_NEAR_DEDUP_INC,
     "q_literal_dict": SQL_LITERAL_DICT,
     "q_fingerprints": SQL_FINGERPRINTS,
     "q_token_quality": SQL_TOKEN_QUALITY,
