@@ -1398,6 +1398,25 @@ def q_ann_ivf2(spark, sf_dir):
                       nprobe=4, topk=3)
 
 
+def q_ann_ivf2h(spark, sf_dir):
+    """Hierarchical SEARCH over the two-level index (coarse probe → sub
+    probe → cell-pruned scan), with full coverage — must reproduce exact
+    brute-force top-k against the same oracle. Complements q_ann_ivf2,
+    which verifies the build via the flat search path."""
+    from ..ops.ann import _as_double, build_ivf2, ivf2_search
+
+    e = _read(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent, assign = build_ivf2(
+        corpus, "vec_id", "embedding", n_coarse=2, n_sub=2, n_iter=2
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    return ivf2_search(queries, corpus, cent, assign, "vec_id", "embedding",
+                       n_coarse_probe=2, nprobe=4, topk=3)
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash per document (vectorized pandas UDF). The DuckDB
     oracle rebuilds the bit votes relationally (unnest tokens x 64 bits),
@@ -1494,6 +1513,7 @@ GENERIC_QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_ivf2": q_ann_ivf2,
+    "q_ann_ivf2h": q_ann_ivf2h,
     "q_simhash": q_simhash,
     "q_embed_centroids": q_embed_centroids,
 }
@@ -1540,6 +1560,7 @@ GENERIC_ORACLES = {
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
     "q_ann_ivf2": SQL_ANN_TOPK,  # two-level full probe: same exactness bar
+    "q_ann_ivf2h": SQL_ANN_TOPK,  # hierarchical probe, full coverage ≡ exact
     "q_simhash": SQL_SIMHASH,
     "q_embed_centroids": SQL_EMBED_CENTROIDS,
 }

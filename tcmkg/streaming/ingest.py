@@ -61,6 +61,20 @@ def stream_transcripts(
     )
 
 
+def stream_dedup_turns(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Feed-level duplicate suppression with BOUNDED state: duplicate
+    (conv_id, turn_idx) arrivals within the watermark horizon are dropped
+    via dropDuplicatesWithinWatermark, which evicts keys older than the
+    watermark — a plain streaming dropDuplicates would hold every key seen
+    forever, which at 10^12 turns is unbounded state. This is the
+    streaming analogue of ingest()'s dedup window (same key; the batch
+    window additionally picks min (ts, text) among duplicates, which a
+    streaming dedup cannot — it keeps the FIRST arrival)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def streaming_turn_stats(stream: DataFrame, window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:
     """Per (event-time window, conv) turn counts with late-data watermark."""

@@ -153,3 +153,38 @@ def test_stateful_carry_forward_across_batches(
         if p == "formula_contains_herb"
     }
     assert stream_w == batch_w
+
+
+def test_stream_dedup_turns(spark, tmp_path, transcripts_pdf):
+    """Duplicate (conv_id, turn_idx) arrivals — within one file AND across
+    micro-batches inside the watermark — surface exactly once; state stays
+    bounded by the watermark (dropDuplicatesWithinWatermark)."""
+    import os
+
+    from tcmkg.streaming.ingest import stream_dedup_turns, stream_transcripts
+
+    d = tmp_path / "dup_landing"
+    d.mkdir()
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    base = transcripts_pdf.head(200).copy()
+    base["tool"] = base["tool"].astype("string")  # all-None col writes INT32 otherwise
+    dup_half = base.head(100)
+    f0, f1 = d / "a.parquet", d / "b.parquet"
+    import pandas as pd
+
+    pd.concat([base, dup_half]).to_parquet(f0, **kw)   # in-file duplicates
+    dup_half.to_parquet(f1, **kw)                       # cross-batch duplicates
+    os.utime(f0, (1_700_000_000, 1_700_000_000))
+    os.utime(f1, (1_700_000_060, 1_700_000_060))
+
+    deduped = stream_dedup_turns(stream_transcripts(spark, str(d), max_files_per_trigger=1))
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_turns").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, count(*) AS n FROM dedup_turns GROUP BY 1, 2"
+    ).collect()
+    assert len(got) == len(base)                 # every original key present
+    assert all(r["n"] == 1 for r in got)         # and exactly once
