@@ -413,6 +413,65 @@ def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming feed dedup vs a batch oracle: the corpus is
+    landed TWICE (full copy in each of two micro-batch files — every row a
+    cross-batch duplicate) plus an in-file duplication of the first file;
+    stream_dedup_turns must surface each (conv_id, turn_idx) exactly once,
+    so per-conversation counts and turn-idx checksums equal the batch
+    distinct oracle."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import stream_dedup_turns, stream_transcripts
+
+    tmp = tempfile.mkdtemp(prefix="tcmkg_streamdedup_contract_")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    pdf = transcriptize(spark, sf_dir).toPandas()
+    pdf["tool"] = pdf["tool"].astype("string")  # all-null col: keep string type
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    import pandas as pd
+
+    f0 = os.path.join(landing, "a.parquet")
+    f1 = os.path.join(landing, "b.parquet")
+    pd.concat([pdf, pdf.head(len(pdf) // 2)]).to_parquet(f0, **kw)  # in-file dups
+    pdf.to_parquet(f1, **kw)                                        # full replay
+    os.utime(f0, (1_700_000_000, 1_700_000_000))
+    os.utime(f1, (1_700_000_060, 1_700_000_060))
+
+    deduped = stream_dedup_turns(
+        stream_transcripts(spark, landing, max_files_per_trigger=1),
+        watermark="365 days",  # synthetic ts span: keep every key in state
+    )
+    name = f"stream_dedup_{abs(hash(tmp)) % 10**9}"
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    out = spark.sql(
+        f"SELECT conv_id, count(*) AS n_turns, sum(turn_idx) AS idx_sum "
+        f"FROM {name} GROUP BY conv_id"
+    ).select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("idx_sum").cast("long").alias("idx_sum"),
+    )
+    return _materialize_then_cleanup(spark, out, tmp)
+
+
+SQL_KG_STREAM_DEDUP = """
+WITH tr AS (
+  SELECT 'conv_' || lpad((user_id % 97)::VARCHAR, 3, '0') AS conv_id,
+         row_number() OVER (PARTITION BY user_id % 97 ORDER BY ts, event_id) - 1 AS turn_idx
+  FROM events
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns, sum(turn_idx)::BIGINT AS idx_sum
+FROM tr GROUP BY conv_id
+"""
+
+
 # planted near-miss herb variants (tier-3 linking inputs): real-name
 # decorations/typos that exact/probe linking cannot resolve
 SOFT_LINK_TOKENS = [
@@ -724,6 +783,7 @@ KG_QUERIES = {
     "kg_stream_contains": q_kg_stream_contains,
     "kg_stream_stateful": q_kg_stream_stateful,
     "kg_incremental": q_kg_incremental,
+    "kg_stream_dedup": q_kg_stream_dedup,
     "kg_soft_link": q_kg_soft_link,
 }
 
@@ -741,5 +801,6 @@ KG_ORACLES = {
     "kg_stream_contains": SQL_KG_CONTAINS,  # stream must equal batch oracle
     "kg_stream_stateful": SQL_KG_CONTAINS,  # cross-batch state, same oracle
     "kg_incremental": SQL_KG_CONTAINS,  # two tranches must equal full batch
+    "kg_stream_dedup": SQL_KG_STREAM_DEDUP,
     "kg_soft_link": _sql_kg_soft_link(),
 }
