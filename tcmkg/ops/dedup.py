@@ -489,24 +489,38 @@ def near_dedup_incremental(
         .crossJoin(new.agg(F.min(F.col(id_col)).alias("mn")))
         .collect()[0]
     )
-    if bounds["mx"] is not None and bounds["mn"] is not None:
-        assert bounds["mx"] < bounds["mn"], (
+    mn = bounds["mn"]
+    if bounds["mx"] is not None and mn is not None:
+        assert bounds["mx"] < mn, (
             "near_dedup_incremental requires max(seen id) < min(new id) "
-            f"(got {bounds['mx']!r} >= {bounds['mn']!r})"
+            f"(got {bounds['mx']!r} >= {mn!r})"
         )
+    if mn is None:
+        # no arrivals: nothing kept, nothing removed, zero metrics
+        id_type = dict(new.dtypes)[id_col]
+        empty_rm = new.sparkSession.createDataFrame(
+            [], f"removed_doc {id_type}, keep_doc {id_type}, via string"
+        )
+        zeros = new.sparkSession.createDataFrame(
+            [(m, 0) for m in ("n_new", "n_candidate_pairs", "n_verified_pairs",
+                              "n_dropped_buckets", "n_removed")],
+            "metric string, value long",
+        )
+        return {"kept_new": new, "removals": empty_rm, "metrics": zeros}
 
     union = seen.select(F.col(id_col), F.col(text_col)).unionByName(
         new.select(F.col(id_col), F.col(text_col))
     )
-    new_ids = new.select(F.col(id_col).alias("_nid"))
+    # the monotone-id precondition makes "is new" a LITERAL comparison
+    # (id >= min new id) — no join, no broadcast of a possibly-billion-row
+    # arrival id set; the filter rides inside the existing plans for free
+    is_new = lambda c: F.col(c) >= F.lit(mn)
     sigs = minhash_signatures(union, id_col, text_col, n_bands)
     pairs_all = lsh_candidate_pairs(sigs, max_bucket)
     dropped = lsh_dropped_buckets(sigs, max_bucket)
     # the incremental saving: only pairs touching a new doc are verified.
     # ids are ordered seen < new, so "b is new" covers every such pair.
-    pairs = pairs_all.join(
-        F.broadcast(new_ids).withColumnRenamed("_nid", "b"), "b", "left_semi"
-    )
+    pairs = pairs_all.filter(is_new("b"))
     verified = pair_jaccard(pairs, union, id_col, text_col, mode=verify).filter(
         F.col("jaccard") >= threshold
     )
@@ -514,7 +528,7 @@ def near_dedup_incremental(
     # hot-bucket exact route, restricted to buckets that gained a NEW doc
     hot_with_new = (
         sigs.join(F.broadcast(dropped.select("band", "sig")), ["band", "sig"], "left_semi")
-        .join(F.broadcast(new_ids).withColumnRenamed("_nid", "id"), "id", "left_semi")
+        .filter(is_new("id"))
         .select("band", "sig")
         .distinct()
     )
@@ -531,7 +545,7 @@ def near_dedup_incremental(
         hot_texts.join(exact_keep, "th")
         .filter(F.col("hid") != F.col("keep"))
         .select(F.col("keep").alias("a"), F.col("hid").alias("b"))
-        .join(F.broadcast(new_ids).withColumnRenamed("_nid", "b"), "b", "left_semi")
+        .filter(is_new("b"))
     )
 
     edges = verified.select("a", "b").unionByName(exact_edges).dropDuplicates(["a", "b"])
@@ -542,7 +556,7 @@ def near_dedup_incremental(
     comp = connected_components(incidence, max_iter=cc_max_iter)
     removals = (
         comp.filter(F.col("node") != F.col("component"))
-        .join(F.broadcast(new_ids).withColumnRenamed("_nid", "node"), "node", "left_semi")
+        .filter(is_new("node"))
         .select(
             F.col("node").alias("removed_doc"), F.col("component").alias("keep_doc")
         )
