@@ -109,6 +109,7 @@ def cmd_prepare(args) -> None:
                          max_bucket=args.max_bucket, threshold=args.threshold)
     root = args.output.rstrip("/")
     out["corpus"].write.mode("overwrite").partitionBy("split").parquet(root + "/corpus")
+    out["holdout"].write.mode("overwrite").parquet(root + "/holdout")
     out["quality_removed"].write.mode("overwrite").parquet(root + "/quality_removed")
     out["dedup_removals"].write.mode("overwrite").parquet(root + "/dedup_removals")
     metrics = {r["metric"]: r["value"] for r in out["metrics"].collect()}

@@ -49,7 +49,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-STOPWORDS = ["the", "a", "of", "and", "to"]
+# ONE stopword source: the product list lives in ops.quality; the oracles
+# below are built from the same object, so tuning it cannot silently
+# diverge the Spark side from the SQL side
+from ..ops.quality import DEFAULT_STOPWORDS as STOPWORDS  # noqa: E402
 
 
 def _read(spark, sf_dir, name):

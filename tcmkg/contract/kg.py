@@ -351,11 +351,8 @@ def q_kg_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     size = pdf.groupby("conv_id")["turn_idx"].transform("count")
     third = ((rank - 1) * 3 // size).astype(int)
     for i in range(3):
-        f = os.path.join(landing, f"chunk_{i}.parquet")
-        pdf[third == i].to_parquet(
-            f, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
-        )
-        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        _land_file(pdf[third == i], os.path.join(landing, f"chunk_{i}.parquet"),
+                   1_700_000_000 + i * 60)
     q = incremental_triples_stateful(
         spark, landing, os.path.join(tmp, "mentions"), os.path.join(tmp, "ckpt"),
         pipeline=p, max_files_per_trigger=1,
@@ -413,6 +410,17 @@ def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _land_file(pdf, path: str, mtime: int) -> None:
+    """Write one landing parquet with a pinned mtime (the streaming file
+    source orders micro-batches by mtime, oldest first)."""
+    import os
+
+    pdf.to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    os.utime(path, (mtime, mtime))
+
+
 def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming feed dedup vs a batch oracle: the corpus is
     landed TWICE (full copy in each of two micro-batch files — every row a
@@ -430,15 +438,11 @@ def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(landing)
     pdf = transcriptize(spark, sf_dir).toPandas()
     pdf["tool"] = pdf["tool"].astype("string")  # all-null col: keep string type
-    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
     import pandas as pd
 
-    f0 = os.path.join(landing, "a.parquet")
-    f1 = os.path.join(landing, "b.parquet")
-    pd.concat([pdf, pdf.head(len(pdf) // 2)]).to_parquet(f0, **kw)  # in-file dups
-    pdf.to_parquet(f1, **kw)                                        # full replay
-    os.utime(f0, (1_700_000_000, 1_700_000_000))
-    os.utime(f1, (1_700_000_060, 1_700_000_060))
+    _land_file(pd.concat([pdf, pdf.head(len(pdf) // 2)]),
+               os.path.join(landing, "a.parquet"), 1_700_000_000)  # in-file dups
+    _land_file(pdf, os.path.join(landing, "b.parquet"), 1_700_000_060)  # replay
 
     deduped = stream_dedup_turns(
         stream_transcripts(spark, landing, max_files_per_trigger=1),
@@ -458,7 +462,11 @@ def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_turns").cast("long").alias("n_turns"),
         F.col("idx_sum").cast("long").alias("idx_sum"),
     )
-    return _materialize_then_cleanup(spark, out, tmp)
+    result = _materialize_then_cleanup(spark, out, tmp)
+    # free the memory sink: repeated gate runs in one long-lived session
+    # must not accumulate pinned row sets
+    spark.catalog.dropTempView(name)
+    return result
 
 
 SQL_KG_STREAM_DEDUP = """

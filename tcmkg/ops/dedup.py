@@ -246,6 +246,18 @@ def jaccard_pairs(
     return _jaccard_from_tokens(tok, threshold, max_df)
 
 
+def _shingles(text_col: str, n: int):
+    """array<string>: distinct char n-grams of a text column (shared by
+    shingle_jaccard_pairs and pair_jaccard's shingle mode — one definition,
+    one semantics)."""
+    text = F.col(text_col)
+    n_sh = F.length(text) - n + 1
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(F.transform(idx, lambda i: text.substr(i, F.lit(n))))
+
+
 def shingle_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -260,14 +272,8 @@ def shingle_jaccard_pairs(
     transform (no Python), then routed through the same DF-guarded join as
     jaccard_pairs — a ubiquitous shingle is a quadratic hot key exactly
     like a stopword token."""
-    text = F.col(text_col)
-    n_sh = F.length(text) - n + 1
-    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.array_distinct(F.transform(idx, lambda i: text.substr(i, F.lit(n))))
     tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles).alias("tok")
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("tok")
     )
     return _jaccard_from_tokens(tok, threshold, max_df)
 
@@ -296,12 +302,7 @@ def pair_jaccard(
     if mode == "token":
         elems = F.array_distinct(F.split(F.col(text_col), " "))
     elif mode == "shingle":
-        text = F.col(text_col)
-        n_sh = F.length(text) - n + 1
-        idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-            F.array().cast("array<int>")
-        )
-        elems = F.array_distinct(F.transform(idx, lambda i: text.substr(i, F.lit(n))))
+        elems = _shingles(text_col, n)
     else:
         raise ValueError(f"unknown mode {mode!r} (token|shingle)")
     toks = df.select(F.col(id_col).alias("_jid"), elems.alias("_toks"))
@@ -309,10 +310,15 @@ def pair_jaccard(
         pairs.join(toks.withColumnRenamed("_jid", "a").withColumnRenamed("_toks", "ta"), "a")
         .join(toks.withColumnRenamed("_jid", "b").withColumnRenamed("_toks", "tb"), "b")
         .withColumn(
+            # try_divide: two texts shorter than the shingle width have
+            # EMPTY element sets -> 0/0 would be an ANSI-mode job abort;
+            # NULL fails >= threshold, so un-judgeable pairs stay apart
             "jaccard",
             F.round(
-                F.size(F.array_intersect("ta", "tb"))
-                / F.size(F.array_union("ta", "tb")),
+                F.try_divide(
+                    F.size(F.array_intersect("ta", "tb")),
+                    F.size(F.array_union("ta", "tb")),
+                ),
                 6,
             ),
         )
@@ -363,48 +369,99 @@ def near_dedup(
     combinable hash groupBy, and CC is the checkpointed min-label
     propagation whose MIN aggregations neutralize hot keys.
     """
+    c = _dedup_chain(df, id_col, text_col, n_bands, max_bucket, threshold,
+                     cc_max_iter, verify)
+    kept = df.join(
+        c["removals"].select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
+    )
+    metrics = (
+        _count1("n_docs", df)
+        .unionByName(_count1("n_candidate_pairs", c["pairs"]))
+        .unionByName(_count1("n_verified_pairs", c["verified"]))
+        .unionByName(_count1("n_dropped_buckets", c["dropped"]))
+        .unionByName(_count1("n_hot_docs", c["hot_docs"]))
+        .unionByName(_count1("n_removed", c["removals"]))
+    )
+    return {
+        "kept": kept,
+        "removals": c["removals"],
+        "dropped_buckets": c["dropped"],
+        "metrics": metrics,
+    }
+
+
+def _count1(name: str, d: DataFrame) -> DataFrame:
+    return d.agg(F.count("*").cast("long").alias("value")).select(
+        F.lit(name).alias("metric"), "value"
+    )
+
+
+def _dedup_chain(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int,
+    max_bucket: int,
+    threshold: float,
+    cc_max_iter: int,
+    verify: str,
+    new_pred=None,
+) -> dict[str, DataFrame]:
+    """The candidates→verify→exact-route→CC core shared by near_dedup and
+    near_dedup_incremental (one definition: a fix to via-labeling, the CC
+    incidence key, or the hot route applies to both paths by construction).
+    `new_pred(col_name) -> Column` is the incremental restriction: when
+    given, only candidate pairs whose b side is new are verified, the
+    exact route runs only for hot buckets that gained a new doc, and only
+    new docs can be removed.
+
+    The signature table feeds several consumers (candidate pairs, dropped
+    buckets, hot-doc routing): persist it so tokenize+explode+min-agg runs
+    once. One resident copy max — the previous call's handle is released
+    here (same rule as KGPipeline.triples' caches), so frames returned by
+    an EARLIER call stay correct but recompute signatures if evaluated
+    after a later call."""
     from ..pipeline.cc import connected_components
 
     global _prev_near_sigs
-    ids = F.col(id_col)
-    # the signature table feeds THREE consumers (candidate pairs, dropped
-    # buckets, hot-doc routing): persist it so tokenize+explode+min-agg runs
-    # once, not three times. One resident copy max — the previous call's
-    # handle is released here (same rule as KGPipeline.triples' caches), so
-    # frames returned by an EARLIER near_dedup call stay correct but
-    # recompute their signatures if evaluated after a later call.
     if _prev_near_sigs is not None:
         try:
             _prev_near_sigs.unpersist()
         except Exception:
             pass  # handle may belong to a stopped SparkContext
-    sigs = minhash_signatures(df, id_col, text_col, n_bands).persist()
+    sigs = minhash_signatures(corpus, id_col, text_col, n_bands).persist()
     _prev_near_sigs = sigs
     pairs = lsh_candidate_pairs(sigs, max_bucket)
     dropped = lsh_dropped_buckets(sigs, max_bucket)
+    if new_pred is not None:
+        pairs = pairs.filter(new_pred("b"))
 
     # verify='shingle' scores candidates on char n-grams instead of token
     # sets: order-sensitive, so reordered boilerplate no longer verifies
-    verified = pair_jaccard(pairs, df, id_col, text_col, mode=verify).filter(
+    verified = pair_jaccard(pairs, corpus, id_col, text_col, mode=verify).filter(
         F.col("jaccard") >= threshold
     )
 
     # oversize-bucket routing: identical-text members of capped buckets are
     # certain duplicates; dedup them by content hash (never a pair join)
-    hot_docs = (
-        sigs.join(F.broadcast(dropped.select("band", "sig")), ["band", "sig"], "left_semi")
-        .select(F.col("id").alias("hid"))
-        .distinct()
+    hot_members = sigs.join(
+        F.broadcast(dropped.select("band", "sig")), ["band", "sig"], "left_semi"
     )
-    hot_texts = df.select(ids.alias("hid"), F.md5(F.col(text_col)).alias("th")).join(
-        hot_docs, "hid"
-    )
+    if new_pred is not None:
+        hot_keys = hot_members.filter(new_pred("id")).select("band", "sig").distinct()
+        hot_members = sigs.join(F.broadcast(hot_keys), ["band", "sig"], "left_semi")
+    hot_docs = hot_members.select(F.col("id").alias("hid")).distinct()
+    hot_texts = corpus.select(
+        F.col(id_col).alias("hid"), F.md5(F.col(text_col)).alias("th")
+    ).join(hot_docs, "hid")
     exact_keep = hot_texts.groupBy("th").agg(F.min("hid").alias("keep"))
     exact_edges = (
         hot_texts.join(exact_keep, "th")
         .filter(F.col("hid") != F.col("keep"))
         .select(F.col("keep").alias("a"), F.col("hid").alias("b"))
     )
+    if new_pred is not None:
+        exact_edges = exact_edges.filter(new_pred("b"))
 
     # one CC over both edge kinds: components merge transitively even when a
     # doc is reachable through both routes, so survivors are consistent
@@ -418,7 +475,10 @@ def near_dedup(
     # connected_components warns (no silent cap) if a pathological chain
     # exceeds it — raise cc_max_iter for corpora with long templated chains
     comp = connected_components(incidence, max_iter=cc_max_iter)
-    removals = comp.filter(F.col("node") != F.col("component")).select(
+    removals = comp.filter(F.col("node") != F.col("component"))
+    if new_pred is not None:
+        removals = removals.filter(new_pred("node"))
+    removals = removals.select(
         F.col("node").alias("removed_doc"), F.col("component").alias("keep_doc")
     )
     exact_removed = exact_edges.select(F.col("b").alias("removed_doc")).distinct()
@@ -429,29 +489,12 @@ def near_dedup(
         "keep_doc",
         F.when(F.col("_ex"), F.lit("exact_hot_bucket")).otherwise(F.lit("near")).alias("via"),
     )
-
-    kept = df.join(
-        removals.select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
-    )
-
-    def _count1(name: str, d: DataFrame) -> DataFrame:
-        return d.agg(F.count("*").cast("long").alias("value")).select(
-            F.lit(name).alias("metric"), "value"
-        )
-
-    metrics = (
-        _count1("n_docs", df)
-        .unionByName(_count1("n_candidate_pairs", pairs))
-        .unionByName(_count1("n_verified_pairs", verified))
-        .unionByName(_count1("n_dropped_buckets", dropped))
-        .unionByName(_count1("n_hot_docs", hot_docs))
-        .unionByName(_count1("n_removed", removals))
-    )
     return {
-        "kept": kept,
+        "pairs": pairs,
+        "verified": verified,
+        "dropped": dropped,
+        "hot_docs": hot_docs,
         "removals": removals,
-        "dropped_buckets": dropped,
-        "metrics": metrics,
     }
 
 
@@ -472,7 +515,7 @@ def near_dedup_incremental(
     verification (the O(seen²) work a full re-run would redo), and the
     seen corpus is immutable — only new docs are ever removed.
 
-    PRECONDITION (asserted): every seen id < every new id (monotone corpus
+    PRECONDITION (ValueError if violated): every seen id < every new id (monotone corpus
     ids — the standard ingestion layout). Min-id survivorship then keeps
     seen docs automatically, so "new doc duplicates corpus doc" resolves
     to the corpus doc without special-casing.
@@ -482,16 +525,17 @@ def near_dedup_incremental(
     index (compute once via minhash_signatures and store) — recomputation
     here keeps the operator self-contained; both shapes plan identically
     from the bucket join onward."""
-    from ..pipeline.cc import connected_components
-
     bounds = (
         seen.agg(F.max(F.col(id_col)).alias("mx"))
         .crossJoin(new.agg(F.min(F.col(id_col)).alias("mn")))
         .collect()[0]
     )
     mn = bounds["mn"]
-    if bounds["mx"] is not None and mn is not None:
-        assert bounds["mx"] < mn, (
+    if bounds["mx"] is not None and mn is not None and not bounds["mx"] < mn:
+        # ValueError, not assert: spark-submit prod jobs often run python -O,
+        # which strips asserts — a silent misclassification here would emit
+        # "immutable" corpus docs as removed
+        raise ValueError(
             "near_dedup_incremental requires max(seen id) < min(new id) "
             f"(got {bounds['mx']!r} >= {mn!r})"
         )
@@ -513,79 +557,22 @@ def near_dedup_incremental(
     )
     # the monotone-id precondition makes "is new" a LITERAL comparison
     # (id >= min new id) — no join, no broadcast of a possibly-billion-row
-    # arrival id set; the filter rides inside the existing plans for free
-    is_new = lambda c: F.col(c) >= F.lit(mn)
-    sigs = minhash_signatures(union, id_col, text_col, n_bands)
-    pairs_all = lsh_candidate_pairs(sigs, max_bucket)
-    dropped = lsh_dropped_buckets(sigs, max_bucket)
-    # the incremental saving: only pairs touching a new doc are verified.
-    # ids are ordered seen < new, so "b is new" covers every such pair.
-    pairs = pairs_all.filter(is_new("b"))
-    verified = pair_jaccard(pairs, union, id_col, text_col, mode=verify).filter(
-        F.col("jaccard") >= threshold
-    )
-
-    # hot-bucket exact route, restricted to buckets that gained a NEW doc
-    hot_with_new = (
-        sigs.join(F.broadcast(dropped.select("band", "sig")), ["band", "sig"], "left_semi")
-        .filter(is_new("id"))
-        .select("band", "sig")
-        .distinct()
-    )
-    hot_docs = (
-        sigs.join(F.broadcast(hot_with_new), ["band", "sig"], "left_semi")
-        .select(F.col("id").alias("hid"))
-        .distinct()
-    )
-    hot_texts = union.select(
-        F.col(id_col).alias("hid"), F.md5(F.col(text_col)).alias("th")
-    ).join(hot_docs, "hid")
-    exact_keep = hot_texts.groupBy("th").agg(F.min("hid").alias("keep"))
-    exact_edges = (
-        hot_texts.join(exact_keep, "th")
-        .filter(F.col("hid") != F.col("keep"))
-        .select(F.col("keep").alias("a"), F.col("hid").alias("b"))
-        .filter(is_new("b"))
-    )
-
-    edges = verified.select("a", "b").unionByName(exact_edges).dropDuplicates(["a", "b"])
-    ekey = F.concat(F.col("a").cast("string"), F.lit("|"), F.col("b").cast("string"))
-    incidence = edges.select(F.col("a").alias("node"), ekey.alias("key")).unionByName(
-        edges.select(F.col("b").alias("node"), ekey.alias("key"))
-    )
-    comp = connected_components(incidence, max_iter=cc_max_iter)
-    removals = (
-        comp.filter(F.col("node") != F.col("component"))
-        .filter(is_new("node"))
-        .select(
-            F.col("node").alias("removed_doc"), F.col("component").alias("keep_doc")
-        )
-    )
-    exact_removed = exact_edges.select(F.col("b").alias("removed_doc")).distinct()
-    removals = removals.join(
-        exact_removed.withColumn("_ex", F.lit(True)), "removed_doc", "left"
-    ).select(
-        "removed_doc",
-        "keep_doc",
-        F.when(F.col("_ex"), F.lit("exact_hot_bucket")).otherwise(F.lit("near")).alias("via"),
+    # arrival id set; the predicate rides inside the shared chain's plans
+    c = _dedup_chain(
+        union, id_col, text_col, n_bands, max_bucket, threshold,
+        cc_max_iter, verify, new_pred=lambda col: F.col(col) >= F.lit(mn),
     )
     kept_new = new.join(
-        removals.select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
+        c["removals"].select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
     )
-
-    def _count1(name: str, d: DataFrame) -> DataFrame:
-        return d.agg(F.count("*").cast("long").alias("value")).select(
-            F.lit(name).alias("metric"), "value"
-        )
-
     metrics = (
         _count1("n_new", new)
-        .unionByName(_count1("n_candidate_pairs", pairs))
-        .unionByName(_count1("n_verified_pairs", verified))
-        .unionByName(_count1("n_dropped_buckets", dropped))
-        .unionByName(_count1("n_removed", removals))
+        .unionByName(_count1("n_candidate_pairs", c["pairs"]))
+        .unionByName(_count1("n_verified_pairs", c["verified"]))
+        .unionByName(_count1("n_dropped_buckets", c["dropped"]))
+        .unionByName(_count1("n_removed", c["removals"]))
     )
-    return {"kept_new": kept_new, "removals": removals, "metrics": metrics}
+    return {"kept_new": kept_new, "removals": c["removals"], "metrics": metrics}
 
 
 def jaccard_dropped_tokens(

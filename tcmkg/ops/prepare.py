@@ -33,12 +33,16 @@ def prepare_corpus(
     threshold: float = 0.5,
     quality_kwargs: dict | None = None,
 ) -> dict[str, DataFrame]:
-    """-> {"corpus", "quality_removed", "dedup_removals", "metrics"}.
+    """-> {"corpus", "holdout", "quality_removed", "dedup_removals",
+    "metrics"}.
 
     corpus carries (split, shard, bin, n_tokens) — bins are packed WITHIN
     split (shard = '<split>|<id mod shard_mod>'), so a bin never mixes
     train and val documents. Documents removed by quality never reach the
-    dedup stage (cheapest filter first)."""
+    dedup stage (cheapest filter first). When `fractions` sum to < 1, the
+    unassigned remainder (split NULL — split_by_hash's documented holdout
+    contract) is EXCLUDED from packing and returned as `holdout` instead
+    of silently landing in the packed corpus under a split-less shard."""
     q = quality_filter(df, id_col, text_col, **(quality_kwargs or {}))
     nd = near_dedup(
         q["kept"], id_col, text_col, max_bucket=max_bucket, threshold=threshold
@@ -47,8 +51,10 @@ def prepare_corpus(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
     )
     s = split_by_hash(base, id_col, fractions)
+    holdout = s.filter(F.col("split").isNull()).drop("split")
+    assigned = s.filter(F.col("split").isNotNull())
     shard = F.concat_ws("|", F.col("split"), (F.col(id_col) % shard_mod).cast("string"))
-    corpus = pack_greedy(s, id_col, F.col("n_tokens"), budget=budget, shard_col=shard)
+    corpus = pack_greedy(assigned, id_col, F.col("n_tokens"), budget=budget, shard_col=shard)
     metrics = (
         q["metrics"]
         .select(
@@ -56,9 +62,15 @@ def prepare_corpus(
             F.col("n").cast("long").alias("value"),
         )
         .unionByName(nd["metrics"])
+        .unionByName(
+            holdout.agg(F.count("*").cast("long").alias("value")).select(
+                F.lit("n_holdout").alias("metric"), "value"
+            )
+        )
     )
     return {
         "corpus": corpus,
+        "holdout": holdout,
         "quality_removed": q["removed"],
         "dedup_removals": nd["removals"],
         "metrics": metrics,

@@ -39,7 +39,12 @@ def quality_flags(
     n_tok = F.size(toks)
     stops = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
-    n_punct = F.size(F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9 ]', 0)"))
+    # F.regexp_extract_all over F.col, not an interpolated F.expr string:
+    # a non-identifier column name ('body-text') would otherwise parse as
+    # SQL arithmetic
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    )
 
     too_short = F.coalesce(F.length(text) < min_chars, F.lit(True))
     punct_ratio = F.round(F.try_divide(n_punct, F.length(text)), 6)

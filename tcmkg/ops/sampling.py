@@ -28,16 +28,30 @@ from pyspark.sql import functions as F
 SPLIT_DENOM = 10_000
 
 
+def _hash_bucket(key_col: str, salt: str):
+    """Column: md5(key||salt) first-8-hex as an integer bucket in
+    [0, SPLIT_DENOM). ONE definition shared by split_by_hash and
+    stratified_sample_by_hash — the two must stay bit-identical for their
+    decorrelation/reproducibility claims and the DuckDB oracles."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_DENOM
+    )
+
+
 def split_by_hash(
     df: DataFrame, key_col: str, fractions: dict[str, float], salt: str = ""
 ) -> DataFrame:
     """Adds a `split` column. fractions: ordered {name: fraction} summing
     to <= 1; the remainder (if any) gets split = NULL. `salt` decorrelates
     independent splits over the same keys."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
-        .cast("long") % SPLIT_DENOM
-    )
+    bucket = _hash_bucket(key_col, salt)
     expr = F.lit(None).cast("string")
     cum = 0.0
     cutoffs = []
@@ -65,16 +79,7 @@ def stratified_sample_by_hash(
     partitionings, task retries; a document keeps its verdict as the corpus
     grows) — which df.sampleBy (rand-based) lacks. The stratum→fraction map
     compiles to a CASE expression: a single scan, no join, no shuffle."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % SPLIT_DENOM
-    )
+    bucket = _hash_bucket(key_col, salt)
     cutoff = F.lit(int(round(default_fraction * SPLIT_DENOM)))
     for stratum, frac in sorted(fractions.items()):
         cutoff = F.when(

@@ -576,5 +576,25 @@ def test_near_dedup_incremental(spark):
 
     # precondition: overlapping id ranges must be rejected loudly
     bad_new = spark.createDataFrame([(5, "x y z")], "doc_id long, text string")
-    with pytest.raises(AssertionError, match="max.seen id."):
+    with pytest.raises(ValueError, match="max.seen id."):
         near_dedup_incremental(seen, bad_new, "doc_id", "text")
+
+
+def test_prepare_corpus_holdout_excluded(spark):
+    """fractions summing to < 1: the unassigned remainder must come back
+    as `holdout`, NOT land in the packed corpus under a split-less shard."""
+    from tcmkg.ops.prepare import prepare_corpus
+
+    rows = [(i, f"the u{i}a u{i}b u{i}c u{i}d u{i}e distinct") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, "doc_id", "text",
+                         fractions={"train": 0.5}, budget=100)
+    corpus_ids = {r["doc_id"] for r in out["corpus"].collect()}
+    holdout_ids = {r["doc_id"] for r in out["holdout"].collect()}
+    assert corpus_ids and holdout_ids
+    assert not corpus_ids & holdout_ids
+    # near-dedup may only remove true dups (there are none here)
+    assert corpus_ids | holdout_ids == set(range(200))  # nothing lost
+    assert all(r["shard"].startswith("train|") for r in out["corpus"].collect())
+    m = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+    assert m["n_holdout"] == len(holdout_ids)
