@@ -106,6 +106,10 @@ def main() -> None:
     extras = {f"{n}_rows": r for n, r in rows.items()}
 
     total = round(sum(timings.values()), 3)
+    # the round-2 headline set: lets a reader separate "new queries added"
+    # from "existing queries regressed" without re-deriving the set
+    r2_set = [n for n, _ in bench_queries if n != "q_near_dedup"]
+    comparable_r02 = round(sum(timings[n] for n in r2_set), 3)
     print(
         json.dumps(
             {
@@ -117,6 +121,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cores": int(CPUS) if str(CPUS).isdigit() else CPUS,
                 "agg": f"best_of_{BENCH_RUNS}_round_robin",
+                "comparable_r02_subset_sec": comparable_r02,
                 "corpus_turns": n_corpus,
                 "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
                 "detail": extras,
