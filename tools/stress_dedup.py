@@ -1,0 +1,56 @@
+"""Dedup-at-scale stress: near_dedup over the bench corpus's turn texts as
+a document table (~489k docs at the default 60k conversations; scale with
+TCMKG_BENCH_CONVS). Reports wall + docs/sec + removal/drop metrics — the
+throughput evidence for the flagship training-data operator.
+
+Run exclusively (see NOISE.md). Usage: python tools/stress_dedup.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RUNS = int(os.environ.get("TCMKG_STRESS_RUNS", "2"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bench import bench_corpus_path
+    from tcmkg.ops.dedup import near_dedup
+    from tcmkg.session import get_spark
+
+    spark = get_spark("tcmkg-stress-dedup", cores=os.cpu_count() or 32)
+    docs = (
+        spark.read.parquet(bench_corpus_path())
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("text"),
+        )
+        .localCheckpoint()  # pin ids: monotonically_increasing_id is
+    )                        # partition-dependent; the stress needs one snapshot
+    n = docs.count()
+
+    best = None
+    for _ in range(RUNS):
+        t0 = time.time()
+        out = near_dedup(docs, "doc_id", "text", max_bucket=256, threshold=0.5)
+        n_removed = out["removals"].count()
+        dt = time.time() - t0
+        metrics = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({
+        "metric": "near_dedup_wall", "value": round(best, 2), "unit": "sec",
+        "docs": n, "docs_per_sec": round(n / best, 1),
+        "n_removed": n_removed, "chain_metrics": metrics,
+        "agg": f"min_of_{RUNS}", "cores": spark.sparkContext.defaultParallelism,
+    }))
+
+
+if __name__ == "__main__":
+    main()
