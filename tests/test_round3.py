@@ -598,3 +598,22 @@ def test_prepare_corpus_holdout_excluded(spark):
     assert all(r["shard"].startswith("train|") for r in out["corpus"].collect())
     m = {r["metric"]: r["value"] for r in out["metrics"].collect()}
     assert m["n_holdout"] == len(holdout_ids)
+
+
+def test_near_dedup_string_ids(spark):
+    """The dedup chain is id-type agnostic: string doc ids flow through
+    signatures, the exact route, CC min-survivorship (lexicographic), and
+    the removal map without numeric assumptions."""
+    from tcmkg.ops.dedup import near_dedup
+
+    rows = [
+        ("doc-a", "alpha beta gamma delta epsilon"),
+        ("doc-b", "alpha beta gamma delta epsilon"),   # exact dup -> keep doc-a
+        ("doc-c", "alpha beta gamma delta zeta"),      # near dup of a/b
+        ("doc-z", "totally different content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = near_dedup(df, "doc_id", "text", threshold=0.5)
+    removals = {r["removed_doc"]: r["keep_doc"] for r in out["removals"].collect()}
+    assert removals == {"doc-b": "doc-a", "doc-c": "doc-a"}
+    assert {r["doc_id"] for r in out["kept"].collect()} == {"doc-a", "doc-z"}
