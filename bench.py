@@ -106,10 +106,15 @@ def main() -> None:
     extras = {f"{n}_rows": r for n, r in rows.items()}
 
     total = round(sum(timings.values()), 3)
-    # the round-2 headline set: lets a reader separate "new queries added"
-    # from "existing queries regressed" without re-deriving the set
-    r2_set = [n for n, _ in bench_queries if n != "q_near_dedup"]
-    comparable_r02 = round(sum(timings[n] for n in r2_set), 3)
+    # the round-2 headline set, as an explicit LITERAL: lets a reader
+    # separate "new queries added" from "existing queries regressed", and
+    # appending a round-4 query cannot silently change its meaning
+    R2_SET = (
+        "kg_triples_events", "kg_triples_corpus", "q_tpch_q1",
+        "q_dim_join_revenue", "q_dedup_exact", "q_minhash_sigs",
+        "q_sessionize", "q_ann_topk", "q_lsh_pairs", "q_simhash_pairs",
+    )
+    comparable_r02 = round(sum(timings[n] for n in R2_SET), 3)
     print(
         json.dumps(
             {

@@ -41,8 +41,10 @@ def parse_cn_number(s: str) -> float:
     # decimal part via 点
     if "点" in s:
         whole, _, frac = s.partition("点")
-        if not whole and not frac:
-            raise ValueError("bare 点 is not a numeral")
+        if not frac:
+            # bare 点 AND trailing-点 forms ('五点') are malformed — a
+            # truncated decimal must null out, not silently parse as an int
+            raise ValueError(f"empty fractional part: {s!r}")
         base = parse_cn_number(whole) if whole else 0.0
         scale = 0.1
         val = 0.0

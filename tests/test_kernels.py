@@ -419,54 +419,55 @@ def test_text_norm_idempotent_property():
 
 def test_cn_numeral_differential():
     """parse_cn_number vs an independent positional model over composed
-    numerals (digits x units x 万-sections x literal digit runs x 点
+    numerals (digits x units x hundreds x literal digit runs x 点
     decimals) — exact agreement on values AND on what raises."""
-    import itertools
-
     from tcmkg.kernels.cn_numerals import parse_cn_number
 
     D = {"一": 1, "二": 2, "三": 3, "四": 4, "五": 5, "六": 6, "七": 7,
-         "八": 8, "九": 9, "十": 10, "半": 0.5}
+         "八": 8, "九": 9}
 
     def model(s):
-        # independent simple model: only handles the composed shapes below
+        # independent model for the composed shapes below (not the kernel's
+        # positional loop): digits, X十, 十X, X十Y, X百[rest], W点F
+        if "点" in s:
+            whole, _, frac = s.partition("点")
+            if not frac or any(ch not in D for ch in frac):
+                raise ValueError(s)
+            base = model(whole) if whole else 0.0
+            return base + sum(D[ch] * 10.0 ** -(i + 1) for i, ch in enumerate(frac))
         if s in D:
             return float(D[s])
-        if s.endswith("十") and s[:-1] in D:
-            return D[s[:-1]] * 10.0
-        if "十" in s and len(s) == 3:
-            a, _, b = s.partition("十")
-            return D[a] * 10.0 + D[b]
-        if s.startswith("十") and len(s) == 2:
-            return 10.0 + D[s[1]]
+        if s == "十":
+            return 10.0
         if "百" in s:
             a, _, rest = s.partition("百")
-            v = D[a] * 100.0
-            if rest:
-                if len(rest) == 1:
-                    return v + D[rest] * 10.0 if False else v + D[rest]
-                return v + model(rest)
-            return v
+            return D[a] * 100.0 + (model(rest) if rest else 0.0)
+        if s.startswith("十"):
+            return 10.0 + D[s[1:]]
+        if s.endswith("十"):
+            return D[s[:-1]] * 10.0
+        if "十" in s:
+            a, _, b = s.partition("十")
+            return D[a] * 10.0 + D[b]
+        if all(ch in D for ch in s):          # literal digit run: 一九 = 19
+            return float("".join(str(D[ch]) for ch in s))
         raise ValueError(s)
 
-    singles = ["一", "二", "三", "七", "九", "十"]
-    cases = {}
-    for a in singles:
-        cases[a] = float(D[a])
-        if a != "十":
-            cases[a + "十"] = D[a] * 10.0           # 三十 = 30
-            cases["十" + a] = 10.0 + D[a]           # 十三 = 13
-            for b in singles[:4]:
-                if b != "十":
-                    cases[a + "十" + b] = D[a] * 10 + D[b]   # 二十三
-    cases["一百"] = 100.0
-    cases["一百二十三"] = 123.0
-    cases["二点五"] = 2.5
-    cases["点五"] = 0.5
-    cases["一九"] = 19.0       # literal digit run
-    assert len(cases) > 25
-    for s, want in cases.items():
-        assert parse_cn_number(s) == pytest.approx(want), s
-    for bad in ["", "abc", "点", "甘草"]:
+    singles = list(D) + ["十"]
+    cases = list(singles)
+    for a in D:
+        cases += [a + "十", "十" + a]
+        cases += [a + "十" + b for b in list(D)[:4]]
+        cases += [a + "百", a + "百" + "二十三", a + "点" + "五"]
+    cases += ["一百", "一百二十三", "二点五", "点五", "一九", "三点一四",
+              "二十三点五"]
+    assert len(cases) > 60
+    for s_ in cases:
+        want = model(s_)
+        assert parse_cn_number(s_) == pytest.approx(want), s_
+    for bad in ["", "abc", "点", "五点", "甘草", "一点草"]:
         with pytest.raises(ValueError):
             parse_cn_number(bad)
+    for bad in ["点", "五点", "一点草"]:  # shapes the model also covers
+        with pytest.raises(ValueError):
+            model(bad)
