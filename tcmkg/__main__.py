@@ -104,9 +104,22 @@ def cmd_prepare(args) -> None:
     spark = get_spark("tcmkg-prepare", cores=args.cores)
     docs = spark.read.parquet(args.input)
     fractions = ast.literal_eval(args.fractions)
+    quality_kwargs = {
+        "min_chars": args.min_chars,
+        "max_punct_ratio": args.max_punct_ratio,
+        "min_stop_ratio": args.min_stop_ratio,
+        "min_distinct_ratio": args.min_distinct_ratio,
+    }
+    if args.stopwords is not None:
+        quality_kwargs["stopwords"] = [s for s in args.stopwords.split(",") if s]
+    if args.cjk_stopchars is not None:
+        quality_kwargs["cjk_stopchars"] = args.cjk_stopchars
+    if args.punct_class is not None:
+        quality_kwargs["punct_class"] = args.punct_class
     out = prepare_corpus(docs, args.id_col, args.text_col,
                          fractions=fractions, budget=args.budget,
-                         max_bucket=args.max_bucket, threshold=args.threshold)
+                         max_bucket=args.max_bucket, threshold=args.threshold,
+                         quality_kwargs=quality_kwargs)
     root = args.output.rstrip("/")
     out["corpus"].write.mode("overwrite").partitionBy("split").parquet(root + "/corpus")
     out["holdout"].write.mode("overwrite").parquet(root + "/holdout")
@@ -163,6 +176,20 @@ def main(argv=None) -> int:
     pp.add_argument("--budget", type=int, default=2048)
     pp.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
     pp.add_argument("--threshold", type=float, default=0.5)
+    # quality knobs — defaults mirror ops.quality.quality_flags (CJK-aware)
+    pp.add_argument("--min-chars", dest="min_chars", type=int, default=20)
+    pp.add_argument("--max-punct-ratio", dest="max_punct_ratio", type=float, default=0.3)
+    pp.add_argument("--min-stop-ratio", dest="min_stop_ratio", type=float, default=0.01)
+    pp.add_argument("--min-distinct-ratio", dest="min_distinct_ratio",
+                    type=float, default=0.3)
+    pp.add_argument("--stopwords", default=None,
+                    help="comma-separated stopword list (default: built-in)")
+    pp.add_argument("--cjk-stopchars", dest="cjk_stopchars", default=None,
+                    help="CJK function characters counted as stopwords "
+                         "('' disables; default: built-in zh list)")
+    pp.add_argument("--punct-class", dest="punct_class", default=None,
+                    help=r"regex char class counted as punctuation "
+                         r"(default: [\p{P}\p{S}])")
     pp.add_argument("--cores", default=None)
     pp.set_defaults(fn=cmd_prepare)
 

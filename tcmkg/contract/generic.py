@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 # ONE stopword source: the product list lives in ops.quality; the oracles
 # below are built from the same object, so tuning it cannot silently
 # diverge the Spark side from the SQL side
+from ..ops.quality import DEFAULT_CJK_STOPCHARS  # noqa: E402
 from ..ops.quality import DEFAULT_STOPWORDS as STOPWORDS  # noqa: E402
 
 
@@ -938,6 +939,20 @@ def q_quality_filter(spark, sf_dir):
 
 
 _q_sw = ",".join(f"'{s}'" for s in STOPWORDS)
+# SQL replicas of the CJK-aware default quality rules (ops.quality): the
+# Unicode-punct ratio and the pooled token+CJK-function-char stopword ratio.
+# Built from the SAME constants as the Spark side so retuning either list
+# cannot silently diverge the oracle.
+_Q_PUNCT_SQL = (
+    r"round(len(regexp_extract_all(text, '[\p{P}\p{S}]', 0))::DOUBLE"
+    " / length(text), 6) > 0.3"
+)
+_Q_NOSTOP_SQL = (
+    f"round((len(list_filter(string_split(text,' '), x -> x IN ({_q_sw})))"
+    f" + len(regexp_extract_all(text, '[{DEFAULT_CJK_STOPCHARS}]', 0)))::DOUBLE"
+    " / (len(string_split(text,' '))"
+    " + len(regexp_extract_all(text, '[一-鿿]', 0))), 6) < 0.01"
+)
 SQL_QUALITY_FILTER = f"""
 WITH d AS (
   SELECT doc_id,
@@ -953,10 +968,8 @@ WITH d AS (
 f AS (
   SELECT doc_id,
          length(text) < 20 AS too_short,
-         round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))::DOUBLE
-               / length(text), 6) > 0.3 AS too_much_punct,
-         round(len(list_filter(string_split(text,' '), x -> x IN ({_q_sw})))::DOUBLE
-               / len(string_split(text,' ')), 6) < 0.01 AS no_stopwords,
+         {_Q_PUNCT_SQL} AS too_much_punct,
+         {_Q_NOSTOP_SQL} AS no_stopwords,
          round(len(list_distinct(string_split(text,' ')))::DOUBLE
                / len(string_split(text,' ')), 6) < 0.3 AS too_repetitive
   FROM d
@@ -1049,10 +1062,8 @@ WITH RECURSIVE doc0 AS ({_PC_DOCTOR}),
 kept0 AS (
   SELECT doc_id, text FROM doc0
   WHERE NOT (length(text) < 20)
-    AND NOT (round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))::DOUBLE
-             / length(text), 6) > 0.3)
-    AND NOT (round(len(list_filter(string_split(text,' '), x -> x IN ({_q_sw})))::DOUBLE
-             / len(string_split(text,' ')), 6) < 0.01)
+    AND NOT ({_Q_PUNCT_SQL})
+    AND NOT ({_Q_NOSTOP_SQL})
     AND NOT (round(len(list_distinct(string_split(text,' ')))::DOUBLE
              / len(string_split(text,' ')), 6) < 0.3)
 ),
@@ -1106,9 +1117,11 @@ sp AS (
   FROM final
 ),
 packed AS (
-  SELECT split || '|' || (doc_id % 4)::VARCHAR AS shard, n_tokens,
+  SELECT split || '|' || (('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT % 4)::VARCHAR AS shard,
+         n_tokens,
          coalesce(sum(n_tokens) OVER (
-           PARTITION BY split || '|' || (doc_id % 4)::VARCHAR ORDER BY doc_id
+           PARTITION BY split || '|' || (('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT % 4)::VARCHAR
+           ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM sp
 )

@@ -278,9 +278,6 @@ def shingle_jaccard_pairs(
     return _jaccard_from_tokens(tok, threshold, max_df)
 
 
-_prev_near_sigs = None
-
-
 def pair_jaccard(
     pairs: DataFrame,
     df: DataFrame,
@@ -354,7 +351,7 @@ def near_dedup(
       5. connected_components      transitive closure over verified + exact
                                    edges; survivor = min id per component
 
-    Returns {"kept", "removals", "dropped_buckets", "metrics"}:
+    Returns {"kept", "removals", "dropped_buckets", "metrics", "unpersist"}:
       kept            df minus removed docs
       removals        (removed_doc, keep_doc, via): via = 'near' (verified
                       candidate chain) or 'exact_hot_bucket' (identical-text
@@ -363,6 +360,12 @@ def near_dedup(
                       hot-bucket doc whose text is NOT identical to another
                       member is conservatively KEPT and visible here)
       metrics         (metric, value) counts for lineage
+      unpersist       callable releasing this call's cached signature table
+                      once the outputs are materialized. The cache is OWNED
+                      BY THIS RESULT (no process-global handle): concurrent
+                      or interleaved near_dedup calls never release each
+                      other's cache, and frames from this call stay cached
+                      until the caller says otherwise.
 
     Scale shape: no all-pairs path — candidates are bucketed AND capped,
     verification touches only candidates, the exact route is a map-side-
@@ -387,6 +390,7 @@ def near_dedup(
         "removals": c["removals"],
         "dropped_buckets": c["dropped"],
         "metrics": metrics,
+        "unpersist": c["unpersist"],
     }
 
 
@@ -406,6 +410,7 @@ def _dedup_chain(
     cc_max_iter: int,
     verify: str,
     new_pred=None,
+    sigs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The candidates→verify→exact-route→CC core shared by near_dedup and
     near_dedup_incremental (one definition: a fix to via-labeling, the CC
@@ -413,24 +418,26 @@ def _dedup_chain(
     `new_pred(col_name) -> Column` is the incremental restriction: when
     given, only candidate pairs whose b side is new are verified, the
     exact route runs only for hot buckets that gained a new doc, and only
-    new docs can be removed.
+    new docs can be removed. `sigs` (id, band, sig), when given, replaces
+    the in-chain minhash_signatures(corpus) computation — the persisted-
+    index path for incremental runs.
 
     The signature table feeds several consumers (candidate pairs, dropped
     buckets, hot-doc routing): persist it so tokenize+explode+min-agg runs
-    once. One resident copy max — the previous call's handle is released
-    here (same rule as KGPipeline.triples' caches), so frames returned by
-    an EARLIER call stay correct but recompute signatures if evaluated
-    after a later call."""
+    once. The handle is returned as `unpersist` in the result — each call
+    owns its own cache (no process-global: interleaved chains from two
+    pipelines or sessions must not release each other's cache)."""
     from ..pipeline.cc import connected_components
 
-    global _prev_near_sigs
-    if _prev_near_sigs is not None:
+    if sigs is None:
+        sigs = minhash_signatures(corpus, id_col, text_col, n_bands)
+    sigs = sigs.persist()
+
+    def _unpersist(_h=sigs):
         try:
-            _prev_near_sigs.unpersist()
+            _h.unpersist()
         except Exception:
             pass  # handle may belong to a stopped SparkContext
-    sigs = minhash_signatures(corpus, id_col, text_col, n_bands).persist()
-    _prev_near_sigs = sigs
     pairs = lsh_candidate_pairs(sigs, max_bucket)
     dropped = lsh_dropped_buckets(sigs, max_bucket)
     if new_pred is not None:
@@ -466,7 +473,11 @@ def _dedup_chain(
     # one CC over both edge kinds: components merge transitively even when a
     # doc is reachable through both routes, so survivors are consistent
     edges = verified.select("a", "b").unionByName(exact_edges).dropDuplicates(["a", "b"])
-    ekey = F.concat(F.col("a").cast("string"), F.lit("|"), F.col("b").cast("string"))
+    # collision-free incidence key: a STRUCT of the endpoints. A delimited
+    # string concat is ambiguous for string ids containing the delimiter
+    # ('x|y'+'z' vs 'x'+'y|z' would collide and spuriously merge unrelated
+    # components); struct equality is field-wise, so no encoding can collide
+    ekey = F.struct(F.col("a"), F.col("b"))
     incidence = (
         edges.select(F.col("a").alias("node"), ekey.alias("key"))
         .unionByName(edges.select(F.col("b").alias("node"), ekey.alias("key")))
@@ -495,6 +506,7 @@ def _dedup_chain(
         "dropped": dropped,
         "hot_docs": hot_docs,
         "removals": removals,
+        "unpersist": _unpersist,
     }
 
 
@@ -508,6 +520,7 @@ def near_dedup_incremental(
     threshold: float = 0.5,
     cc_max_iter: int = 25,
     verify: str = "token",
+    seen_sigs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Dedup NEW arrivals against an existing (already-deduped) corpus —
     the daily-crawl operator. Work is proportional to the new tranche, not
@@ -520,11 +533,18 @@ def near_dedup_incremental(
     seen docs automatically, so "new doc duplicates corpus doc" resolves
     to the corpus doc without special-casing.
 
-    -> {"kept_new", "removals" (removed_doc, keep_doc, via), "metrics"}.
-    At 10^12 docs the signature side for `seen` should be the persisted
-    index (compute once via minhash_signatures and store) — recomputation
-    here keeps the operator self-contained; both shapes plan identically
-    from the bucket join onward."""
+    `seen_sigs`: the PERSISTED signature index for the seen corpus —
+    (id, band, sig) exactly as minhash_signatures(seen, ..., n_bands)
+    emits (e.g. stored once via CheckpointStore.write and read back each
+    tranche). When given, the chain signs only the NEW tranche and unions
+    it with the stored index, so at 10^12 seen docs the per-tranche cost
+    is sign(new) + bucket join — the seen corpus text is scanned only to
+    verify candidate pairs that involve it. When omitted, seen signatures
+    are recomputed (self-contained mode); both shapes produce identical
+    results (tested) and plan identically from the bucket join onward.
+
+    -> {"kept_new", "removals" (removed_doc, keep_doc, via), "metrics",
+    "unpersist" (releases this call's cached signature table)}."""
     bounds = (
         seen.agg(F.max(F.col(id_col)).alias("mx"))
         .crossJoin(new.agg(F.min(F.col(id_col)).alias("mn")))
@@ -550,17 +570,26 @@ def near_dedup_incremental(
                               "n_dropped_buckets", "n_removed")],
             "metric string, value long",
         )
-        return {"kept_new": new, "removals": empty_rm, "metrics": zeros}
+        return {"kept_new": new, "removals": empty_rm, "metrics": zeros,
+                "unpersist": lambda: None}
 
     union = seen.select(F.col(id_col), F.col(text_col)).unionByName(
         new.select(F.col(id_col), F.col(text_col))
     )
+    sigs = None
+    if seen_sigs is not None:
+        # persisted-index path: sign only the new tranche; the stored seen
+        # index (computed once, at ingestion) joins it by unionByName
+        sigs = seen_sigs.select("id", "band", "sig").unionByName(
+            minhash_signatures(new, id_col, text_col, n_bands)
+        )
     # the monotone-id precondition makes "is new" a LITERAL comparison
     # (id >= min new id) — no join, no broadcast of a possibly-billion-row
     # arrival id set; the predicate rides inside the shared chain's plans
     c = _dedup_chain(
         union, id_col, text_col, n_bands, max_bucket, threshold,
         cc_max_iter, verify, new_pred=lambda col: F.col(col) >= F.lit(mn),
+        sigs=sigs,
     )
     kept_new = new.join(
         c["removals"].select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
@@ -572,7 +601,8 @@ def near_dedup_incremental(
         .unionByName(_count1("n_dropped_buckets", c["dropped"]))
         .unionByName(_count1("n_removed", c["removals"]))
     )
-    return {"kept_new": kept_new, "removals": c["removals"], "metrics": metrics}
+    return {"kept_new": kept_new, "removals": c["removals"], "metrics": metrics,
+            "unpersist": c["unpersist"]}
 
 
 def jaccard_dropped_tokens(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .dedup import near_dedup
 from .quality import quality_filter
-from .sampling import pack_greedy, split_by_hash
+from .sampling import hash_mod, pack_greedy, split_by_hash
 
 
 def prepare_corpus(
@@ -37,7 +37,9 @@ def prepare_corpus(
     "metrics"}.
 
     corpus carries (split, shard, bin, n_tokens) — bins are packed WITHIN
-    split (shard = '<split>|<id mod shard_mod>'), so a bin never mixes
+    split (shard = '<split>|<md5-hash(id) mod shard_mod>' — a HASH shard,
+    not `id % mod`, so string doc ids work and numeric-id shards stay
+    balanced even when ids arrive striped), so a bin never mixes
     train and val documents. Documents removed by quality never reach the
     dedup stage (cheapest filter first). When `fractions` sum to < 1, the
     unassigned remainder (split NULL — split_by_hash's documented holdout
@@ -53,7 +55,7 @@ def prepare_corpus(
     s = split_by_hash(base, id_col, fractions)
     holdout = s.filter(F.col("split").isNull()).drop("split")
     assigned = s.filter(F.col("split").isNotNull())
-    shard = F.concat_ws("|", F.col("split"), (F.col(id_col) % shard_mod).cast("string"))
+    shard = F.concat_ws("|", F.col("split"), hash_mod(id_col, shard_mod).cast("string"))
     corpus = pack_greedy(assigned, id_col, F.col("n_tokens"), budget=budget, shard_col=shard)
     metrics = (
         q["metrics"]

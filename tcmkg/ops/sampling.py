@@ -28,11 +28,13 @@ from pyspark.sql import functions as F
 SPLIT_DENOM = 10_000
 
 
-def _hash_bucket(key_col: str, salt: str):
-    """Column: md5(key||salt) first-8-hex as an integer bucket in
-    [0, SPLIT_DENOM). ONE definition shared by split_by_hash and
-    stratified_sample_by_hash — the two must stay bit-identical for their
-    decorrelation/reproducibility claims and the DuckDB oracles."""
+def hash_mod(key_col: str, mod: int, salt: str = ""):
+    """Column: md5(key||salt) first-8-hex as an integer in [0, mod).
+    Works for ANY key type (string or numeric — the key is cast to string
+    before hashing), unlike a bare `key % mod`, which under ANSI mode
+    aborts on string ids. Deterministic across runs/engines/partitionings,
+    and exactly replayable in DuckDB as
+    ('0x' || substr(md5(key::VARCHAR || salt), 1, 8))::BIGINT % mod."""
     return (
         F.conv(
             F.substring(
@@ -41,8 +43,16 @@ def _hash_bucket(key_col: str, salt: str):
             16,
             10,
         ).cast("long")
-        % SPLIT_DENOM
+        % mod
     )
+
+
+def _hash_bucket(key_col: str, salt: str):
+    """Column: md5(key||salt) first-8-hex as an integer bucket in
+    [0, SPLIT_DENOM). ONE definition shared by split_by_hash and
+    stratified_sample_by_hash — the two must stay bit-identical for their
+    decorrelation/reproducibility claims and the DuckDB oracles."""
+    return hash_mod(key_col, SPLIT_DENOM, salt)
 
 
 def split_by_hash(

@@ -1,0 +1,181 @@
+"""Round-4 regression tests: the ADVICE fixes (pipe-delimiter CC key
+collision, per-call signature cache, hash shard for string ids, CJK-aware
+quality defaults) and the persisted-signature incremental dedup path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_near_dedup_pipe_delimiter_ids(spark):
+    """Composite string ids CONTAINING '|' must not collide in the CC
+    incidence key. With the old concat(a,'|',b) key, edges
+    ('x|y','z') and ('x','y|z') produced the same key 'x|y|z' and an
+    incidence key links every node sharing it — merging two unrelated
+    components. The struct key keeps them apart."""
+    from tcmkg.ops.dedup import near_dedup
+
+    rows = [
+        # component 1: 'x|y' near-dups 'z0' (shared token set)
+        ("x|y", "alpha beta gamma delta epsilon"),
+        ("z0", "alpha beta gamma delta epsilon"),
+        # component 2: 'x' near-dups 'y|z0' — under the concat key, the
+        # edge ('x','y|z0') encodes 'x|y|z0' exactly like ('x|y','z0')
+        ("x", "one two three four five"),
+        ("y|z0", "one two three four five"),
+        ("lone", "totally different content entirely words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = near_dedup(df, "doc_id", "text", threshold=0.5)
+    removals = {r["removed_doc"]: r["keep_doc"] for r in out["removals"].collect()}
+    # two SEPARATE components: survivors 'x|y'... min of {'x|y','z0'} is
+    # 'x|y'; min of {'x','y|z0'} is 'x'. A spurious merge would collapse
+    # all four under one survivor.
+    assert removals == {"z0": "x|y", "y|z0": "x"}
+    assert {r["doc_id"] for r in out["kept"].collect()} == {"x|y", "x", "lone"}
+    out["unpersist"]()
+
+
+def test_near_dedup_interleaved_caches(spark):
+    """Each near_dedup call owns its signature cache: interleaving two
+    chains and releasing ONE must not degrade or release the other's
+    (the old module-global unpersisted the previous call's handle on
+    every new call)."""
+    from tcmkg.ops.dedup import near_dedup
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, "one two three four"), (11, "one two three four")],
+        "doc_id long, text string",
+    )
+    out_a = near_dedup(a, "doc_id", "text")
+    out_b = near_dedup(b, "doc_id", "text")  # must NOT unpersist out_a's cache
+    # evaluate A's outputs AFTER B's call — correct under either caching
+    # regime, but with the fix A's signature table is still cached
+    assert {r["removed_doc"] for r in out_a["removals"].collect()} == {2}
+    assert {r["removed_doc"] for r in out_b["removals"].collect()} == {11}
+    out_b["unpersist"]()
+    # releasing B leaves A evaluable (and vice versa — idempotent handles)
+    assert out_a["kept"].count() == 1
+    out_a["unpersist"]()
+    out_a["unpersist"]()  # double-release is a no-op
+
+
+def test_near_dedup_incremental_persisted_sigs(spark, tmp_path):
+    """near_dedup_incremental(seen_sigs=...) — the 10^12-doc shape: seen
+    signatures come from a CheckpointStore-persisted index instead of
+    re-signing the corpus. Results must be IDENTICAL to recompute mode."""
+    from tcmkg.ops.dedup import minhash_signatures, near_dedup_incremental
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    seen = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five"),
+            (3, "lorem ipsum dolor sit amet"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta zeta"),   # near-dup of 1
+            (11, "one two three four five"),       # exact dup of 2
+            (12, "completely novel words here now"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # persist the seen index once (ingestion time), read it back (tranche time)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    store.write(minhash_signatures(seen, "doc_id", "text"), "seen_sigs")
+    stored = store.read(spark, "seen_sigs")
+
+    ref = near_dedup_incremental(seen, new, "doc_id", "text")
+    got = near_dedup_incremental(seen, new, "doc_id", "text", seen_sigs=stored)
+
+    def snap(out):
+        rem = sorted(
+            (r["removed_doc"], r["keep_doc"], r["via"])
+            for r in out["removals"].collect()
+        )
+        kept = sorted(r["doc_id"] for r in out["kept_new"].collect())
+        return rem, kept
+
+    assert snap(got) == snap(ref)
+    rem, kept = snap(got)
+    assert rem == [(10, 1, "near"), (11, 2, "near")]
+    assert kept == [12]
+    ref["unpersist"]()
+    got["unpersist"]()
+
+
+def test_quality_defaults_cjk(spark):
+    """Default quality rules are sane on Chinese text: an ordinary zh
+    document (CJK letters, normal 的/了/是 density, light punctuation) is
+    KEPT by quality_flags defaults — under the old ASCII-complement punct
+    class and English-only stopword rule it failed both too_much_punct and
+    no_stopwords. A zh punctuation wall still fails."""
+    from tcmkg.ops.quality import quality_flags
+
+    rows = [
+        (1, "患者自述脾胃虚弱，饮食不化，医师诊断为脾胃气虚之证。处方用了四君子汤加减，方中的人参与白术是主药。"),
+        (2, "Plain english document with the usual amount of words and a comma, fine."),
+        (3, "！？。，；：（）【】《》——……！？。，；：（）【】《》！？。，"),  # zh punct wall
+        (4, "короткий"),  # < 20 chars -> too_short regardless of language
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = {r["doc_id"]: r["reason"] for r in
+             quality_flags(df, "doc_id", "text").collect()}
+    assert flags[1] is None, f"zh doc flagged: {flags[1]}"
+    assert flags[2] is None
+    assert flags[3] == "too_much_punct"
+    assert flags[4] == "too_short"
+
+
+def test_quality_punct_class_configurable(spark):
+    """punct_class is a parameter: the legacy ASCII-complement class can be
+    restored explicitly, and then CJK text counts as 'punctuation' again
+    (the documented legacy behavior, now opt-in)."""
+    from tcmkg.ops.quality import quality_flags
+
+    df = spark.createDataFrame(
+        [(1, "患者脾胃虚弱饮食不化医师诊断的是脾胃气虚之证需要调理的方剂")],
+        "doc_id long, text string",
+    )
+    legacy = quality_flags(
+        df, "doc_id", "text", punct_class="[^A-Za-z0-9 ]", cjk_stopchars=""
+    ).collect()[0]
+    assert legacy["reason"] == "too_much_punct"
+
+
+def test_prepare_corpus_string_ids(spark):
+    """prepare_corpus works with STRING doc ids end-to-end: the shard key
+    is an md5 hash (the old `id % shard_mod` raised a cast error under
+    ANSI mode for string ids its own dedup stage supported)."""
+    from tcmkg.ops.prepare import prepare_corpus
+
+    rows = [
+        (f"src|{i:04d}", f"document body number {i} with unique words w{i} v{i} "
+                         f"and some shared the of and to filler text")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = prepare_corpus(
+        df, "doc_id", "text",
+        fractions={"train": 0.8, "val": 0.2}, budget=50, shard_mod=2,
+    )
+    corpus = out["corpus"].collect()
+    assert len(corpus) > 0
+    shards = {r["shard"] for r in corpus}
+    # shard = '<split>|<hash mod 2>' — well-formed for every row
+    assert all(s.split("|")[0] in ("train", "val") and s.split("|")[1] in ("0", "1")
+               for s in shards)
+    # deterministic: same input -> same shard/bin assignment
+    again = prepare_corpus(
+        df, "doc_id", "text",
+        fractions={"train": 0.8, "val": 0.2}, budget=50, shard_mod=2,
+    )["corpus"].collect()
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["bin"]) for r in rs)
+    assert key(corpus) == key(again)
