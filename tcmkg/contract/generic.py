@@ -704,6 +704,39 @@ def q_near_dedup_inc(spark, sf_dir):
     return out["removals"].select("removed_doc", "keep_doc", "via")
 
 
+def q_near_dedup_sigs(spark, sf_dir):
+    """The persisted-signature-index incremental path: the seen corpus's
+    minhash signatures are WRITTEN to a CheckpointStore (ingestion time)
+    and read back for the tranche run via `seen_sigs=` — so only the new
+    tranche is signed. Must produce EXACTLY the removals of the
+    recompute-mode q_near_dedup_inc (same oracle SQL)."""
+    import shutil
+    import tempfile
+
+    from ..ops.dedup import minhash_signatures, near_dedup_incremental
+    from ..pipeline.checkpoints import CheckpointStore
+
+    d = _read(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < NEAR_INC_CUT)
+    new = d.filter(F.col("doc_id") >= NEAR_INC_CUT)
+    tmp = tempfile.mkdtemp(prefix="tcmkg_sigs_contract_")
+    try:
+        store = CheckpointStore(tmp)
+        store.write(minhash_signatures(seen, "doc_id", "text"), "seen_sigs")
+        out = near_dedup_incremental(
+            seen, new, "doc_id", "text",
+            max_bucket=LSH_MAX_BUCKET, threshold=0.5,
+            seen_sigs=store.read(spark, "seen_sigs"),
+        )
+        rows = out["removals"].select("removed_doc", "keep_doc", "via").collect()
+        out["unpersist"]()
+        return spark.createDataFrame(
+            rows, "removed_doc long, keep_doc long, via string"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SQL_NEAR_DEDUP_INC = f"""
 WITH RECURSIVE {_SQL_MINHASH_SIGS_CTE},
 hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
@@ -1512,6 +1545,7 @@ GENERIC_QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_near_dedup": q_near_dedup,
     "q_near_dedup_inc": q_near_dedup_inc,
+    "q_near_dedup_sigs": q_near_dedup_sigs,
     "q_literal_dict": q_literal_dict,
     "q_fingerprints": q_fingerprints,
     "q_token_quality": q_token_quality,
@@ -1559,6 +1593,7 @@ GENERIC_ORACLES = {
     "q_simhash_pairs": SQL_SIMHASH_PAIRS,
     "q_near_dedup": SQL_NEAR_DEDUP,
     "q_near_dedup_inc": SQL_NEAR_DEDUP_INC,
+    "q_near_dedup_sigs": SQL_NEAR_DEDUP_INC,  # persisted-sigs path, same result
     "q_literal_dict": SQL_LITERAL_DICT,
     "q_fingerprints": SQL_FINGERPRINTS,
     "q_token_quality": SQL_TOKEN_QUALITY,

@@ -73,6 +73,64 @@ def _pick_free(candidates: list[str], n: int) -> list[str]:
 POOL_DOSE = ["三钱", "一两", "9g", "五分", "半两", "2两", "四钱", "6mg"]
 DOSE_GRAMS = [9.375, 31.25, 9.0, 1.5625, 15.625, 62.5, 12.5, 0.006]
 
+# ------------------------------------------------- dimension clause pools --
+# Herb statements (m5==2, every eid%3==1) carry a dimension clause
+# 其性P，味F…，归T…经，X。 (kernels/dims.py). Pools are the dimension
+# vocabularies; FLAVOURS is the base (pairwise substring-free) prefix of the
+# vocabulary so the P13 containment tokenizer resolves concatenated
+# multi-flavour slots exactly.
+from ..fixtures.dimensions import (  # noqa: E402
+    DIM_PRED_OF_KIND,
+    FLAVOUR_VOCAB,
+    PROPERTY_VOCAB,
+    TOXICITY_VOCAB,
+    TROPISM_VOCAB,
+    dim_id,
+    dim_node_rows,
+)
+
+POOL_PROP = [zh for zh, _ in PROPERTY_VOCAB]
+POOL_FLAV = [zh for zh, _ in FLAVOUR_VOCAB[:7]]
+POOL_TROP = [zh for zh, _ in TROPISM_VOCAB]
+POOL_TOX = [zh for zh, _ in TOXICITY_VOCAB]
+N_PROP, N_FLAV, N_TROP, N_TOX = map(len, (POOL_PROP, POOL_FLAV, POOL_TROP, POOL_TOX))
+ID_PROP = [dim_id("property", i) for i in range(N_PROP)]
+ID_FLAV = [dim_id("flavour", i) for i in range(N_FLAV)]
+ID_TROP = [dim_id("tropism", i) for i in range(N_TROP)]
+ID_TOX = [dim_id("toxicity", i) for i in range(N_TOX)]
+
+
+def _assert_dim_fragments_safe() -> None:
+    """Every inter-punctuation fragment the dimension clause can produce
+    must be free of gazetteer aliases (else the AC automatons would emit
+    mentions the SQL oracles cannot predict — the same invariant _pick_free
+    maintains for planted names). Aliases cannot span fragments because no
+    alias contains the clause punctuation (asserted)."""
+    assert all(
+        "，" not in u and "。" not in u and "、" not in u for u in _UNIVERSE
+    ), "universe alias contains clause punctuation"
+    frags: set[str] = set()
+    for p in POOL_PROP:
+        frags.add("其性" + p)
+    for a in POOL_FLAV:
+        frags.add("味" + a)
+        for b in POOL_FLAV:
+            if b != a:
+                frags.add("味" + a + b)
+    for t1 in POOL_TROP:
+        frags.add("归" + t1 + "经")
+        frags.add("归" + t1)
+        frags.add(t1 + "经")
+    for x in POOL_TOX:
+        frags.add(x)
+    bad = sorted(
+        (u, f) for f in frags for u in _UNIVERSE if u in f
+    )
+    assert not bad, f"gazetteer aliases inside dimension fragments: {bad[:5]}"
+
+
+_assert_dim_fragments_safe()
+
 
 def _dose_grammar_safe(name: str) -> bool:
     """The reference token grammar drops/garbles some names (e.g. 三七 is
@@ -135,6 +193,28 @@ def _pick(pool: list[str], idx):
     return F.element_at(_arr(pool), (idx + 1).cast("int"))
 
 
+def _dim_clause(eid):
+    """其性P，味F[F']，归T[、T']经，X。 — index arithmetic mirrored exactly
+    by the SQL derivations (the +1+offset trick keeps second picks distinct
+    from the first)."""
+    p = _pick(POOL_PROP, eid % N_PROP)
+    f1 = _pick(POOL_FLAV, eid % N_FLAV)
+    f2 = _pick(POOL_FLAV, ((eid % N_FLAV) + 1 + (F.floor(eid / 11) % 5)) % N_FLAV)
+    t1 = _pick(POOL_TROP, eid % N_TROP)
+    t2 = _pick(
+        POOL_TROP,
+        ((eid % N_TROP) + 1 + (F.floor(eid / 13) % (N_TROP - 1))) % N_TROP,
+    )
+    x = _pick(POOL_TOX, eid % N_TOX)
+    return F.concat(
+        F.lit("其性"), p,
+        F.lit("，味"), f1, F.when(eid % 2 == 0, f2).otherwise(F.lit("")),
+        F.lit("，归"), t1,
+        F.when(eid % 4 == 0, F.concat(F.lit("、"), t2)).otherwise(F.lit("")),
+        F.lit("经，"), x, F.lit("。"),
+    )
+
+
 def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> transcripts(conv_id, turn_idx, role, text, tool, ts)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -183,6 +263,12 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.lit("。但"), h1, F.lit("可致"), dis),
                 ).otherwise(F.lit("")),
                 F.lit("。"),
+                # dimension clause (every eid%3==1 herb statement): property
+                # single, flavour 1-2 concatenated base terms, tropism 1-2
+                # 、-joined terms, toxicity single — kernels/dims.py slots
+                F.when(F.col("eid") % 3 == 1, _dim_clause(F.col("eid"))).otherwise(
+                    F.lit("")
+                ),
             ),
         )
         .when(m5 == 3, F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2, F.lit("。")))
@@ -731,9 +817,32 @@ def _sql_text_derivation() -> str:
          || (CASE WHEN eid % 31 = 0 THEN '，口不渴' ELSE '' END) || '。'
     WHEN eid % 5 = 2 THEN {h1} || '可治' || {dis}
          || (CASE WHEN eid % 600 = 22 THEN '。但' || {h1} || '可致' || {dis} ELSE '' END) || '。'
+         || (CASE WHEN eid % 3 = 1 THEN {_sql_dim_clause()} ELSE '' END)
     WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。'
     ELSE {dis2} || '属于' || {dis3} || '。'
   END"""
+
+
+# SQL twins of the _dim_clause index arithmetic (shared by the roundtrip
+# derivation and the herb-dims edge oracle)
+_SQL_FI2 = f"((eid % {N_FLAV}) + 1 + ((eid // 11) % 5)) % {N_FLAV}"
+_SQL_TI2 = f"((eid % {N_TROP}) + 1 + ((eid // 13) % {N_TROP - 1})) % {N_TROP}"
+
+
+def _sql_dim_clause() -> str:
+    p = _sql_pick(POOL_PROP, f"eid % {N_PROP}")
+    f1 = _sql_pick(POOL_FLAV, f"eid % {N_FLAV}")
+    f2 = _sql_pick(POOL_FLAV, _SQL_FI2)
+    t1 = _sql_pick(POOL_TROP, f"eid % {N_TROP}")
+    t2 = _sql_pick(POOL_TROP, _SQL_TI2)
+    x = _sql_pick(POOL_TOX, f"eid % {N_TOX}")
+    return (
+        f"'其性' || {p} || '，味' || {f1}"
+        f" || (CASE WHEN eid % 2 = 0 THEN {f2} ELSE '' END)"
+        f" || '，归' || {t1}"
+        f" || (CASE WHEN eid % 4 = 0 THEN '、' || {t2} ELSE '' END)"
+        f" || '经，' || {x} || '。'"
+    )
 
 
 SQL_KG_TEXT_ROUNDTRIP = f"""
@@ -745,6 +854,72 @@ WITH tr AS (
 )
 SELECT conv_id, turn_idx, {_sql_text_derivation()} AS text FROM tr
 """
+
+
+def q_kg_herb_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-entity edge families (the reference's herb2flavour /
+    herb2property / herb2tropism / herb2toxicity, extract_herb.py:587-651):
+    the pipeline must parse each herb statement's 其性…味…归…经…
+    clause through the mention kernel's slot parser (exact lookups +
+    the P13 containment tokenizer for multi-flavour slots) and emit
+    herb→dimension edges through the same assemble_triples path as every
+    other predicate. The oracle predicts every edge arithmetically."""
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred").isin(*DIM_PRED_OF_KIND.values())).select(
+        "subj", "pred", "obj"
+    )
+
+
+def _sql_kg_herb_dims() -> str:
+    herb = _sql_pick(CANON_HERB1, f"eid % {N_H1}")
+    return f"""
+WITH base AS (
+  SELECT event_id AS eid FROM events WHERE event_id % 5 = 2 AND event_id % 3 = 1
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT {herb} AS subj, 'herb_has_property' AS pred,
+         {_sql_pick(ID_PROP, f'eid % {N_PROP}')} AS obj FROM base
+  UNION
+  SELECT {herb}, 'herb_has_flavour', {_sql_pick(ID_FLAV, f'eid % {N_FLAV}')} FROM base
+  UNION
+  SELECT {herb}, 'herb_has_flavour', {_sql_pick(ID_FLAV, _SQL_FI2)}
+  FROM base WHERE eid % 2 = 0
+  UNION
+  SELECT {herb}, 'tropism_of_herb', {_sql_pick(ID_TROP, f'eid % {N_TROP}')} FROM base
+  UNION
+  SELECT {herb}, 'tropism_of_herb', {_sql_pick(ID_TROP, _SQL_TI2)}
+  FROM base WHERE eid % 4 = 0
+  UNION
+  SELECT {herb}, 'toxicity_of_herb', {_sql_pick(ID_TOX, f'eid % {N_TOX}')} FROM base
+)
+"""
+
+
+def q_kg_dim_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension entities in the nodes table (zh surface + English gloss),
+    with reference-scheme surrogate ids — the static entity-table side of
+    the dimension families (`sf_dir` unused: the vocabulary is the table)."""
+    p = _pipeline(spark)
+    return p.nodes_table().filter(
+        F.col("entity_type").isin("property", "flavour", "tropism", "toxicity")
+    ).select(
+        "canonical_id",
+        "entity_type",
+        F.element_at("names", 1).alias("zh_name"),
+        F.element_at("names", 2).alias("en_name"),
+    )
+
+
+def _sql_kg_dim_nodes() -> str:
+    rows = ",\n".join(
+        f"('{r['canonical_id']}','{r['entity_type']}','{r['names'][0]}','{r['names'][1]}')"
+        for r in dim_node_rows()
+    )
+    return (
+        "SELECT canonical_id, entity_type, zh_name, en_name FROM (VALUES\n"
+        + rows
+        + "\n) AS t(canonical_id, entity_type, zh_name, en_name)"
+    )
 
 
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,9 +942,14 @@ def _sql_kg_nodes() -> str:
         for r in records:
             for n in r.names:
                 counts[(rec2canon[r.record_id], etype)].add(n)
-    rows = ",\n".join(
-        f"('{cid}','{et}',{len(names)})" for (cid, et), names in sorted(counts.items())
-    )
+    vals = [
+        (cid, et, len(names)) for (cid, et), names in sorted(counts.items())
+    ] + [
+        # dimension entities: names = [zh, en]
+        (r["canonical_id"], r["entity_type"], len(r["names"]))
+        for r in dim_node_rows()
+    ]
+    rows = ",\n".join(f"('{cid}','{et}',{n})" for cid, et, n in vals)
     return (
         "SELECT canonical_id, entity_type, n_names::BIGINT AS n_names "
         "FROM (VALUES\n" + rows +
@@ -778,6 +958,8 @@ def _sql_kg_nodes() -> str:
 
 
 KG_QUERIES = {
+    "kg_herb_dims": q_kg_herb_dims,
+    "kg_dim_nodes": q_kg_dim_nodes,
     "kg_contains_weights": q_kg_contains,
     "kg_treats": q_kg_treats,
     "kg_p_symptom": q_kg_p_symptom,
@@ -796,6 +978,8 @@ KG_QUERIES = {
 }
 
 KG_ORACLES = {
+    "kg_herb_dims": _sql_kg_herb_dims(),
+    "kg_dim_nodes": _sql_kg_dim_nodes(),
     "kg_contains_weights": SQL_KG_CONTAINS,
     "kg_treats": SQL_KG_TREATS,
     "kg_p_symptom": SQL_KG_P_SYMPTOM,

@@ -1,0 +1,132 @@
+"""Dimension-entity vocabularies: herb property / flavour / tropism /
+toxicity.
+
+The reference derives four DIMENSION entity families from per-herb
+attribute strings and emits herb→dimension edges via dict lookups
+(reference: processed_code/extract_herb.py:466-585 builds the
+flavour/toxicity/tropism/property entity tables with TMFV/TMTX/TMTP/TMPP
+surrogate ids; :587-651 emits herb2flavour / herb2property / herb2tropism /
+herb2toxicity relations). The vocabularies below are that public TCM
+vocabulary (zh surface forms + the reference's English glosses); surrogate
+ids follow the reference's prefix+index scheme over the fixed vocabulary
+order, so they are deterministic constants — no data-dependent ranking.
+
+In the transcript KG these attributes arrive as TEXT (a herb statement's
+"其性温，味甘，归脾、肺经，无毒。" clause); the mention kernel parses the
+clause and resolves each slot against these maps (flavour via the P13
+containment tokenizer — functions/standardize.tokenize_against_vocab
+semantics; property/tropism/toxicity via exact lookups, the reference's
+`;`-split-then-dict-lookup shape).
+"""
+
+from __future__ import annotations
+
+# (zh surface form, English gloss) — fixed order defines the surrogate ids
+PROPERTY_VOCAB: list[tuple[str, str]] = [
+    ("大温", "extremely warm"),
+    ("大热", "extremely hot"),
+    ("大寒", "extremely cold"),
+    ("热", "hot"),
+    ("温", "warm"),
+    ("平", "neutral"),
+    ("凉", "cool"),
+    ("寒", "cold"),
+    ("小凉", "slightly cool"),
+    ("小寒", "slightly cold"),
+    ("小温", "slightly warm"),
+]
+
+# the first 7 are the base flavours (pairwise substring-free — the set the
+# containment tokenizer can resolve exactly); 微-prefixed variants complete
+# the reference vocabulary
+FLAVOUR_VOCAB: list[tuple[str, str]] = [
+    ("甘", "sweet"),
+    ("苦", "bitter"),
+    ("辛", "pungent"),
+    ("酸", "sour"),
+    ("咸", "salty"),
+    ("淡", "tasteless"),
+    ("涩", "astringent"),
+    ("微甘", "slightly sweet"),
+    ("微苦", "slightly bitter"),
+    ("微辛", "slightly pungent"),
+    ("微酸", "slightly sour"),
+    ("微咸", "slightly salty"),
+    ("微涩", "slightly astringent"),
+]
+
+TROPISM_VOCAB: list[tuple[str, str]] = [
+    ("胃", "stomach"),
+    ("肝", "liver"),
+    ("肾", "kidney"),
+    ("脾", "spleen"),
+    ("心", "heart"),
+    ("肺", "lung"),
+    ("胆", "gallbladder"),
+    ("小肠", "small intestine"),
+    ("大肠", "large intestine"),
+    ("膀胱", "bladder"),
+    ("三焦", "triple energizers"),
+    ("心包", "pericardium"),
+]
+
+TOXICITY_VOCAB: list[tuple[str, str]] = [
+    ("无毒", "nontoxic"),
+    ("微毒", "slightly toxic"),
+    ("毒", "toxic"),
+    ("极毒", "extremely toxic"),
+]
+
+# surrogate-id scheme per the reference (extract_herb.py:491-493 TMFV%05d,
+# :512-514 TMTX%05d, :547-549 TMTP%02d, :578-580 TMPP%05d)
+DIM_SPECS: dict[str, tuple[list[tuple[str, str]], str, int]] = {
+    "property": (PROPERTY_VOCAB, "TMPP", 5),
+    "flavour": (FLAVOUR_VOCAB, "TMFV", 5),
+    "tropism": (TROPISM_VOCAB, "TMTP", 2),
+    "toxicity": (TOXICITY_VOCAB, "TMTX", 5),
+}
+
+# kernel mention kind -> edge predicate (the reference's Relation_type
+# strings, extract_herb.py:598,613,629,645)
+DIM_PRED_OF_KIND = {
+    "has_flavour": "herb_has_flavour",
+    "has_property": "herb_has_property",
+    "tropism_of": "tropism_of_herb",
+    "toxicity_of": "toxicity_of_herb",
+}
+
+
+def dim_id(dim: str, index: int) -> str:
+    """index is 0-based position in the vocabulary; ids are 1-based."""
+    _, prefix, width = DIM_SPECS[dim]
+    return f"{prefix}{index + 1:0{width}d}"
+
+
+def dim_maps() -> dict[str, dict[str, str]]:
+    """dim -> {zh surface form: surrogate id} — the kernel's lookup dicts.
+    Static constants (they ship in the package zip), so no broadcast is
+    needed: every executor imports the same tables."""
+    return {
+        dim: {zh: dim_id(dim, i) for i, (zh, _en) in enumerate(vocab)}
+        for dim, (vocab, _p, _w) in DIM_SPECS.items()
+    }
+
+
+def dim_node_rows() -> list[dict]:
+    """Node-table rows for the dimension entities (all of them — the
+    vocabulary IS the entity table, like the reference's entity CSVs;
+    which ones appear in edges depends on the corpus)."""
+    rows = []
+    for dim, (vocab, _p, _w) in DIM_SPECS.items():
+        for i, (zh, en) in enumerate(vocab):
+            rows.append(
+                {
+                    "canonical_id": dim_id(dim, i),
+                    "entity_type": dim,
+                    "names": [zh, en],
+                    "symmap_id": None,
+                    "extdb_id": None,
+                    "source_records": [],
+                }
+            )
+    return rows

@@ -34,6 +34,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
+from .dimensions import (
+    FLAVOUR_VOCAB,
+    PROPERTY_VOCAB,
+    TOXICITY_VOCAB,
+    TROPISM_VOCAB,
+)
 from .gazetteers import (
     DISEASE_NAMES,
     HERB_NAMES,
@@ -62,6 +68,35 @@ _NEARMISS = ["甘草霜", "红参须", "假黄芪"]
 # entities reserved for duplicate-row corruption text: never used elsewhere,
 # so their appearance in output triples proves a dedup failure.
 _N_RESERVED = 3  # last 3 herbs + last formula + last disease are reserved
+
+# dimension-clause pools (T3c lines): zh surface forms of the dimension
+# vocabularies; flavour uses the base (substring-free) prefix
+_PROPS = [zh for zh, _ in PROPERTY_VOCAB]
+_FLAVS = [zh for zh, _ in FLAVOUR_VOCAB[:7]]
+_TROPS = [zh for zh, _ in TROPISM_VOCAB]
+_TOXES = [zh for zh, _ in TOXICITY_VOCAB]
+
+
+def _dim_clause(c: int, k: int) -> str:
+    """其性P，味F…，归T…经，X。 with planted edge cases: multi-flavour,
+    multi-tropism, a multi-valued toxicity (collapses to 毒 per the
+    reference rule), and an unknown flavour token (must be skipped)."""
+    p = _PROPS[(c * 3 + k) % len(_PROPS)]
+    fi = (c + k * 5) % len(_FLAVS)
+    fl = _FLAVS[fi]
+    if (c + k) % 2 == 0:
+        fl += _FLAVS[(fi + 2 + c % 4) % len(_FLAVS)]
+    if (c * 7 + k) % 11 == 0:
+        fl += "怪"  # unknown flavour char: parser must skip it
+    ti = (c * 5 + k) % len(_TROPS)
+    tr = _TROPS[ti]
+    if (c + k) % 3 == 0:
+        tr += "、" + _TROPS[(ti + 1 + c % 5) % len(_TROPS)]
+    if (c * 3 + k) % 13 == 0:
+        tox = "微毒、毒"  # multi-valued -> 毒 (reference extract_herb.py:640-646)
+    else:
+        tox = _TOXES[(c + k) % len(_TOXES)]
+    return f"其性{p}，味{fl}，归{tr}经，{tox}。"
 
 # Inert filler prose: pads turns to realistic transcript lengths without
 # adding extractable content. MUST NOT contain any gazetteer name, rule
@@ -211,6 +246,12 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                 if c % 13 == 0 and k == 0:
                     # plant the treats∩induces conflict for (h, d)
                     yield row(f"但须注意，{h}可致{d}。", "assistant")
+                if (c + k) % 4 == 0:
+                    # T3c: dimension clause on a herb statement ->
+                    # herb_has_property/flavour, tropism_of/toxicity_of_herb
+                    h3 = herbs[(c * 3 + k + 11) % len(herbs)]
+                    d3 = diseases[(c * 5 + k + 7) % len(diseases)]
+                    yield row(f"{h3}可治{d3}。{_dim_clause(c, k)}", role, tool)
             elif kind == 5:
                 s = syndromes[(c * 3 + k) % len(syndromes)]
                 yield row(

@@ -32,6 +32,10 @@ Rules (per ordered assistant turn, normalized text t):
   T4  elif '常见' in t: split at first 常见; syndrome AC on the left,
       symptom AC on the right -> (symptom, symptom_indicates_syndrome, syndrome).
   T5  elif '属于' in t: split; disease AC left -> subj, right -> obj.
+  T6  if '其性' in t: dimension clause (kernels/dims.py slot parser, shared
+      string kernel). Herb AC over the text BEFORE 其性 -> subjects; emits
+      herb_has_property / herb_has_flavour / tropism_of_herb /
+      toxicity_of_herb edges (reference extract_herb.py:587-651).
 Post:
   formula_contains_herb: dose -> grams (clean/filter/convert per reference
       grammar); formulas with any ml-unit or any unparseable linked dose get
@@ -51,7 +55,9 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from ..fixtures.dimensions import DIM_PRED_OF_KIND
 from ..fixtures.gazetteers import CANON_PREFIX, Gazetteers, GazetteerRecord
+from ..kernels.dims import parse_dim_clause
 from ..kernels.dose import parse_dose_string
 from ..kernels.matcher import AhoCorasick, extract_herb_dose_pairs, probe_herb
 from ..kernels.normalize import text_norm
@@ -155,6 +161,7 @@ class OracleExtractor:
         induces: set[tuple[str, str]] = set()
         indicates: set[tuple[str, str]] = set()
         is_a: set[tuple[str, str]] = set()
+        dims: set[tuple[str, str, str]] = set()  # (herb, pred, dim_id)
 
         fmap = self.maps["formula"]
         hmap = self.maps["herb"]
@@ -200,6 +207,11 @@ class OracleExtractor:
                     for h in hs:
                         for d in ds:
                             induces.add((hmap[h], self.maps["disease"][d]))
+                if "其性" in t:
+                    head, _, seg = t.partition("其性")
+                    for h in self.ac["herb"].find_set(head):
+                        for kind, did in parse_dim_clause(seg):
+                            dims.add((hmap[h], DIM_PRED_OF_KIND[kind], did))
                 if not handled and "常见" in t:
                     left, _, right = t.partition("常见")
                     syns = self.ac["syndrome"].find_set(left)
@@ -265,5 +277,8 @@ class OracleExtractor:
         for a, b in is_a:
             if (b, a) not in is_a:
                 triples.add((a, PRED_IS_A, b, None))
+
+        for h, pred, did in dims:
+            triples.add((h, pred, did, None))
 
         return triples

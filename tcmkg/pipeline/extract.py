@@ -139,6 +139,7 @@ def rule_prefilter(
         | t.contains("可致")
         | t.contains("常见")
         | t.contains("属于")
+        | t.contains("其性")
     )
     out = resolved.filter((F.col("role") == "assistant") & has_rule).select(
         "tnorm", "f1_id", "t2_formula"
@@ -183,6 +184,7 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
     b_maps = sc.broadcast(maps)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.dims import parse_dim_clause
         from ..kernels.dose import parse_dose_string
         from ..kernels.matcher import (
             extract_herb_dose_pairs,
@@ -252,6 +254,20 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                         for d in ac_dis.find_set(t):
                             k = ("induces", hmap[h], m["disease"][d], None)
                             pair_n[k] = pair_n.get(k, 0) + 1
+                if "其性" in t:
+                    # dimension clause (herb property/flavour/tropism/
+                    # toxicity — reference extract_herb.py:587-651): the
+                    # subject is the statement's herb; the clause's own
+                    # tokens are dimension vocabulary, never gazetteer
+                    # names (contract/kg._assert_dim_fragments_safe)
+                    head, _, seg = t.partition("其性")
+                    hs = ac_herb.find_set(head)
+                    if hs:
+                        dim_ids = parse_dim_clause(seg)
+                        for h in hs:
+                            for kind, did in dim_ids:
+                                k = (kind, hmap[h], did, None)
+                                pair_n[k] = pair_n.get(k, 0) + 1
                 if not handled and "常见" in t:
                     left, _, right = t.partition("常见")
                     syns = ac_syn.find_set(left)

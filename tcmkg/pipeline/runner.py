@@ -150,9 +150,22 @@ class KGPipeline:
 
     # ------------------------------------------------------------------
     def nodes_table(self) -> DataFrame:
+        from ..fixtures.dimensions import dim_node_rows
+
         out = self.nodes[0]
         for n in self.nodes[1:]:
             out = out.unionByName(n)
+        # dimension entities (property/flavour/tropism/toxicity): the fixed
+        # vocabulary IS the entity table (reference extract_herb.py:466-585
+        # writes them as static entity CSVs) — constants, no CC needed
+        dims = self.spark.createDataFrame(
+            dim_node_rows(),
+            schema=(
+                "canonical_id string, entity_type string, names array<string>, "
+                "symmap_id string, extdb_id string, source_records array<string>"
+            ),
+        )
+        out = out.unionByName(dims)
         return out.select(
             "canonical_id",
             "entity_type",

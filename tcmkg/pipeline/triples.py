@@ -35,6 +35,13 @@ PRED_OF_KIND = {
     "treats": "herb_treats_disease",
     "indicates": "symptom_indicates_syndrome",
     "is_a": "disease_is_a_disease",
+    # herb→dimension families (reference extract_herb.py:587-651 emits these
+    # four Relation_types from attribute dict lookups; here the kernel parses
+    # them out of statement text — kernels/dims.py)
+    "has_flavour": "herb_has_flavour",
+    "has_property": "herb_has_property",
+    "tropism_of": "tropism_of_herb",
+    "toxicity_of": "toxicity_of_herb",
 }
 
 
@@ -135,6 +142,12 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(treats_edges(pairs), PRED_OF_KIND["treats"]),
         lab(_pairs(pairs, "indicates"), PRED_OF_KIND["indicates"]),
         lab(is_a_edges(pairs), PRED_OF_KIND["is_a"]),
+        # dimension families: plain distinct pairs off the shared dedup —
+        # no caps/conflicts apply (the reference emits them set-deduped)
+        lab(_pairs(pairs, "has_flavour"), PRED_OF_KIND["has_flavour"]),
+        lab(_pairs(pairs, "has_property"), PRED_OF_KIND["has_property"]),
+        lab(_pairs(pairs, "tropism_of"), PRED_OF_KIND["tropism_of"]),
+        lab(_pairs(pairs, "toxicity_of"), PRED_OF_KIND["toxicity_of"]),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -108,7 +108,13 @@ def test_tolerance_violation_metric(tmp_path, spark, pipeline):
 def test_nodes_table(pipeline):
     nodes = pipeline.nodes_table()
     pdf = nodes.toPandas()
-    assert set(pdf.entity_type.unique()) == {"herb", "formula", "symptom", "syndrome", "disease"}
+    assert set(pdf.entity_type.unique()) == {
+        "herb", "formula", "symptom", "syndrome", "disease",
+        # dimension families (fixtures/dimensions.py vocabularies)
+        "property", "flavour", "tropism", "toxicity",
+    }
+    # dimension nodes carry [zh, en] names with reference-scheme ids
+    assert (pdf.entity_type == "tropism").sum() == 12
     # hot herb merged: its canonical entity carries all alias names
     hot = pdf[pdf.names.apply(lambda ns: "甘草" in list(ns))]
     assert len(hot) == 1

@@ -74,4 +74,8 @@ def test_predicate_coverage(spark_triples):
         "herb_treats_disease",
         "symptom_indicates_syndrome",
         "disease_is_a_disease",
+        "herb_has_flavour",
+        "herb_has_property",
+        "tropism_of_herb",
+        "toxicity_of_herb",
     }

@@ -179,3 +179,52 @@ def test_prepare_corpus_string_ids(spark):
     )["corpus"].collect()
     key = lambda rs: sorted((r["doc_id"], r["shard"], r["bin"]) for r in rs)
     assert key(corpus) == key(again)
+
+
+def test_parse_dim_clause_slots():
+    """Slot parser contract: exact property/tropism/toxicity lookups, P13
+    containment flavour tokenization, multi-valued toxicity -> 毒 (the
+    reference's rule), unknown tokens skipped, clause stops at first 。."""
+    from tcmkg.fixtures.dimensions import dim_maps
+    from tcmkg.kernels.dims import parse_dim_clause
+
+    d = dim_maps()
+    # normalized form (ASCII commas, as the kernel sees it)
+    out = parse_dim_clause("温,味甘淡,归脾、肺经,无毒。后有闲话不相干。")
+    assert out == [
+        ("has_property", d["property"]["温"]),
+        ("has_flavour", d["flavour"]["甘"]),
+        ("has_flavour", d["flavour"]["淡"]),
+        ("tropism_of", d["tropism"]["脾"]),
+        ("tropism_of", d["tropism"]["肺"]),
+        ("toxicity_of", d["toxicity"]["无毒"]),
+    ]
+    # raw full-width commas accepted too
+    assert parse_dim_clause("大寒，味苦，归心经，极毒。") == [
+        ("has_property", d["property"]["大寒"]),
+        ("has_flavour", d["flavour"]["苦"]),
+        ("tropism_of", d["tropism"]["心"]),
+        ("toxicity_of", d["toxicity"]["极毒"]),
+    ]
+    # multi-valued toxicity collapses to 毒; unknown tokens skipped
+    out = parse_dim_clause("怪性,味怪,归怪经,微毒、毒。")
+    assert out == [("toxicity_of", d["toxicity"]["毒"])]
+    # flavour containment handles 微-variants when they appear alone
+    out = parse_dim_clause("平,味微苦,归胆经,毒。")
+    kinds = [(k, v) for k, v in out if k == "has_flavour"]
+    assert (("has_flavour", d["flavour"]["微苦"]) in kinds
+            and ("has_flavour", d["flavour"]["苦"]) in kinds)  # documented P13 shape
+    assert parse_dim_clause("") == []
+
+
+def test_dim_ids_reference_scheme():
+    """Surrogate ids follow the reference's prefix+width scheme."""
+    from tcmkg.fixtures.dimensions import dim_id, dim_node_rows
+
+    assert dim_id("property", 0) == "TMPP00001"
+    assert dim_id("flavour", 12) == "TMFV00013"
+    assert dim_id("tropism", 11) == "TMTP12"
+    assert dim_id("toxicity", 3) == "TMTX00004"
+    rows = dim_node_rows()
+    assert len(rows) == 11 + 13 + 12 + 4
+    assert all(len(r["names"]) == 2 for r in rows)
