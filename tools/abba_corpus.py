@@ -34,11 +34,16 @@ import subprocess
 import sys
 
 WORKER = r"""
-import sys, time, json
+import sys, time, json, os
 repo, corpus_path, n_rounds = sys.argv[1], sys.argv[2], int(sys.argv[3])
 sys.path.insert(0, repo)
 from tcmkg.session import get_spark
-spark = get_spark("abba-corpus", cores=32)
+# default local[8], NOT local[32]: on this 32-core box an ambient-load
+# burst (loadavg spikes to 15+ with nothing of ours running) steals cores
+# from a 32-wide job directly, but a 8-wide job keeps its full share —
+# wall times are far more stable, and a code-version A/B only needs EQUAL
+# conditions, not maximal parallelism.
+spark = get_spark("abba-corpus", cores=int(os.environ.get("TCMKG_ABBA_CORES", "8")))
 from tcmkg.contract.kg import _pipeline
 pipe = _pipeline(spark)
 corpus = spark.read.parquet(corpus_path)
