@@ -36,7 +36,13 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "be
 def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
     """Generate (once) and cache the synthetic multi-turn corpus."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    path = os.path.join(BENCH_DIR, f"transcripts_v2_{n_conversations}.parquet")
+    # v3: the fixture now plants dimension clauses (其性温，味甘… — the
+    # herb property/flavour/tropism/toxicity families) on herb statements,
+    # so the corpus content AND the per-turn extraction work changed; a
+    # cached v2 corpus must not masquerade as the current fixture. The
+    # corpus leg is therefore NOT directly comparable with BENCH_r02/r03
+    # (see NOISE.md adjudication section for the code-vs-corpus split).
+    path = os.path.join(BENCH_DIR, f"transcripts_v3_{n_conversations}.parquet")
     if not os.path.exists(path):
         from tcmkg.fixtures.transcripts import write_parquet
 
@@ -45,6 +51,7 @@ def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
 
 
 def main() -> None:
+    load0 = os.getloadavg()
     from tcmkg.session import get_spark
 
     spark = get_spark("tcmkg-bench", cores=CPUS)
@@ -115,6 +122,13 @@ def main() -> None:
         "q_sessionize", "q_ann_topk", "q_lsh_pairs", "q_simhash_pairs",
     )
     comparable_r02 = round(sum(timings[n] for n in R2_SET), 3)
+    # the two kg legs consume the dimension-clause (v3) fixtures from r4 on
+    # — MORE text and extraction work per turn than r02/r03 measured, so
+    # only the operator queries remain strictly round-comparable
+    ops_only = round(
+        sum(t for n, t in timings.items()
+            if n in R2_SET and not n.startswith("kg_triples")), 3
+    )
     print(
         json.dumps(
             {
@@ -126,7 +140,17 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cores": int(CPUS) if str(CPUS).isdigit() else CPUS,
                 "agg": f"best_of_{BENCH_RUNS}_round_robin",
+                # ambient conditions at start: NOISE.md's r3→r4 adjudication
+                # showed cross-session deltas are uninterpretable without
+                # them (null A/B of IDENTICAL code read 0.58x on this host)
+                "loadavg_start": [round(x, 2) for x in load0],
                 "comparable_r02_subset_sec": comparable_r02,
+                "comparable_r02_ops_only_sec": ops_only,
+                # v3 = dimension clauses planted on herb statements (r4):
+                # corpus leg does MORE per-turn extraction work than the
+                # v2 corpus BENCH_r02/r03 measured — see NOISE.md before
+                # reading a cross-round corpus delta
+                "corpus_fixture": "v3",
                 "corpus_turns": n_corpus,
                 "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
                 "detail": extras,

@@ -555,6 +555,60 @@ def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_kg_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation vs the batch
+    window oracle (§2.8 'windowed aggs for late data'): the corpus lands
+    in TWO micro-batch files, the second carrying only LATE rows — event
+    times interleaved with (and older than) everything batch 1 already
+    processed. With the lateness inside the watermark horizon,
+    streaming_turn_stats must put every late row in its EVENT-TIME window,
+    not its arrival window, so per-(day-window, conv) counts hash-match a
+    plain batch GROUP BY time-bucket — the stream/batch equivalence that
+    makes the operator trustworthy for incremental rollups."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import stream_transcripts, streaming_turn_stats
+
+    tmp = tempfile.mkdtemp(prefix="tcmkg_streamwin_contract_")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    pdf = transcriptize(spark, sf_dir).toPandas()
+    pdf["tool"] = pdf["tool"].astype("string")  # all-null col: keep string type
+    late = pdf["turn_idx"] % 7 == 3  # deterministic, scattered across event time
+    _land_file(pdf[~late], os.path.join(landing, "a.parquet"), 1_700_000_000)
+    _land_file(pdf[late], os.path.join(landing, "b.parquet"), 1_700_000_060)
+
+    stats = streaming_turn_stats(
+        stream_transcripts(spark, landing, max_files_per_trigger=1),
+        window="24 hours",
+        watermark="3650 days",  # synthetic ts span: no late row falls off
+    )
+    name = f"stream_win_{abs(hash(tmp)) % 10**9}"
+    q = (
+        stats.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    out = spark.table(name).select(
+        F.unix_timestamp("w_start").alias("w_start_epoch"),
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )
+    result = _materialize_then_cleanup(spark, out, tmp)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+SQL_KG_STREAM_WINDOW = """
+SELECT (floor(epoch(ts) / 86400)::BIGINT) * 86400 AS w_start_epoch,
+       'conv_' || lpad((user_id % 97)::VARCHAR, 3, '0') AS conv_id,
+       count(*)::BIGINT AS n_turns
+FROM events
+GROUP BY 1, 2
+"""
+
+
 SQL_KG_STREAM_DEDUP = """
 WITH tr AS (
   SELECT 'conv_' || lpad((user_id % 97)::VARCHAR, 3, '0') AS conv_id,
@@ -974,6 +1028,7 @@ KG_QUERIES = {
     "kg_stream_stateful": q_kg_stream_stateful,
     "kg_incremental": q_kg_incremental,
     "kg_stream_dedup": q_kg_stream_dedup,
+    "kg_stream_window": q_kg_stream_window,
     "kg_soft_link": q_kg_soft_link,
 }
 
@@ -994,5 +1049,6 @@ KG_ORACLES = {
     "kg_stream_stateful": SQL_KG_CONTAINS,  # cross-batch state, same oracle
     "kg_incremental": SQL_KG_CONTAINS,  # two tranches must equal full batch
     "kg_stream_dedup": SQL_KG_STREAM_DEDUP,
+    "kg_stream_window": SQL_KG_STREAM_WINDOW,
     "kg_soft_link": _sql_kg_soft_link(),
 }

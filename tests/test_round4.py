@@ -217,6 +217,87 @@ def test_parse_dim_clause_slots():
     assert parse_dim_clause("") == []
 
 
+def _data_exchanges(df) -> int:
+    """Count data Exchanges (hash/range/round-robin/single-partition) in
+    the EXECUTED plan, excluding broadcasts and AQE-reused exchanges."""
+    import re
+
+    df.count()  # execute so AQE finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for line in plan.splitlines():
+        if "Reused" in line or "BroadcastExchange" in line:
+            continue
+        if re.search(
+            r"\bExchange (hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)",
+            line,
+        ):
+            n += 1
+    return n
+
+
+def test_prepare_corpus_plan_shape(spark):
+    """The composed quality → near_dedup → split → pack path must not
+    introduce exchange classes its stages don't have: quality is a pure
+    filter (zero exchanges), packing partitions by the shard key (no
+    range/global sort), and the packed-corpus plan stays within a small
+    fixed exchange budget (a regression here = an accidental shuffle in
+    the composition). PLANS.md §prepare_corpus carries the captured plan."""
+    import re
+
+    from tcmkg.ops.prepare import prepare_corpus
+    from tcmkg.ops.quality import quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # quality alone: one scan, no shuffle
+    assert _data_exchanges(quality_filter(docs, "doc_id", "text")["removed"]) == 0
+
+    out = prepare_corpus(
+        docs, "doc_id", "text",
+        fractions={"train": 0.8, "val": 0.1}, budget=2048, shard_mod=4,
+        max_bucket=64,
+    )
+    corpus = out["corpus"]
+    corpus.count()
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    # no global sort anywhere in the packed output
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 0
+    # no single-partition funnel (the no-shard_col footgun)
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 0
+    # exchange budget of the composition: corpus-side dedup anti-join +
+    # the shard window partitioning (CC/candidate shuffles are behind the
+    # chain's checkpoint boundary and don't grow this plan). Measured 3 at
+    # pinning time; the assert is a regression tripwire, not a target.
+    assert _data_exchanges(corpus) <= 4
+    assert out["holdout"].count() >= 0  # holdout leg stays evaluable
+
+
+def test_run_incremental_plan_shape(spark, tmp_path, pipeline, transcripts_pdf):
+    """Incremental assembly must (a) never re-run the Python mention
+    kernel — mentions come back from the committed tranche parquet — and
+    (b) spend no more data exchanges than the batch assembly over the same
+    mentions (the partials are combinable; assembly shape is identical).
+    PLANS.md §run_incremental carries the captured plan."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    transcripts_pdf.to_parquet(landing / "arrival_0.parquet", **kw)
+
+    out = pipeline.run_incremental(str(landing), str(tmp_path / "ckpt"))
+    triples = out["triples"]
+    triples.count()
+    plan = triples._jdf.queryExecution().executedPlan().toString()
+    # the kernel does not re-run: no Arrow-Python eval node in the plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # FLAGSHIP comparison: batch triples over the same transcripts
+    batch = pipeline.triples(
+        spark.read.parquet(str(landing / "arrival_0.parquet"))
+    )
+    assert _data_exchanges(triples) <= _data_exchanges(batch)
+
+
 def test_dim_ids_reference_scheme():
     """Surrogate ids follow the reference's prefix+width scheme."""
     from tcmkg.fixtures.dimensions import dim_id, dim_node_rows

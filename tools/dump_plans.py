@@ -189,6 +189,55 @@ def main() -> None:
         )
     )
 
+    from tcmkg.ops.prepare import prepare_corpus
+
+    prep = prepare_corpus(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        fractions={"train": 0.8, "val": 0.1},
+        budget=2048,
+        shard_mod=4,
+        max_bucket=64,
+    )
+    sections.append(
+        (
+            "prepare_corpus packed output (quality → near_dedup → split → pack)",
+            "The composed path inherits each stage's shape: quality is a "
+            "pure filter (zero exchanges of its own), the dedup leg joins "
+            "the corpus against the BOUNDED removal map, split/shard are "
+            "hash maps, and packing windows partition by the shard key "
+            "only — no global sort, no new exchange class appears in the "
+            "composition (bound asserted in tests/test_round4.py).",
+            *render(prep["corpus"]),
+        )
+    )
+
+    import shutil
+    import tempfile
+
+    from tcmkg.pipeline.triples import assemble_triples
+
+    inc_dir = tempfile.mkdtemp(prefix="plans_inc_")
+    try:
+        landing = f"{inc_dir}/landing"
+        transcriptize(spark, sf).coalesce(1).write.parquet(landing)
+        inc = pipe.run_incremental(landing, f"{inc_dir}/ckpt")
+        sections.append(
+            (
+                "run_incremental triple assembly over committed tranches",
+                "Mentions come back from the tranche parquet (one scan over "
+                "the partitioned store — the Iceberg-incremental-read "
+                "stand-in); assembly over the combinable partials keeps the "
+                "batch path's reduce-side aggregation shape: same exchange "
+                "classes as assemble_triples over in-flight mentions, plus "
+                "nothing (bound asserted in tests/test_round4.py).",
+                *render(inc["triples"]),
+            )
+        )
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (auto-generated by tools/dump_plans.py)\n\n"
