@@ -25,6 +25,7 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # list each round.
 _CHECK_FIRST = [
     # round-4 additions
+    "q_near_dedup_r2",
     "kg_stream_window",
     "kg_herb_dims",
     "kg_dim_nodes",

@@ -644,9 +644,7 @@ def q_near_dedup(spark, sf_dir):
     return out["removals"].select("removed_doc", "keep_doc", "via")
 
 
-SQL_NEAR_DEDUP = f"""
-WITH RECURSIVE {_SQL_MINHASH_SIGS_CTE},
-hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
+_NEAR_DEDUP_TAIL = f"""hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
 kept AS (SELECT * FROM sigs ANTI JOIN hot USING (band, sig)),
 cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -681,6 +679,59 @@ SELECT node AS removed_doc, comp AS keep_doc,
             THEN 'exact_hot_bucket' ELSE 'near' END AS via
 FROM comp WHERE node <> comp
 """
+
+
+def _sql_minhash_sigs_cte_r(n_bands: int, rows_per_band: int) -> str:
+    """DuckDB CTE for multi-row-band MinHash signatures (mirrors
+    minhash_signatures(rows_per_band=r): per-(band,row) keyed md5 minima,
+    band sig = md5 of the row minima concatenated)."""
+    mins = ",\n         ".join(
+        f"min(md5('{b}:{r}:' || tok)) AS m_{b}_{r}"
+        for b in range(n_bands) for r in range(rows_per_band)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'm_{b}_{r}' for r in range(rows_per_band))}) AS sig "
+        f"FROM mins"
+        for b in range(n_bands)
+    )
+    return f"""tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents
+),
+mins AS (
+  SELECT doc_id, {mins}
+  FROM tok GROUP BY doc_id
+),
+sigs AS (
+  {band_rows}
+)"""
+
+
+SQL_NEAR_DEDUP = f"""
+WITH RECURSIVE {_SQL_MINHASH_SIGS_CTE},
+{_NEAR_DEDUP_TAIL}"""
+
+SQL_NEAR_DEDUP_R2 = f"""
+WITH RECURSIVE {_sql_minhash_sigs_cte_r(6, 2)},
+{_NEAR_DEDUP_TAIL}"""
+
+
+def q_near_dedup_r2(spark, sf_dir):
+    """near_dedup in the WEB-SCALE banding regime: b=6 bands of r=2 minhash
+    rows, P(bucket | J) = 1-(1-J^2)^6 (S-curve midpoint ~0.41 for the 0.5
+    threshold). Single-row bands (r=1, the q_near_dedup baseline) collide
+    with probability J itself, which goes quadratic on realistic
+    heavy-tailed vocabularies — measured 87M candidate pairs over 500k
+    synthetic docs vs ~planted-dups-only at r=2 (BENCH/BASELINE.md §5M).
+    The oracle replays the full chain with the two-row band signatures."""
+    from ..ops.dedup import near_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    out = near_dedup(
+        d, "doc_id", "text", n_bands=6, rows_per_band=2,
+        max_bucket=LSH_MAX_BUCKET, threshold=0.5,
+    )
+    return out["removals"].select("removed_doc", "keep_doc", "via")
 
 
 NEAR_INC_CUT = 400  # documents < cut are the seen corpus, >= cut the arrivals
@@ -1544,6 +1595,7 @@ GENERIC_QUERIES = {
     "q_lsh_dropped": q_lsh_dropped,
     "q_simhash_pairs": q_simhash_pairs,
     "q_near_dedup": q_near_dedup,
+    "q_near_dedup_r2": q_near_dedup_r2,
     "q_near_dedup_inc": q_near_dedup_inc,
     "q_near_dedup_sigs": q_near_dedup_sigs,
     "q_literal_dict": q_literal_dict,
@@ -1592,6 +1644,7 @@ GENERIC_ORACLES = {
     "q_lsh_dropped": SQL_LSH_DROPPED,
     "q_simhash_pairs": SQL_SIMHASH_PAIRS,
     "q_near_dedup": SQL_NEAR_DEDUP,
+    "q_near_dedup_r2": SQL_NEAR_DEDUP_R2,
     "q_near_dedup_inc": SQL_NEAR_DEDUP_INC,
     "q_near_dedup_sigs": SQL_NEAR_DEDUP_INC,  # persisted-sigs path, same result
     "q_literal_dict": SQL_LITERAL_DICT,

@@ -52,24 +52,59 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """-> (id, band, sig): per-band min of md5(band:token) over distinct
-    tokens. Entirely JVM-side (explode + partial-agg min) — at corpus scale
-    this is a map-side-combined aggregation, no Python."""
+    """-> (id, band, sig): MinHash-LSH band signatures over distinct tokens.
+
+    Each band hashes `rows_per_band` (r) independent minhash rows together,
+    so P(two docs share a band bucket) = J^r and the banded candidate
+    probability follows the standard S-curve 1-(1-J^r)^b. r=1 keeps the
+    original semantics byte-for-byte (sig = min md5("band:tok")); r>1 sets
+    sig = md5(min_0 || min_1 || ... || min_{r-1}) with per-row keying
+    "band:row:tok".
+
+    **r=1 is only safe for high-duplication or templated corpora**: with a
+    single row per band, ANY token shared with a globally-small hash puts
+    two docs in the same bucket (collision prob = J, not J^r), and on a
+    realistic heavy-tailed vocabulary the bucket join goes quadratic —
+    measured: 500k random-ish docs with a 200k-token vocabulary produced
+    87M candidate pairs at r=1 vs ~planted-duplicates-only at r=2
+    (tools/stress_dedup_5m.py, BENCH/BASELINE.md). Pick r>=2 and b via the
+    S-curve midpoint (1/b)^(1/r) ~= your threshold for web-scale corpora.
+
+    Plan: tokens are exploded ONCE and all b*r minima are computed as
+    parallel map-side-combinable aggs of a single groupBy(id); the per-band
+    signatures then posexplode from the aggregated row. (The previous plan
+    multiplied token rows by n_bands BEFORE the shuffle — b*r times the
+    shuffle volume for the same result.)
+    """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
-    bands = tok.select(
-        "id", F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"), "tok"
-    )
-    return (
-        bands.withColumn(
-            "h", F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("tok")))
-        )
-        .groupBy("id", "band")
-        .agg(F.min("h").alias("sig"))
+    mins = [
+        F.min(
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}:{r}:" if rows_per_band > 1 else f"{b}:"),
+                    F.col("tok"),
+                )
+            )
+        ).alias(f"_m_{b}_{r}")
+        for b in range(n_bands)
+        for r in range(rows_per_band)
+    ]
+    agged = tok.groupBy("id").agg(*mins)
+    if rows_per_band == 1:
+        band_sigs = [F.col(f"_m_{b}_0") for b in range(n_bands)]
+    else:
+        band_sigs = [
+            F.md5(F.concat(*[F.col(f"_m_{b}_{r}") for r in range(rows_per_band)]))
+            for b in range(n_bands)
+        ]
+    return agged.select(
+        "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
     )
 
 
@@ -328,6 +363,7 @@ def near_dedup(
     id_col: str,
     text_col: str,
     n_bands: int = 4,
+    rows_per_band: int = 1,
     max_bucket: int = 256,
     threshold: float = 0.5,
     cc_max_iter: int = 25,
@@ -373,7 +409,7 @@ def near_dedup(
     propagation whose MIN aggregations neutralize hot keys.
     """
     c = _dedup_chain(df, id_col, text_col, n_bands, max_bucket, threshold,
-                     cc_max_iter, verify)
+                     cc_max_iter, verify, rows_per_band=rows_per_band)
     kept = df.join(
         c["removals"].select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"
     )
@@ -411,6 +447,7 @@ def _dedup_chain(
     verify: str,
     new_pred=None,
     sigs: DataFrame | None = None,
+    rows_per_band: int = 1,
 ) -> dict[str, DataFrame]:
     """The candidates→verify→exact-route→CC core shared by near_dedup and
     near_dedup_incremental (one definition: a fix to via-labeling, the CC
@@ -430,7 +467,7 @@ def _dedup_chain(
     from ..pipeline.cc import connected_components
 
     if sigs is None:
-        sigs = minhash_signatures(corpus, id_col, text_col, n_bands)
+        sigs = minhash_signatures(corpus, id_col, text_col, n_bands, rows_per_band)
     sigs = sigs.persist()
 
     def _unpersist(_h=sigs):
@@ -516,6 +553,7 @@ def near_dedup_incremental(
     id_col: str,
     text_col: str,
     n_bands: int = 4,
+    rows_per_band: int = 1,
     max_bucket: int = 256,
     threshold: float = 0.5,
     cc_max_iter: int = 25,
@@ -581,7 +619,7 @@ def near_dedup_incremental(
         # persisted-index path: sign only the new tranche; the stored seen
         # index (computed once, at ingestion) joins it by unionByName
         sigs = seen_sigs.select("id", "band", "sig").unionByName(
-            minhash_signatures(new, id_col, text_col, n_bands)
+            minhash_signatures(new, id_col, text_col, n_bands, rows_per_band)
         )
     # the monotone-id precondition makes "is new" a LITERAL comparison
     # (id >= min new id) — no join, no broadcast of a possibly-billion-row
@@ -589,7 +627,7 @@ def near_dedup_incremental(
     c = _dedup_chain(
         union, id_col, text_col, n_bands, max_bucket, threshold,
         cc_max_iter, verify, new_pred=lambda col: F.col(col) >= F.lit(mn),
-        sigs=sigs,
+        sigs=sigs, rows_per_band=rows_per_band,
     )
     kept_new = new.join(
         c["removals"].select(F.col("removed_doc").alias(id_col)), id_col, "left_anti"

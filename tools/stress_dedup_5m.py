@@ -7,8 +7,14 @@ volume probe the round-3 verdict asked for).
 The corpus is synthesized entirely JVM-side (spark.range + hash-driven
 token picks — no Python in the generate path, so generation doesn't bound
 the measurement):
-  - every doc is a sequence of 30..119 tokens drawn from a 2000-token
-    vocabulary by hash(seed, position)
+  - every doc is a sequence of 30..119 tokens drawn from a 200,000-token
+    effective vocabulary by hash(seed, position) — tokens are the hash
+    values themselves rendered as strings, so no vocab literal rides the
+    plan. The vocabulary must be LARGE: a first cut with 2,000 tokens put
+    99.99% of docs into capped hot buckets (min-hash over a tiny token
+    universe concentrates onto a handful of minima, so every band bucket
+    explodes) — realistic corpora have >=10^5 distinct tokens and diverse
+    signatures, which is the regime this stress must exercise.
   - ~DUP_PCT% of docs reuse a PARENT doc's seed (parent strictly earlier,
     offset hash-picked in [1, 977]) and append one extra variant token —
     a near-duplicate with Jaccard ~ L/(L+2) >> threshold
@@ -38,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("TCMKG_STRESS_DOCS", "5000000"))
 DUP_PCT = int(os.environ.get("TCMKG_STRESS_DUP_PCT", "7"))
-VOCAB_N = 2000
+VOCAB_N = 200_000
 
 
 def synth_docs(spark, n_docs: int):
@@ -46,7 +52,11 @@ def synth_docs(spark, n_docs: int):
     ~DUP_PCT% near-duplicates of earlier docs. Pure JVM expressions."""
     from pyspark.sql import functions as F
 
-    vocab = F.array(*[F.lit(f"tok{i:04d}") for i in range(VOCAB_N)])
+    def tok(seed_col, i):
+        return F.concat(
+            F.lit("t"), F.pmod(F.hash(seed_col, i), F.lit(VOCAB_N)).cast("string")
+        )
+
     df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
     is_dup = (F.pmod(F.hash(F.col("doc_id"), F.lit("dup")), F.lit(100)) < DUP_PCT) & (
         F.col("doc_id") >= 1000
@@ -58,15 +68,10 @@ def synth_docs(spark, n_docs: int):
     df = df.withColumn("_seed", seed)
     length = F.pmod(F.hash(F.col("_seed"), F.lit("len")), F.lit(90)) + 30
     tokens = F.transform(
-        F.sequence(F.lit(1), length),
-        lambda i: F.element_at(
-            vocab, F.pmod(F.hash(F.col("_seed"), i), F.lit(VOCAB_N)) + 1
-        ),
+        F.sequence(F.lit(1), length), lambda i: tok(F.col("_seed"), i)
     )
     base = F.array_join(tokens, " ")
-    variant = F.element_at(
-        vocab, F.pmod(F.hash(F.col("doc_id"), F.lit("var")), F.lit(VOCAB_N)) + 1
-    )
+    variant = tok(F.col("doc_id"), F.lit(-1))
     text = F.when(is_dup, F.concat(base, F.lit(" "), variant)).otherwise(base)
     return df.select("doc_id", text.alias("text"))
 
@@ -109,8 +114,15 @@ def main() -> None:
     n = docs.count()
     gen_s = round(time.time() - t_gen, 1)
 
+    # b=6, r=2: the web-scale banding regime (see q_near_dedup_r2). r=1
+    # on this corpus produced 87M candidate pairs / 500k docs (recorded in
+    # BENCH/BASELINE.md) — single-row bands collide with probability J,
+    # which a realistic vocabulary turns quadratic.
     t0 = time.time()
-    out = near_dedup(docs, "doc_id", "text", max_bucket=256, threshold=0.5)
+    out = near_dedup(
+        docs, "doc_id", "text", n_bands=6, rows_per_band=2,
+        max_bucket=256, threshold=0.5,
+    )
     n_removed = out["removals"].count()
     wall = time.time() - t0
     metrics = {r["metric"]: r["value"] for r in out["metrics"].collect()}
