@@ -86,6 +86,7 @@ def cmd_dedup(args) -> None:
     spark = get_spark("tcmkg-dedup", cores=args.cores)
     docs = spark.read.parquet(args.input)
     out = near_dedup(docs, args.id_col, args.text_col,
+                     n_bands=args.n_bands, rows_per_band=args.rows_per_band,
                      max_bucket=args.max_bucket, threshold=args.threshold)
     root = args.output.rstrip("/")
     out["kept"].write.mode("overwrite").parquet(root + "/kept")
@@ -118,6 +119,7 @@ def cmd_prepare(args) -> None:
         quality_kwargs["punct_class"] = args.punct_class
     out = prepare_corpus(docs, args.id_col, args.text_col,
                          fractions=fractions, budget=args.budget,
+                         n_bands=args.n_bands, rows_per_band=args.rows_per_band,
                          max_bucket=args.max_bucket, threshold=args.threshold,
                          quality_kwargs=quality_kwargs)
     root = args.output.rstrip("/")
@@ -162,6 +164,11 @@ def main(argv=None) -> int:
     dd.add_argument("--output", required=True)
     dd.add_argument("--id-col", dest="id_col", default="doc_id")
     dd.add_argument("--text-col", dest="text_col", default="text")
+    dd.add_argument("--n-bands", dest="n_bands", type=int, default=4,
+                    help="LSH bands (b)")
+    dd.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=1,
+                    help="minhash rows per band (r): P(bucket)=1-(1-J^r)^b; "
+                         "use r>=2 (e.g. b=6 r=2) on realistic vocabularies")
     dd.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.add_argument("--cores", default=None)
@@ -174,6 +181,8 @@ def main(argv=None) -> int:
     pp.add_argument("--text-col", dest="text_col", default="text")
     pp.add_argument("--fractions", default="{'train': 0.9, 'val': 0.1}")
     pp.add_argument("--budget", type=int, default=2048)
+    pp.add_argument("--n-bands", dest="n_bands", type=int, default=4)
+    pp.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=1)
     pp.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
     pp.add_argument("--threshold", type=float, default=0.5)
     # quality knobs — defaults mirror ops.quality.quality_flags (CJK-aware)

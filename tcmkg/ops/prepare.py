@@ -29,6 +29,8 @@ def prepare_corpus(
     fractions: dict[str, float],
     budget: int,
     shard_mod: int = 4,
+    n_bands: int = 4,
+    rows_per_band: int = 1,
     max_bucket: int = 256,
     threshold: float = 0.5,
     quality_kwargs: dict | None = None,
@@ -47,7 +49,8 @@ def prepare_corpus(
     of silently landing in the packed corpus under a split-less shard."""
     q = quality_filter(df, id_col, text_col, **(quality_kwargs or {}))
     nd = near_dedup(
-        q["kept"], id_col, text_col, max_bucket=max_bucket, threshold=threshold
+        q["kept"], id_col, text_col, n_bands=n_bands,
+        rows_per_band=rows_per_band, max_bucket=max_bucket, threshold=threshold
     )
     base = nd["kept"].withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
