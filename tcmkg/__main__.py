@@ -164,11 +164,12 @@ def main(argv=None) -> int:
     dd.add_argument("--output", required=True)
     dd.add_argument("--id-col", dest="id_col", default="doc_id")
     dd.add_argument("--text-col", dest="text_col", default="text")
-    dd.add_argument("--n-bands", dest="n_bands", type=int, default=4,
+    dd.add_argument("--n-bands", dest="n_bands", type=int, default=6,
                     help="LSH bands (b)")
-    dd.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=1,
+    dd.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=2,
                     help="minhash rows per band (r): P(bucket)=1-(1-J^r)^b; "
-                         "use r>=2 (e.g. b=6 r=2) on realistic vocabularies")
+                         "default b=6 r=2 is the measured scale-safe regime; "
+                         "r=1 (legacy) goes quadratic on realistic vocabularies")
     dd.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.add_argument("--cores", default=None)
@@ -181,8 +182,8 @@ def main(argv=None) -> int:
     pp.add_argument("--text-col", dest="text_col", default="text")
     pp.add_argument("--fractions", default="{'train': 0.9, 'val': 0.1}")
     pp.add_argument("--budget", type=int, default=2048)
-    pp.add_argument("--n-bands", dest="n_bands", type=int, default=4)
-    pp.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=1)
+    pp.add_argument("--n-bands", dest="n_bands", type=int, default=6)
+    pp.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=2)
     pp.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
     pp.add_argument("--threshold", type=float, default=0.5)
     # quality knobs — defaults mirror ops.quality.quality_flags (CJK-aware)

@@ -533,11 +533,15 @@ LSH_MAX_BUCKET = 50
 def q_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs with the hot-bucket cap live: buckets over
     LSH_MAX_BUCKET members are excluded from the pair join (the degenerate-
-    bucket guard). q_lsh_dropped hash-verifies exactly what was excluded."""
+    bucket guard). q_lsh_dropped hash-verifies exactly what was excluded.
+    Banding is PINNED to the r=1 single-row regime: the mechanism under
+    test here is the cap (regime-independent), and r=1 is what keeps the
+    small fixture's buckets hot enough to trip it. The library DEFAULT
+    (b=6, r=2) is exercised end-to-end by q_near_dedup/_inc/_sigs."""
     from ..ops.dedup import lsh_candidate_pairs, minhash_signatures
 
     d = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text")
+    sigs = minhash_signatures(d, "doc_id", "text", n_bands=4, rows_per_band=1)
     return lsh_candidate_pairs(sigs, max_bucket=LSH_MAX_BUCKET).select(
         F.col("a").alias("a"), F.col("b").alias("b")
     )
@@ -564,11 +568,12 @@ FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.do
 
 
 def q_lsh_dropped(spark, sf_dir):
-    """The no-silent-caps metric: exactly the buckets q_lsh_pairs skipped."""
+    """The no-silent-caps metric: exactly the buckets q_lsh_pairs skipped
+    (same pinned r=1 banding — see q_lsh_pairs)."""
     from ..ops.dedup import lsh_dropped_buckets, minhash_signatures
 
     d = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text")
+    sigs = minhash_signatures(d, "doc_id", "text", n_bands=4, rows_per_band=1)
     return lsh_dropped_buckets(sigs, max_bucket=LSH_MAX_BUCKET).select(
         F.col("band").cast("long").alias("band"), "sig", "n_docs"
     )
@@ -632,9 +637,12 @@ def q_near_dedup(spark, sf_dir):
     """END-TO-END near-dup dedup (the composed operator a training-data
     pipeline calls): minhash → capped LSH candidates → per-pair Jaccard
     verify → oversize-bucket exact routing → connected components → min-id
-    survivor. The DuckDB oracle replays the ENTIRE chain including the
-    transitive closure (recursive CTE), so composition — not just the
-    stages — is hash-verified."""
+    survivor. Runs at the LIBRARY DEFAULTS — since r5 that is the
+    web-scale b=6/r=2 banding regime (P(bucket|J) = 1-(1-J^2)^6), so this
+    query is the hash gate that the defaults a user actually gets are
+    correct. The DuckDB oracle replays the ENTIRE chain including the
+    two-row band signatures and the transitive closure (recursive CTE),
+    so composition — not just the stages — is hash-verified."""
     from ..ops.dedup import near_dedup
 
     d = _read(spark, sf_dir, "documents")
@@ -681,10 +689,13 @@ FROM comp WHERE node <> comp
 """
 
 
-def _sql_minhash_sigs_cte_r(n_bands: int, rows_per_band: int) -> str:
+def _sql_minhash_sigs_cte_r(
+    n_bands: int, rows_per_band: int, src: str = "documents"
+) -> str:
     """DuckDB CTE for multi-row-band MinHash signatures (mirrors
     minhash_signatures(rows_per_band=r): per-(band,row) keyed md5 minima,
-    band sig = md5 of the row minima concatenated)."""
+    band sig = md5 of the row minima concatenated). `src` is the table or
+    CTE holding (doc_id, text)."""
     mins = ",\n         ".join(
         f"min(md5('{b}:{r}:' || tok)) AS m_{b}_{r}"
         for b in range(n_bands) for r in range(rows_per_band)
@@ -696,7 +707,7 @@ def _sql_minhash_sigs_cte_r(n_bands: int, rows_per_band: int) -> str:
         for b in range(n_bands)
     )
     return f"""tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents
+  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM {src}
 ),
 mins AS (
   SELECT doc_id, {mins}
@@ -708,27 +719,28 @@ sigs AS (
 
 
 SQL_NEAR_DEDUP = f"""
-WITH RECURSIVE {_SQL_MINHASH_SIGS_CTE},
-{_NEAR_DEDUP_TAIL}"""
-
-SQL_NEAR_DEDUP_R2 = f"""
 WITH RECURSIVE {_sql_minhash_sigs_cte_r(6, 2)},
 {_NEAR_DEDUP_TAIL}"""
 
+SQL_NEAR_DEDUP_R1 = f"""
+WITH RECURSIVE {_SQL_MINHASH_SIGS_CTE},
+{_NEAR_DEDUP_TAIL}"""
 
-def q_near_dedup_r2(spark, sf_dir):
-    """near_dedup in the WEB-SCALE banding regime: b=6 bands of r=2 minhash
-    rows, P(bucket | J) = 1-(1-J^2)^6 (S-curve midpoint ~0.41 for the 0.5
-    threshold). Single-row bands (r=1, the q_near_dedup baseline) collide
-    with probability J itself, which goes quadratic on realistic
-    heavy-tailed vocabularies — measured 87M candidate pairs over 500k
-    synthetic docs vs ~planted-dups-only at r=2 (BENCH/BASELINE.md §5M).
-    The oracle replays the full chain with the two-row band signatures."""
+
+def q_near_dedup_r1(spark, sf_dir):
+    """near_dedup PINNED to the legacy single-row banding regime (b=4,
+    r=1) — collision probability J, not J^r, so only safe on templated /
+    high-duplication corpora (measured 87M candidate pairs over 500k
+    realistic-vocabulary docs at r=1 vs 875k at the b=6/r=2 default,
+    BENCH/BASELINE.md §5M). Kept hash-verified because r=1 remains a
+    supported explicit regime (and the q_lsh_pairs cap queries depend on
+    its semantics); the DEFAULT regime is gated by q_near_dedup.
+    [r5: this query replaces q_near_dedup_r2 — r2 IS now the default.]"""
     from ..ops.dedup import near_dedup
 
     d = _read(spark, sf_dir, "documents")
     out = near_dedup(
-        d, "doc_id", "text", n_bands=6, rows_per_band=2,
+        d, "doc_id", "text", n_bands=4, rows_per_band=1,
         max_bucket=LSH_MAX_BUCKET, threshold=0.5,
     )
     return out["removals"].select("removed_doc", "keep_doc", "via")
@@ -757,14 +769,20 @@ def q_near_dedup_inc(spark, sf_dir):
 
 def q_near_dedup_sigs(spark, sf_dir):
     """The persisted-signature-index incremental path: the seen corpus's
-    minhash signatures are WRITTEN to a CheckpointStore (ingestion time)
-    and read back for the tranche run via `seen_sigs=` — so only the new
-    tranche is signed. Must produce EXACTLY the removals of the
-    recompute-mode q_near_dedup_inc (same oracle SQL)."""
+    minhash signatures are WRITTEN via write_signature_index (ingestion
+    time — records the banding in the store manifest) and read back for
+    the tranche run via `seen_sigs=`/`seen_banding=` — so only the new
+    tranche is signed AND a banding mismatch between index and tranche is
+    a hard error. Must produce EXACTLY the removals of the recompute-mode
+    q_near_dedup_inc (same oracle SQL)."""
     import shutil
     import tempfile
 
-    from ..ops.dedup import minhash_signatures, near_dedup_incremental
+    from ..ops.dedup import (
+        near_dedup_incremental,
+        read_signature_index,
+        write_signature_index,
+    )
     from ..pipeline.checkpoints import CheckpointStore
 
     d = _read(spark, sf_dir, "documents")
@@ -773,11 +791,12 @@ def q_near_dedup_sigs(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="tcmkg_sigs_contract_")
     try:
         store = CheckpointStore(tmp)
-        store.write(minhash_signatures(seen, "doc_id", "text"), "seen_sigs")
+        write_signature_index(store, seen, "seen_sigs", "doc_id", "text")
+        sigs, banding = read_signature_index(store, spark, "seen_sigs")
         out = near_dedup_incremental(
             seen, new, "doc_id", "text",
             max_bucket=LSH_MAX_BUCKET, threshold=0.5,
-            seen_sigs=store.read(spark, "seen_sigs"),
+            seen_sigs=sigs, seen_banding=banding,
         )
         rows = out["removals"].select("removed_doc", "keep_doc", "via").collect()
         out["unpersist"]()
@@ -789,7 +808,7 @@ def q_near_dedup_sigs(spark, sf_dir):
 
 
 SQL_NEAR_DEDUP_INC = f"""
-WITH RECURSIVE {_SQL_MINHASH_SIGS_CTE},
+WITH RECURSIVE {_sql_minhash_sigs_cte_r(6, 2)},
 hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
 kept AS (SELECT * FROM sigs ANTI JOIN hot USING (band, sig)),
 cand AS (
@@ -1151,12 +1170,7 @@ kept0 AS (
     AND NOT (round(len(list_distinct(string_split(text,' ')))::DOUBLE
              / len(string_split(text,' ')), 6) < 0.3)
 ),
-tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM kept0),
-bands AS (SELECT doc_id, band, tok FROM tok, (SELECT unnest([0,1,2,3]) AS band)),
-sigs AS (
-  SELECT doc_id, band, min(md5(band::VARCHAR || ':' || tok)) AS sig
-  FROM bands GROUP BY doc_id, band
-),
+{_sql_minhash_sigs_cte_r(6, 2, src="kept0")},
 hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
 keptsig AS (SELECT * FROM sigs ANTI JOIN hot USING (band, sig)),
 cand AS (
@@ -1595,7 +1609,7 @@ GENERIC_QUERIES = {
     "q_lsh_dropped": q_lsh_dropped,
     "q_simhash_pairs": q_simhash_pairs,
     "q_near_dedup": q_near_dedup,
-    "q_near_dedup_r2": q_near_dedup_r2,
+    "q_near_dedup_r1": q_near_dedup_r1,
     "q_near_dedup_inc": q_near_dedup_inc,
     "q_near_dedup_sigs": q_near_dedup_sigs,
     "q_literal_dict": q_literal_dict,
@@ -1644,7 +1658,7 @@ GENERIC_ORACLES = {
     "q_lsh_dropped": SQL_LSH_DROPPED,
     "q_simhash_pairs": SQL_SIMHASH_PAIRS,
     "q_near_dedup": SQL_NEAR_DEDUP,
-    "q_near_dedup_r2": SQL_NEAR_DEDUP_R2,
+    "q_near_dedup_r1": SQL_NEAR_DEDUP_R1,
     "q_near_dedup_inc": SQL_NEAR_DEDUP_INC,
     "q_near_dedup_sigs": SQL_NEAR_DEDUP_INC,  # persisted-sigs path, same result
     "q_literal_dict": SQL_LITERAL_DICT,

@@ -52,26 +52,30 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4,
-    rows_per_band: int = 1,
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 6,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """-> (id, band, sig): MinHash-LSH band signatures over distinct tokens.
 
     Each band hashes `rows_per_band` (r) independent minhash rows together,
     so P(two docs share a band bucket) = J^r and the banded candidate
     probability follows the standard S-curve 1-(1-J^r)^b. r=1 keeps the
-    original semantics byte-for-byte (sig = min md5("band:tok")); r>1 sets
+    pre-r4 semantics byte-for-byte (sig = min md5("band:tok")); r>1 sets
     sig = md5(min_0 || min_1 || ... || min_{r-1}) with per-row keying
     "band:row:tok".
 
-    **r=1 is only safe for high-duplication or templated corpora**: with a
-    single row per band, ANY token shared with a globally-small hash puts
-    two docs in the same bucket (collision prob = J, not J^r), and on a
-    realistic heavy-tailed vocabulary the bucket join goes quadratic —
-    measured: 500k random-ish docs with a 200k-token vocabulary produced
-    87M candidate pairs at r=1 vs ~planted-duplicates-only at r=2
+    DEFAULT = b=6, r=2 — the measured scale-safe regime (S-curve midpoint
+    (1/6)^(1/2) ~= 0.41 for a 0.5 Jaccard threshold). **r=1 is only safe
+    for high-duplication or templated corpora**: with a single row per
+    band, ANY token shared with a globally-small hash puts two docs in the
+    same bucket (collision prob = J, not J^r), and on a realistic
+    heavy-tailed vocabulary the bucket join goes quadratic — measured:
+    500k random-ish docs with a 200k-token vocabulary produced 87M
+    candidate pairs at r=1 vs 875k at b=6/r=2 with identical removals
     (tools/stress_dedup_5m.py, BENCH/BASELINE.md). Pick r>=2 and b via the
-    S-curve midpoint (1/b)^(1/r) ~= your threshold for web-scale corpora.
+    S-curve midpoint (1/b)^(1/r) ~= your threshold for web-scale corpora;
+    pass n_bands=4, rows_per_band=1 explicitly to reproduce the legacy
+    single-row signatures.
 
     Plan: tokens are exploded ONCE and all b*r minima are computed as
     parallel map-side-combinable aggs of a single groupBy(id); the per-band
@@ -362,8 +366,8 @@ def near_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_bands: int = 4,
-    rows_per_band: int = 1,
+    n_bands: int = 6,
+    rows_per_band: int = 2,
     max_bucket: int = 256,
     threshold: float = 0.5,
     cc_max_iter: int = 25,
@@ -406,7 +410,10 @@ def near_dedup(
     Scale shape: no all-pairs path — candidates are bucketed AND capped,
     verification touches only candidates, the exact route is a map-side-
     combinable hash groupBy, and CC is the checkpointed min-label
-    propagation whose MIN aggregations neutralize hot keys.
+    propagation whose MIN aggregations neutralize hot keys. Defaults are
+    the measured web-scale banding regime (b=6, r=2 — see
+    minhash_signatures); pass n_bands=4, rows_per_band=1 for the legacy
+    single-row regime (templated/high-duplication corpora only).
     """
     c = _dedup_chain(df, id_col, text_col, n_bands, max_bucket, threshold,
                      cc_max_iter, verify, rows_per_band=rows_per_band)
@@ -552,13 +559,14 @@ def near_dedup_incremental(
     new: DataFrame,
     id_col: str,
     text_col: str,
-    n_bands: int = 4,
-    rows_per_band: int = 1,
+    n_bands: int = 6,
+    rows_per_band: int = 2,
     max_bucket: int = 256,
     threshold: float = 0.5,
     cc_max_iter: int = 25,
     verify: str = "token",
     seen_sigs: DataFrame | None = None,
+    seen_banding: tuple[int, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Dedup NEW arrivals against an existing (already-deduped) corpus —
     the daily-crawl operator. Work is proportional to the new tranche, not
@@ -573,13 +581,26 @@ def near_dedup_incremental(
 
     `seen_sigs`: the PERSISTED signature index for the seen corpus —
     (id, band, sig) exactly as minhash_signatures(seen, ..., n_bands)
-    emits (e.g. stored once via CheckpointStore.write and read back each
+    emits (e.g. stored once via write_signature_index and read back each
     tranche). When given, the chain signs only the NEW tranche and unions
     it with the stored index, so at 10^12 seen docs the per-tranche cost
     is sign(new) + bucket join — the seen corpus text is scanned only to
     verify candidate pairs that involve it. When omitted, seen signatures
     are recomputed (self-contained mode); both shapes produce identical
     results (tested) and plan identically from the bucket join onward.
+
+    BANDING MUST MATCH THE INDEX: seen signatures were minhashed with the
+    index's (n_bands, rows_per_band); new-tranche signatures with this
+    call's. A mismatch makes seen and new docs silently uncollidable
+    across the boundary (every cross-boundary duplicate missed), so it is
+    a ValueError, not a degradation. Pass `seen_banding=(n_bands,
+    rows_per_band)` as recorded at index-build time (write_signature_index
+    / read_signature_index persist it for you); without it, the band
+    cardinality of seen_sigs is validated against n_bands — a real scan of
+    the index's band column (map-side-combinable MIN/MAX, but still a
+    scan; prefer seen_banding, which is free) that catches any n_bands
+    mismatch. A rows_per_band mismatch at EQUAL n_bands is undetectable
+    from the index alone — the one hole seen_banding exists to close.
 
     -> {"kept_new", "removals" (removed_doc, keep_doc, via), "metrics",
     "unpersist" (releases this call's cached signature table)}."""
@@ -616,6 +637,28 @@ def near_dedup_incremental(
     )
     sigs = None
     if seen_sigs is not None:
+        if seen_banding is not None:
+            if tuple(seen_banding) != (n_bands, rows_per_band):
+                raise ValueError(
+                    "seen_sigs index banding "
+                    f"{tuple(seen_banding)!r} != this call's "
+                    f"({n_bands}, {rows_per_band}): cross-boundary "
+                    "duplicates would be silently missed. Re-sign the "
+                    "index or call with the index's banding."
+                )
+        else:
+            # no recorded banding: validate band cardinality directly.
+            # Bands are 0..n_bands-1 by construction, so MIN/MAX (both
+            # map-side combinable) pin n_bands exactly.
+            br = seen_sigs.agg(
+                F.min("band").alias("lo"), F.max("band").alias("hi")
+            ).collect()[0]
+            if br["hi"] is not None and (br["lo"], br["hi"]) != (0, n_bands - 1):
+                raise ValueError(
+                    f"seen_sigs index has bands {br['lo']}..{br['hi']} but "
+                    f"this call expects 0..{n_bands - 1}: banding mismatch "
+                    "(cross-boundary duplicates would be silently missed)."
+                )
         # persisted-index path: sign only the new tranche; the stored seen
         # index (computed once, at ingestion) joins it by unionByName
         sigs = seen_sigs.select("id", "band", "sig").unionByName(
@@ -641,6 +684,41 @@ def near_dedup_incremental(
     )
     return {"kept_new": kept_new, "removals": c["removals"], "metrics": metrics,
             "unpersist": c["unpersist"]}
+
+
+def write_signature_index(
+    store,
+    df: DataFrame,
+    stage: str,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 6,
+    rows_per_band: int = 2,
+) -> None:
+    """Sign `df` and persist the (id, band, sig) index to a CheckpointStore
+    stage WITH its banding recorded in the store manifest — the
+    ingestion-time half of the incremental near-dedup contract. Pair with
+    read_signature_index, whose returned banding feeds
+    near_dedup_incremental(seen_sigs=..., seen_banding=...) so a banding
+    mismatch between index and tranche is a hard error instead of silently
+    missed cross-boundary duplicates."""
+    sigs = minhash_signatures(df, id_col, text_col, n_bands, rows_per_band)
+    store.write(
+        sigs, stage, meta={"n_bands": n_bands, "rows_per_band": rows_per_band}
+    )
+
+
+def read_signature_index(store, spark, stage) -> tuple[DataFrame, tuple[int, int] | None]:
+    """-> (sigs, (n_bands, rows_per_band) | None): the persisted signature
+    index plus the banding it was built with (None for indexes written
+    before banding was recorded — near_dedup_incremental then falls back
+    to the band-cardinality scan)."""
+    sigs = store.read(spark, stage)
+    m = store.manifest.get(stage, {})
+    banding = None
+    if "n_bands" in m and "rows_per_band" in m:
+        banding = (int(m["n_bands"]), int(m["rows_per_band"]))
+    return sigs, banding
 
 
 def jaccard_dropped_tokens(

@@ -29,8 +29,8 @@ def prepare_corpus(
     fractions: dict[str, float],
     budget: int,
     shard_mod: int = 4,
-    n_bands: int = 4,
-    rows_per_band: int = 1,
+    n_bands: int = 6,
+    rows_per_band: int = 2,
     max_bucket: int = 256,
     threshold: float = 0.5,
     quality_kwargs: dict | None = None,

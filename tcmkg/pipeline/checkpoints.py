@@ -51,12 +51,22 @@ class CheckpointStore:
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self._stage_path(stage))
 
-    def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        stage: str,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> None:
+        """`meta`: JSON-able facts about HOW the stage table was built
+        (e.g. the minhash banding of a signature index) — recorded in the
+        manifest entry so readers can validate compatibility instead of
+        silently consuming an index built under different parameters."""
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._stage_path(stage))
-        self.manifest[stage] = {"completed_at": time.time()}
+        self.manifest[stage] = {"completed_at": time.time(), **(meta or {})}
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=2)

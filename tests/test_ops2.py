@@ -29,7 +29,10 @@ def test_exact_dedup(spark, docs):
 def test_minhash_lsh(spark, docs):
     from tcmkg.ops.dedup import lsh_candidate_pairs, minhash_signatures
 
-    sigs = minhash_signatures(docs, "doc_id", "text")
+    # pinned to the single-row regime: the (0,2) assertion is about r=1
+    # min-token sharing specifically (the b=6/r=2 DEFAULT is covered by
+    # test_near_dedup_differential_model's default-regime case)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_bands=4, rows_per_band=1)
     assert sigs.groupBy("id").count().filter(F.col("count") != 4).count() == 0
     pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
     assert (0, 1) in pairs            # exact dups always collide
@@ -65,7 +68,7 @@ def test_lsh_degenerate_bucket_capped(spark):
     boiler = [(i, "lorem ipsum boilerplate footer text") for i in range(500)]
     real = [(1000, "alpha beta gamma delta"), (1001, "alpha beta gamma delta epsilon")]
     df = spark.createDataFrame(boiler + real, "doc_id long, text string")
-    sigs = minhash_signatures(df, "doc_id", "text")
+    sigs = minhash_signatures(df, "doc_id", "text", n_bands=4, rows_per_band=1)
 
     pairs = lsh_candidate_pairs(sigs, max_bucket=64).collect()
     ids = {r["a"] for r in pairs} | {r["b"] for r in pairs}

@@ -163,7 +163,9 @@ def test_near_dedup_composition(spark):
 
     m = {r["metric"]: r["value"] for r in out["metrics"].collect()}
     assert m["n_docs"] == 505 and m["n_removed"] == 501
-    assert m["n_dropped_buckets"] == 4          # the boilerplate bucket x 4 bands
+    assert m["n_dropped_buckets"] == 6          # the boilerplate bucket in
+    # each band (identical text -> identical sig in ALL n_bands=6 default
+    # bands, whatever rows_per_band is)
     assert m["n_hot_docs"] == 500
     assert m["n_candidate_pairs"] < 50          # bounded: no quadratic path
 
@@ -440,11 +442,11 @@ def test_ivf2_index_persistence(spark, tmp_path):
     assert got == exact
 
 
-def _near_dedup_model(docs, n_bands, max_bucket, threshold):
+def _near_dedup_model(docs, n_bands, max_bucket, threshold, rows_per_band=1):
     """Independent pure-Python model of the WHOLE near_dedup chain
-    (md5-band minhash, bucket cap, pair Jaccard w/ Spark's HALF_UP round,
-    exact hot-bucket routing, union-find closure) — no Spark, no shared
-    code with ops/dedup.py."""
+    (md5-band minhash incl. multi-row bands, bucket cap, pair Jaccard w/
+    Spark's HALF_UP round, exact hot-bucket routing, union-find closure) —
+    no Spark, no shared code with ops/dedup.py."""
     import hashlib
     from collections import defaultdict
     from decimal import ROUND_HALF_UP, Decimal
@@ -454,7 +456,14 @@ def _near_dedup_model(docs, n_bands, max_bucket, threshold):
     for d, text in docs.items():
         toks = set(text.split(" "))
         for b in range(n_bands):
-            buckets[(b, min(md5(f"{b}:{t}") for t in toks))].append(d)
+            if rows_per_band == 1:
+                sig = min(md5(f"{b}:{t}") for t in toks)
+            else:
+                sig = md5("".join(
+                    min(md5(f"{b}:{r}:{t}") for t in toks)
+                    for r in range(rows_per_band)
+                ))
+            buckets[(b, sig)].append(d)
     hot = {k for k, v in buckets.items() if len(v) > max_bucket}
     pairs = set()
     for k, v in buckets.items():
@@ -504,11 +513,15 @@ def _near_dedup_model(docs, n_bands, max_bucket, threshold):
     }
 
 
-def test_near_dedup_differential_model(spark):
+@pytest.mark.parametrize("banding", [None, (4, 1), (6, 2)])
+def test_near_dedup_differential_model(spark, banding):
     """Spark near_dedup vs the independent model on a seeded random corpus
     that exercises every path at once: a hot identical-boilerplate cluster
     (exact route), overlapping near-dup chains (verify + CC transitivity),
-    and unique filler (survivors)."""
+    and unique filler (survivors). Runs in three regimes: the LIBRARY
+    DEFAULTS (banding=None — must equal the model at b=6/r=2, proving the
+    defaults ARE the scale-safe regime), the legacy single-row regime, and
+    the default regime spelled explicitly."""
     import random
 
     from tcmkg.ops.dedup import near_dedup
@@ -525,10 +538,15 @@ def test_near_dedup_differential_model(spark):
         docs[d] = " ".join(rng.sample(vocab, rng.randint(3, 6)))
 
     df = spark.createDataFrame(sorted(docs.items()), "doc_id long, text string")
-    out = near_dedup(df, "doc_id", "text", max_bucket=8, threshold=0.5)
+    kw = {} if banding is None else {
+        "n_bands": banding[0], "rows_per_band": banding[1]
+    }
+    out = near_dedup(df, "doc_id", "text", max_bucket=8, threshold=0.5, **kw)
     got = {r["removed_doc"]: (r["keep_doc"], r["via"])
            for r in out["removals"].collect()}
-    want = _near_dedup_model(docs, n_bands=4, max_bucket=8, threshold=0.5)
+    nb, rpb = banding or (6, 2)  # defaults MUST be the scale-safe regime
+    want = _near_dedup_model(docs, n_bands=nb, max_bucket=8, threshold=0.5,
+                             rows_per_band=rpb)
     assert got == want
     assert any(v[1] == "exact_hot_bucket" for v in want.values())  # both
     assert any(v[1] == "near" for v in want.values())              # paths hit
@@ -543,15 +561,16 @@ def test_near_dedup_incremental(spark):
 
     # seen: deduped, but docs 10/11 share a bucket while staying below the
     # 0.5 threshold — a seen-seen candidate a full re-run would re-verify.
-    # 't6092' md5-hashes below every other token under band 0 (checked
-    # offline), so both docs carry the same band-0 min signature.
+    # 't36' md5-hashes below every other token in BOTH rows of band 4 under
+    # the default b=6/r=2 keying (brute-forced offline), so both docs carry
+    # the same band-4 signature.
     seen_rows = [
-        (10, "t6092 alpha beta gamma delta epsilon zeta"),
-        (11, "t6092 unrelated filler words here now indeed"),
+        (10, "t36 alpha beta gamma delta epsilon zeta"),
+        (11, "t36 unrelated filler words here now indeed"),
         (12, "spark shuffles partitions across cluster nodes"),
     ]
     new_rows = [
-        (100, "t6092 alpha beta gamma delta epsilon eta"),  # near-dup of seen 10
+        (100, "t36 alpha beta gamma delta epsilon eta"),  # near-dup of seen 10
         (101, "spark shuffles partitions across cluster nodes"),  # exact dup of 12
         (102, "completely fresh unique content today"),
         (103, "completely fresh unique content today respun"),  # near-dup of 102

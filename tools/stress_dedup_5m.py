@@ -114,7 +114,7 @@ def main() -> None:
     n = docs.count()
     gen_s = round(time.time() - t_gen, 1)
 
-    # b=6, r=2: the web-scale banding regime (see q_near_dedup_r2). r=1
+    # b=6, r=2: the web-scale banding regime (the library default; see q_near_dedup). r=1
     # on this corpus produced 87M candidate pairs / 500k docs (recorded in
     # BENCH/BASELINE.md) — single-row bands collide with probability J,
     # which a realistic vocabulary turns quadratic.
