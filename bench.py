@@ -36,13 +36,12 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "be
 def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
     """Generate (once) and cache the synthetic multi-turn corpus."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    # v3: the fixture now plants dimension clauses (其性温，味甘… — the
-    # herb property/flavour/tropism/toxicity families) on herb statements,
-    # so the corpus content AND the per-turn extraction work changed; a
-    # cached v2 corpus must not masquerade as the current fixture. The
-    # corpus leg is therefore NOT directly comparable with BENCH_r02/r03
-    # (see NOISE.md adjudication section for the code-vs-corpus split).
-    path = os.path.join(BENCH_DIR, f"transcripts_v3_{n_conversations}.parquet")
+    # v4 (r5): the fixture adds T7/T8 derived-entity blocks (含有 /
+    # 上调 / 下调 / 作用于 lines -> ingredient and gene-target families) and
+    # reshuffles the block-kind wheel to %9 — corpus content and per-turn
+    # extraction work changed AGAIN vs v3 (r4) and v2 (r2/r3), so corpus
+    # legs are only comparable within the same fixture version (NOISE.md).
+    path = os.path.join(BENCH_DIR, f"transcripts_v4_{n_conversations}.parquet")
     if not os.path.exists(path):
         from tcmkg.fixtures.transcripts import write_parquet
 
@@ -122,7 +121,7 @@ def main() -> None:
         "q_sessionize", "q_ann_topk", "q_lsh_pairs", "q_simhash_pairs",
     )
     comparable_r02 = round(sum(timings[n] for n in R2_SET), 3)
-    # the two kg legs consume the dimension-clause (v3) fixtures from r4 on
+    # the two kg legs consume the derived-entity (v4) fixtures from r5 on
     # — MORE text and extraction work per turn than r02/r03 measured, so
     # only the operator queries remain strictly round-comparable
     ops_only = round(
@@ -146,11 +145,11 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load0],
                 "comparable_r02_subset_sec": comparable_r02,
                 "comparable_r02_ops_only_sec": ops_only,
-                # v3 = dimension clauses planted on herb statements (r4):
-                # corpus leg does MORE per-turn extraction work than the
-                # v2 corpus BENCH_r02/r03 measured — see NOISE.md before
-                # reading a cross-round corpus delta
-                "corpus_fixture": "v3",
+                # v4 = derived-entity T7/T8 blocks added (r5): corpus
+                # leg does MORE per-turn extraction work than v3 (r4) or
+                # v2 (r2/r3) — see NOISE.md before reading a cross-round
+                # corpus delta
+                "corpus_fixture": "v4",
                 "corpus_turns": n_corpus,
                 "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
                 "detail": extras,

@@ -25,7 +25,20 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
-    # round-5 additions / oracle-changed this round (banding-default flip:
+    # round-5 additions: derived-entity families (ingredient/target),
+    # symptom→locus name-containment edges, streaming near-dedup,
+    # incremental IVF, real-codec multimodal. kg_nodes/text_roundtrip
+    # oracles changed (new entity types, new T7/T8 clauses) — re-prove.
+    "kg_consistof",
+    "kg_gene_edges",
+    "kg_chain_herb_gene",
+    "kg_symptom_locus",
+    "kg_stream_neardup",
+    "q_ann_ivf_add",
+    "q_multimodal_bmp",
+    "kg_nodes",
+    "kg_text_roundtrip",
+    # oracle-changed in late round 4 (banding-default flip:
     # q_near_dedup/_inc/_sigs + q_prepare_corpus now verify the b=6,r=2
     # DEFAULT regime; q_lsh_* re-pinned; q_near_dedup_r1 renamed from _r2)
     "q_near_dedup",

@@ -152,9 +152,24 @@ POOL_FORMULA = FORMULA_NAMES  # exact-lookup only (never AC-scanned)
 POOL_SYM = _pick_free(SYMPTOM_NAMES, 45)
 POOL_SYN = _pick_free(SYNDROME_NAMES, 15)
 POOL_DIS = _pick_free(DISEASE_NAMES, 30)
+# derived-entity pools (r5): canonical-DISTINCT surfaces — alias forms
+# (栎精=槲皮素, 乌索酸=熊果酸, trp53=tp53, aprf=stat3, cox2=ptgs2) are
+# included INSTEAD of their primaries, so each pool index is a distinct
+# canonical entity (the T8 residue algebra needs pair bijectivity) while
+# still exercising alias→canonical resolution through the new CC maps.
+# Sizes 12 and 15: lcm=60 makes p -> (p%12, p%15) a bijection on 0..59.
+POOL_INGR = _pick_free(
+    ["栎精", "山奈酚", "木犀草素", "绿原酸", "齐墩果酸", "乌索酸",
+     "芦丁", "青藤碱", "灯盏花素", "穿心莲内酯", "水飞蓟宾", "延胡索乙素"], 12
+)
+POOL_TGT = _pick_free(
+    ["trp53", "egfr", "vegfa", "akt1", "aprf", "mapk1", "jak2", "nos2",
+     "casp3", "bcl2", "nfkb1", "mtor", "tnfa", "cox2", "hmox1"], 15
+)
 
 N_F, N_H1, N_H2 = len(POOL_FORMULA), len(POOL_HERB1), len(POOL_HERB2)
 N_SYM, N_SYN, N_DIS, N_D = len(POOL_SYM), len(POOL_SYN), len(POOL_DIS), len(POOL_DOSE)
+N_ING, N_TGT = len(POOL_INGR), len(POOL_TGT)
 
 
 def _canon_maps() -> dict[str, dict[str, str]]:
@@ -182,6 +197,9 @@ CANON_FORMULA = _canon_pool("formula", POOL_FORMULA)
 CANON_SYM = _canon_pool("symptom", POOL_SYM)
 CANON_SYN = _canon_pool("syndrome", POOL_SYN)
 CANON_DIS = _canon_pool("disease", POOL_DIS)
+CANON_INGR = _canon_pool("ingredient", POOL_INGR)
+CANON_TGT = _canon_pool("target", POOL_TGT)
+assert len(set(CANON_INGR)) == N_ING and len(set(CANON_TGT)) == N_TGT
 
 
 # ------------------------------------------------------------ derivation ---
@@ -233,6 +251,30 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dis = _pick(POOL_DIS, F.col("eid") % N_DIS)
     dis2 = _pick(POOL_DIS, F.floor(F.col("eid") / 2) % N_DIS)
     dis3 = _pick(POOL_DIS, F.floor(F.col("eid") / 4) % N_DIS)
+    # derived-entity clause arithmetic (T7 on herb statements, T8 on
+    # taxonomy lines) — mirrored exactly by the SQL twins below
+    iA_idx = F.floor(F.col("eid") / 15) % N_ING
+    iA = _pick(POOL_INGR, iA_idx)
+    iB = _pick(
+        POOL_INGR,
+        (iA_idx + 1 + (F.floor(F.col("eid") / 45) % (N_ING - 1))) % N_ING,
+    )
+    p60 = F.floor(F.col("eid") / 5) % 60
+    g_ing = _pick(POOL_INGR, p60 % N_ING)
+    g_tgt = _pick(POOL_TGT, p60 % N_TGT)
+    r5 = p60 % 5
+    gene_clause = (
+        F.when(r5 == 0, F.concat(g_ing, F.lit("上调"), g_tgt, F.lit("。")))
+        .when(r5 == 1, F.concat(g_ing, F.lit("下调"), g_tgt, F.lit("。")))
+        .when(r5 == 2, F.concat(g_ing, F.lit("作用于"), g_tgt, F.lit("。")))
+        # up∩down conflict in one turn: both directional edges die
+        # corpus-wide, pair moves to associate (triples.gene_edges)
+        .when(r5 == 3, F.concat(g_ing, F.lit("上调"), g_tgt,
+                                F.lit("，亦下调"), g_tgt, F.lit("。")))
+        # assoc∩up priority: the generic associate edge loses
+        .otherwise(F.concat(g_ing, F.lit("作用于"), g_tgt,
+                            F.lit("，且上调"), g_tgt, F.lit("。")))
+    )
 
     text = (
         F.when(m5 == 0, F.concat(f, F.lit("："), h1, d1, F.lit("、"), h2, d2, F.lit("。")))
@@ -269,12 +311,28 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("eid") % 3 == 1, _dim_clause(F.col("eid"))).otherwise(
                     F.lit("")
                 ),
+                # T7 (eid%3==2, disjoint from the dim-clause residue): the
+                # statement's herb 含有 one or two ingredients -> the
+                # herb_consistof_ingredient derived-entity edge
+                F.when(
+                    F.col("eid") % 3 == 2,
+                    F.concat(
+                        F.lit("含有"), iA,
+                        F.when(F.col("eid") % 2 == 0,
+                               F.concat(F.lit("、"), iB)).otherwise(F.lit("")),
+                        F.lit("。"),
+                    ),
+                ).otherwise(F.lit("")),
             ),
         )
         .when(m5 == 3, F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2, F.lit("。")))
         # m5 == 4: disease taxonomy line -> disease_is_a_disease with the
         # antisymmetry rule (both directions present corpus-wide -> both die)
-        .otherwise(F.concat(dis2, F.lit("属于"), dis3, F.lit("。")))
+        # + T8: an ingredient→gene statement (up/down/associate wheel with
+        # planted conflict and priority residues)
+        .otherwise(
+            F.concat(dis2, F.lit("属于"), dis3, F.lit("。"), gene_clause)
+        )
     )
     w = Window.partitionBy("conv_id").orderBy("ts", "eid")
     return df.select(
@@ -390,7 +448,7 @@ def q_kg_stream_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(landing)
     q = incremental_mentions(spark, landing, out, ckpt, pipeline=p)
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out (600s)"
     t = assemble_triples(spark.read.parquet(out))
     return _materialize_then_cleanup(
         spark,
@@ -443,7 +501,7 @@ def q_kg_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, landing, os.path.join(tmp, "mentions"), os.path.join(tmp, "ckpt"),
         pipeline=p, max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out (600s)"
     t = assemble_triples(spark.read.parquet(os.path.join(tmp, "mentions")))
     return _materialize_then_cleanup(
         spark,
@@ -539,7 +597,7 @@ def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(availableNow=True).start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out (600s)"
     out = spark.sql(
         f"SELECT conv_id, count(*) AS n_turns, sum(turn_idx) AS idx_sum "
         f"FROM {name} GROUP BY conv_id"
@@ -564,7 +622,13 @@ def q_kg_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_turn_stats must put every late row in its EVENT-TIME window,
     not its arrival window, so per-(day-window, conv) counts hash-match a
     plain batch GROUP BY time-bucket — the stream/batch equivalence that
-    makes the operator trustworthy for incremental rollups."""
+    makes the operator trustworthy for incremental rollups.
+
+    Scope note: outputMode('complete') keeps all window state and never
+    drops late rows, so this verifies EVENT-TIME WINDOW ASSIGNMENT across
+    micro-batches, not watermark-based eviction/emission; the append-mode
+    eviction path is exercised by tests/test_streaming.py's
+    watermark-bounded cases."""
     import os
     import tempfile
 
@@ -589,7 +653,7 @@ def q_kg_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.writeStream.outputMode("complete").format("memory")
         .queryName(name).trigger(availableNow=True).start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out (600s)"
     out = spark.table(name).select(
         F.unix_timestamp("w_start").alias("w_start_epoch"),
         "conv_id",
@@ -862,6 +926,10 @@ def _sql_text_derivation() -> str:
     dis = _sql_pick(POOL_DIS, f"eid % {N_DIS}")
     dis2 = _sql_pick(POOL_DIS, f"(eid // 2) % {N_DIS}")
     dis3 = _sql_pick(POOL_DIS, f"(eid // 4) % {N_DIS}")
+    iA = _sql_pick(POOL_INGR, _SQL_IA_IDX)
+    iB = _sql_pick(POOL_INGR, _SQL_IB_IDX)
+    g_ing = _sql_pick(POOL_INGR, f"{_SQL_P60} % {N_ING}")
+    g_tgt = _sql_pick(POOL_TGT, f"{_SQL_P60} % {N_TGT}")
     return f"""
   CASE
     WHEN eid % 5 = 0 THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
@@ -872,8 +940,18 @@ def _sql_text_derivation() -> str:
     WHEN eid % 5 = 2 THEN {h1} || '可治' || {dis}
          || (CASE WHEN eid % 600 = 22 THEN '。但' || {h1} || '可致' || {dis} ELSE '' END) || '。'
          || (CASE WHEN eid % 3 = 1 THEN {_sql_dim_clause()} ELSE '' END)
+         || (CASE WHEN eid % 3 = 2 THEN '含有' || {iA}
+                  || (CASE WHEN eid % 2 = 0 THEN '、' || {iB} ELSE '' END) || '。'
+             ELSE '' END)
     WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。'
-    ELSE {dis2} || '属于' || {dis3} || '。'
+    ELSE {dis2} || '属于' || {dis3} || '。' ||
+      (CASE ({_SQL_P60}) % 5
+         WHEN 0 THEN {g_ing} || '上调' || {g_tgt} || '。'
+         WHEN 1 THEN {g_ing} || '下调' || {g_tgt} || '。'
+         WHEN 2 THEN {g_ing} || '作用于' || {g_tgt} || '。'
+         WHEN 3 THEN {g_ing} || '上调' || {g_tgt} || '，亦下调' || {g_tgt} || '。'
+         ELSE {g_ing} || '作用于' || {g_tgt} || '，且上调' || {g_tgt} || '。'
+       END)
   END"""
 
 
@@ -881,6 +959,11 @@ def _sql_text_derivation() -> str:
 # derivation and the herb-dims edge oracle)
 _SQL_FI2 = f"((eid % {N_FLAV}) + 1 + ((eid // 11) % 5)) % {N_FLAV}"
 _SQL_TI2 = f"((eid % {N_TROP}) + 1 + ((eid // 13) % {N_TROP - 1})) % {N_TROP}"
+# SQL twins of the derived-entity clause arithmetic (roundtrip + the
+# consistof/gene-edge oracles)
+_SQL_IA_IDX = f"(eid // 15) % {N_ING}"
+_SQL_IB_IDX = f"(({_SQL_IA_IDX}) + 1 + ((eid // 45) % {N_ING - 1})) % {N_ING}"
+_SQL_P60 = "(eid // 5) % 60"
 
 
 def _sql_dim_clause() -> str:
@@ -949,6 +1032,107 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_kg_consistof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-entity → derived-entity edge family #1: herb 含有 ingredient
+    (reference herb_consistof_ingredient, extract_ingredient.py:276-317 —
+    source-keyed pairs pushed through per-source id maps; here BOTH
+    endpoints are text-extracted and resolved through their own
+    CC-canonical alias map). The oracle predicts every edge arithmetically
+    with canonical ids from the independent pure-Python union-find."""
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "herb_consistof_ingredient").select(
+        "subj", "obj"
+    )
+
+
+def _sql_kg_consistof() -> str:
+    herb = _sql_pick(CANON_HERB1, f"eid % {N_H1}")
+    ia = _sql_pick(CANON_INGR, _SQL_IA_IDX)
+    ib = _sql_pick(CANON_INGR, _SQL_IB_IDX)
+    return f"""
+WITH base AS (
+  SELECT event_id AS eid FROM events WHERE event_id % 5 = 2 AND event_id % 3 = 2
+)
+SELECT DISTINCT subj, obj FROM (
+  SELECT {herb} AS subj, {ia} AS obj FROM base
+  UNION
+  SELECT {herb}, {ib} FROM base WHERE eid % 2 = 0
+)
+"""
+
+
+def q_kg_gene_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-entity → derived-entity edge family #2 with the reference's
+    de-conflict algebra (extract_target.py:365-372 + 404-417): ingredient
+    上调/下调/作用于 gene statements; up∩down pairs move to associate, and
+    associate loses any pair still held by a directional set. The T8
+    residue wheel plants one conflict residue (r=3: up+down in one turn)
+    and one priority residue (r=4: assoc+up), so the oracle's per-residue
+    CASE is exactly the algebra's fixed point at every scale."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "ingredient_upregulate_gene",
+            "ingredient_downregulate_gene",
+            "ingredient_associate_gene",
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_gene_edges() -> str:
+    ing = _sql_pick(CANON_INGR, f"p % {N_ING}")
+    tgt = _sql_pick(CANON_TGT, f"p % {N_TGT}")
+    return f"""
+WITH base AS (
+  SELECT ({_SQL_P60}) AS p FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 4)
+)
+SELECT DISTINCT
+  {ing} AS subj,
+  CASE p % 5
+    WHEN 0 THEN 'ingredient_upregulate_gene'
+    WHEN 4 THEN 'ingredient_upregulate_gene'
+    WHEN 1 THEN 'ingredient_downregulate_gene'
+    ELSE 'ingredient_associate_gene'
+  END AS pred,
+  {tgt} AS obj
+FROM base
+"""
+
+
+def q_kg_chain_herb_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order chain herb→ingredient→gene (the reference's
+    herb2ingredient ⨝ ingredient→gene composition): both edge families are
+    derived-entity tables distilled from the corpus, so the join runs on
+    the small deduped edge frames, never the mention stream."""
+    t = _triples(spark, sf_dir)
+    hi = t.filter(F.col("pred") == "herb_consistof_ingredient").select(
+        F.col("subj").alias("herb"), F.col("obj").alias("ingr")
+    )
+    ig = t.filter(
+        F.col("pred").isin(
+            "ingredient_upregulate_gene",
+            "ingredient_downregulate_gene",
+            "ingredient_associate_gene",
+        )
+    ).select(F.col("subj").alias("ingr"), F.col("obj").alias("gene"))
+    return hi.join(ig, "ingr").select("herb", "gene").distinct()
+
+
+def _sql_kg_chain() -> str:
+    ing = _sql_pick(CANON_INGR, f"p % {N_ING}")
+    tgt = _sql_pick(CANON_TGT, f"p % {N_TGT}")
+    return f"""
+WITH hi AS ({_sql_kg_consistof()}),
+ig AS (
+  SELECT DISTINCT {ing} AS ingr, {tgt} AS gene
+  FROM (SELECT ({_SQL_P60}) AS p
+        FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 4))
+)
+SELECT DISTINCT hi.subj AS herb, ig.gene AS gene
+FROM hi JOIN ig ON hi.obj = ig.ingr
+"""
+
+
 def q_kg_dim_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension entities in the nodes table (zh surface + English gloss),
     with reference-scheme surrogate ids — the static entity-table side of
@@ -976,6 +1160,36 @@ def _sql_kg_dim_nodes() -> str:
     )
 
 
+def q_kg_symptom_locus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symptom→locus edges by ENTITY-NAME containment (reference
+    merge_tcm_symptom.py:90-131): each canonical symptom entity's names are
+    substring-scanned against the fixed locus surface vocabulary — a
+    name-vs-name theta-join between two entity tables, not a text scan.
+    The oracle derives the same edges in pure Python from the union-find
+    canonical symptom entities (`sf_dir` unused: both sides are
+    corpus-independent)."""
+    p = _pipeline(spark)
+    return p.symptom_locus()
+
+
+def _sql_kg_symptom_locus() -> str:
+    from collections import defaultdict
+
+    from ..fixtures.locus import derive_symptom_locus
+    from ..oracle.extractor import canonicalize_records
+
+    gaz = build_gazetteers()
+    rec2canon, _ = canonicalize_records(gaz.symptom, CANON_PREFIX["symptom"])
+    names_by_canon: dict[str, list[str]] = defaultdict(list)
+    for r in gaz.symptom:
+        names_by_canon[rec2canon[r.record_id]].extend(r.names)
+    edges = sorted(derive_symptom_locus(names_by_canon))
+    rows = ",\n".join(f"('{s}','{o}')" for s, o in edges)
+    return (
+        "SELECT subj, obj FROM (VALUES\n" + rows + "\n) AS t(subj, obj)"
+    )
+
+
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark CC canonicalization vs pure-Python union-find constants."""
     p = _pipeline(spark)
@@ -996,12 +1210,14 @@ def _sql_kg_nodes() -> str:
         for r in records:
             for n in r.names:
                 counts[(rec2canon[r.record_id], etype)].add(n)
+    from ..fixtures.locus import locus_node_rows
+
     vals = [
         (cid, et, len(names)) for (cid, et), names in sorted(counts.items())
     ] + [
-        # dimension entities: names = [zh, en]
+        # dimension + locus entities: names = [zh, en]
         (r["canonical_id"], r["entity_type"], len(r["names"]))
-        for r in dim_node_rows()
+        for r in dim_node_rows() + locus_node_rows()
     ]
     rows = ",\n".join(f"('{cid}','{et}',{n})" for cid, et, n in vals)
     return (
@@ -1012,6 +1228,10 @@ def _sql_kg_nodes() -> str:
 
 
 KG_QUERIES = {
+    "kg_consistof": q_kg_consistof,
+    "kg_gene_edges": q_kg_gene_edges,
+    "kg_chain_herb_gene": q_kg_chain_herb_gene,
+    "kg_symptom_locus": q_kg_symptom_locus,
     "kg_herb_dims": q_kg_herb_dims,
     "kg_dim_nodes": q_kg_dim_nodes,
     "kg_contains_weights": q_kg_contains,
@@ -1033,6 +1253,10 @@ KG_QUERIES = {
 }
 
 KG_ORACLES = {
+    "kg_consistof": _sql_kg_consistof(),
+    "kg_gene_edges": _sql_kg_gene_edges(),
+    "kg_chain_herb_gene": _sql_kg_chain(),
+    "kg_symptom_locus": _sql_kg_symptom_locus(),
     "kg_herb_dims": _sql_kg_herb_dims(),
     "kg_dim_nodes": _sql_kg_dim_nodes(),
     "kg_contains_weights": SQL_KG_CONTAINS,

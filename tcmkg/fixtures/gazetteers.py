@@ -143,6 +143,39 @@ DISEASE_ALIASES: dict[str, list[str]] = {
 }
 
 
+# ---------------------------------------------------------- ingredients ----
+# Chemical-constituent entities (reference: extract_ingredient.py:210-218
+# concatenates CPMCP/SymMap/TCMBank/PharMeBINet ingredient tables and
+# assigns TMIN%05d surrogate ids; multi-source records merge by shared ids).
+# Names are public compound names chosen substring-free vs every other
+# gazetteer name (asserted by tests), so AC scans stay oracle-predictable.
+INGREDIENT_NAMES: list[str] = [
+    "槲皮素", "山奈酚", "木犀草素", "绿原酸", "齐墩果酸", "熊果酸", "芦丁",
+    "青藤碱", "灯盏花素", "穿心莲内酯", "水飞蓟宾", "延胡索乙素", "秦皮甲素",
+    "橙皮苷", "苦参碱", "小檗碱",
+]
+INGREDIENT_ALIASES: dict[str, list[str]] = {
+    "槲皮素": ["栎精"],
+    "芦丁": ["芸香苷"],
+    "熊果酸": ["乌索酸"],
+}
+
+# -------------------------------------------------------------- targets ----
+# Gene/protein target entities (reference: extract_target.py:195-204
+# concatenates the per-source gene tables and assigns TMGE%05d ids).
+# Latin symbols are stored lowercase (text_norm lowercases transcripts).
+TARGET_NAMES: list[str] = [
+    "tp53", "egfr", "vegfa", "akt1", "stat3", "mapk1", "jak2", "nos2",
+    "casp3", "bcl2", "nfkb1", "mtor", "tnfa", "ptgs2", "hmox1", "sirt1",
+    "ace2",
+]
+TARGET_ALIASES: dict[str, list[str]] = {
+    "tp53": ["trp53"],
+    "stat3": ["aprf"],
+    "ptgs2": ["cox2"],
+}
+
+
 def _synth(pool_a: list[str], pool_b: list[str], n: int) -> list[str]:
     """Deterministic synthetic names: cross product walk, no randomness."""
     out = []
@@ -183,11 +216,14 @@ class Gazetteers:
     symptom: list[GazetteerRecord] = field(default_factory=list)
     syndrome: list[GazetteerRecord] = field(default_factory=list)
     disease: list[GazetteerRecord] = field(default_factory=list)
+    ingredient: list[GazetteerRecord] = field(default_factory=list)
+    target: list[GazetteerRecord] = field(default_factory=list)
 
     def tables(self) -> dict[str, list[GazetteerRecord]]:
         return {
             "herb": self.herb, "formula": self.formula, "symptom": self.symptom,
             "syndrome": self.syndrome, "disease": self.disease,
+            "ingredient": self.ingredient, "target": self.target,
         }
 
 
@@ -236,15 +272,19 @@ def build_gazetteers() -> Gazetteers:
         symptom=_build_records("TS", all_symptom_names(), SYMPTOM_ALIASES),
         syndrome=_build_records("SY", SYNDROME_NAMES, SYNDROME_ALIASES),
         disease=_build_records("DI", DISEASE_NAMES, DISEASE_ALIASES),
+        ingredient=_build_records("IN", INGREDIENT_NAMES, INGREDIENT_ALIASES),
+        target=_build_records("GE", TARGET_NAMES, TARGET_ALIASES),
     )
 
 
 # canonical-ID prefixes per entity type (reference scheme §1.3:
 # extract_herb.py:447-449 TMHB, extract_prescription.py:113-115 TMPRE,
-# merge_tcm_symptom.py:83-85 TMTS, extract_syndrome.py:24 TMSY)
+# merge_tcm_symptom.py:83-85 TMTS, extract_syndrome.py:24 TMSY,
+# extract_ingredient.py:217-218 TMIN, extract_target.py:203-204 TMGE)
 CANON_PREFIX = {
     "herb": "TMHB", "formula": "TMPRE", "symptom": "TMTS",
     "syndrome": "TMSY", "disease": "TMDIS",
+    "ingredient": "TMIN", "target": "TMGE",
 }
 
 

@@ -28,6 +28,10 @@ Turn-text templates (the extraction rules live in pipeline/ and oracle/):
   T4  "<syndrome>常见<symptoms>。"            -> symptom_indicates_syndrome
   T5  "<disease>属于<disease>。"              -> disease_is_a_disease (antisym dedup)
   T6  distractor prose (near-miss names, full-width chars)
+  T7  "<herb>含有<ingredients>。"             -> herb_consistof_ingredient
+  T8  "<ingredient>上调/下调/作用于<target>。"  -> ingredient_{up,down,assoc}_gene
+      with planted up∩down conflicts (move to associate) and assoc∩up
+      priority cases (associate loses)
 """
 
 from __future__ import annotations
@@ -44,7 +48,9 @@ from .gazetteers import (
     DISEASE_NAMES,
     HERB_NAMES,
     HOT_HERB,
+    INGREDIENT_NAMES,
     SYNDROME_NAMES,
+    TARGET_NAMES,
     all_formula_names,
     all_symptom_names,
 )
@@ -68,6 +74,12 @@ _NEARMISS = ["甘草霜", "红参须", "假黄芪"]
 # entities reserved for duplicate-row corruption text: never used elsewhere,
 # so their appearance in output triples proves a dedup failure.
 _N_RESERVED = 3  # last 3 herbs + last formula + last disease are reserved
+
+# ingredient/target mention pools: primary names plus alias surface forms
+# (the aliases resolve to the same canonical entity through CC — exercised
+# in T7/T8 lines)
+_ING_POOL = INGREDIENT_NAMES + ["栎精", "芸香苷", "乌索酸"]
+_TGT_POOL = TARGET_NAMES + ["trp53", "cox2", "aprf"]
 
 # dimension-clause pools (T3c lines): zh surface forms of the dimension
 # vocabularies; flavour uses the base (substring-free) prefix
@@ -217,7 +229,7 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
         yield row("请推荐适合的方剂。", "user")
         n_blocks = 3 + c % 5
         for k in range(n_blocks):
-            kind = (c + 2 * k) % 8
+            kind = (c + 2 * k) % 9
             # ~9% of template turns land in a *user* turn: rules only mine
             # assistant turns, so these are planted negatives.
             role = "user" if (c + k) % 11 == 0 else "assistant"
@@ -267,11 +279,35 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     yield row(f"{d1}属于{d2}。", role, tool)
                     if c % 19 == 0 and k == 1:
                         yield row(f"{d2}属于{d1}。", "assistant")  # bidirectional -> both dropped
-            else:
+            elif kind == 7:
                 near = _NEARMISS[(c + k) % len(_NEARMISS)]
                 yield row(
                     f"昔人言：{near}非药也（０．５克不可信），勿用。", role, tool
                 )
+            else:  # kind == 8: derived-entity statements (T7/T8)
+                h = herbs[(c * 7 + k) % len(herbs)]
+                ni, nt = len(_ING_POOL), len(_TGT_POOL)
+                ing1 = _ING_POOL[(c * 5 + k) % ni]
+                ing2 = _ING_POOL[(c * 5 + k + 3 + c % 7) % ni]
+                if ing1 == ing2:
+                    ing2 = _ING_POOL[(c * 5 + k + 1) % ni]
+                yield row(f"{h}含有{ing1}、{ing2}。", role, tool, pad_prefix=True)
+                tg = _TGT_POOL[(c * 3 + k) % nt]
+                v = (c + k) % 5
+                if v == 0:
+                    yield row(f"{ing1}上调{tg}。", role, tool)
+                elif v == 1:
+                    yield row(f"{ing1}下调{tg}。", role, tool)
+                elif v == 2:
+                    yield row(f"{ing1}作用于{tg}。", role, tool)
+                elif v == 3:
+                    # up∩down conflict: both directional edges die, pair
+                    # moves to associate (reference extract_target.py:365-372)
+                    yield row(f"{ing1}上调{tg}，亦下调{tg}。", role, tool)
+                else:
+                    # assoc∩up priority: the generic associate edge loses
+                    # (reference extract_target.py:404-417)
+                    yield row(f"{ing1}作用于{tg}，且上调{tg}。", role, tool)
         # degree-cap formula: formulas[1] accumulates >=50 distinct symptoms
         if c % 17 == 0:
             f = formulas[1]

@@ -32,6 +32,12 @@ Rules (per ordered assistant turn, normalized text t):
   T4  elif '常见' in t: split at first 常见; syndrome AC on the left,
       symptom AC on the right -> (symptom, symptom_indicates_syndrome, syndrome).
   T5  elif '属于' in t: split; disease AC left -> subj, right -> obj.
+  T7  if '含有' in t: split at first 含有; herb AC left, ingredient AC right
+      -> herb_consistof_ingredient (reference extract_ingredient.py:276-317,
+      both endpoints through their own id map).
+  T8  if '上调'/'下调'/'作用于' in t (independent checks): split at the
+      marker; ingredient AC left, target AC right -> up/down/associate
+      mention sets (reference extract_target.py:330-363).
   T6  if '其性' in t: dimension clause (kernels/dims.py slot parser, shared
       string kernel). Herb AC over the text BEFORE 其性 -> subjects; emits
       herb_has_property / herb_has_flavour / tropism_of_herb /
@@ -45,6 +51,9 @@ Post:
       then drop formulas with >=50 distinct symptoms (degree cap).
   herb_treats_disease: treats minus (treats ∩ induces) pairs.
   disease_is_a_disease: drop pairs present in both directions (both sides).
+  ingredient→gene: up∩down pairs move to associate (removed from both
+      directional sets); associate then loses any pair still present in a
+      directional set (extract_target.py:365-372 + 404-417).
   All predicates deduplicated on (subj, pred, obj).
 Canonical entities: per-gazetteer union-find over records sharing any
       (column, token) key from names/symmap_id/extdb_id; canonical id =
@@ -68,6 +77,10 @@ PRED_INDICATES = "symptom_indicates_syndrome"
 PRED_P_SYMPTOM = "prescription_treat_symptom"
 PRED_P_SYNDROME = "prescription_treat_syndrome"
 PRED_IS_A = "disease_is_a_disease"
+PRED_CONSISTOF = "herb_consistof_ingredient"
+PRED_UP = "ingredient_upregulate_gene"
+PRED_DOWN = "ingredient_downregulate_gene"
+PRED_ASSOC = "ingredient_associate_gene"
 
 DEGREE_CAP = 50
 
@@ -137,7 +150,8 @@ class OracleExtractor:
             self.maps[etype] = alias2canon
         self.ac = {
             etype: AhoCorasick(self.maps[etype].keys())
-            for etype in ("symptom", "syndrome", "disease", "herb")
+            for etype in ("symptom", "syndrome", "disease", "herb",
+                          "ingredient", "target")
         }
 
     # ------------------------------------------------------------------
@@ -162,6 +176,10 @@ class OracleExtractor:
         indicates: set[tuple[str, str]] = set()
         is_a: set[tuple[str, str]] = set()
         dims: set[tuple[str, str, str]] = set()  # (herb, pred, dim_id)
+        consistof: set[tuple[str, str]] = set()
+        up_gene: set[tuple[str, str]] = set()
+        down_gene: set[tuple[str, str]] = set()
+        assoc_gene: set[tuple[str, str]] = set()
 
         fmap = self.maps["formula"]
         hmap = self.maps["herb"]
@@ -207,6 +225,21 @@ class OracleExtractor:
                     for h in hs:
                         for d in ds:
                             induces.add((hmap[h], self.maps["disease"][d]))
+                if "含有" in t:
+                    left, _, right = t.partition("含有")
+                    for h in self.ac["herb"].find_set(left):
+                        for ing in self.ac["ingredient"].find_set(right):
+                            consistof.add((hmap[h], self.maps["ingredient"][ing]))
+                for marker, sink in (
+                    ("上调", up_gene), ("下调", down_gene), ("作用于", assoc_gene),
+                ):
+                    if marker in t:
+                        left, _, right = t.partition(marker)
+                        for ing in self.ac["ingredient"].find_set(left):
+                            for g in self.ac["target"].find_set(right):
+                                sink.add(
+                                    (self.maps["ingredient"][ing], self.maps["target"][g])
+                                )
                 if "其性" in t:
                     head, _, seg = t.partition("其性")
                     for h in self.ac["herb"].find_set(head):
@@ -280,5 +313,20 @@ class OracleExtractor:
 
         for h, pred, did in dims:
             triples.add((h, pred, did, None))
+
+        for h, ing in consistof:
+            triples.add((h, PRED_CONSISTOF, ing, None))
+
+        # ---- ingredient→gene de-conflict (extract_target.py:365-372,404-417)
+        conflict = up_gene & down_gene
+        up_final = up_gene - conflict
+        down_final = down_gene - conflict
+        assoc_final = (assoc_gene | conflict) - up_final - down_final
+        for ing, g in up_final:
+            triples.add((ing, PRED_UP, g, None))
+        for ing, g in down_final:
+            triples.add((ing, PRED_DOWN, g, None))
+        for ing, g in assoc_final:
+            triples.add((ing, PRED_ASSOC, g, None))
 
         return triples

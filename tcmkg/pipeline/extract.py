@@ -123,6 +123,23 @@ def resolve_anchors(turns: DataFrame, formula_alias: DataFrame) -> DataFrame:
     return df.drop("_p1", "_p2", "_anchor")
 
 
+# rule markers the mention kernel dispatches on; the prefilter (batch AND
+# streaming — keep them from drifting apart) passes a turn iff it carries
+# one of these or resolved a prescription prefix
+RULE_MARKERS = (
+    "主治", "可治", "可致", "常见", "属于", "其性",
+    "含有", "上调", "下调", "作用于",
+)
+
+
+def rule_predicate(tnorm_col):
+    """Column predicate: turn text carries at least one rule marker."""
+    out = F.lit(False)
+    for mk in RULE_MARKERS:
+        out = out | tnorm_col.contains(mk)
+    return out
+
+
 def rule_prefilter(
     resolved: DataFrame, kernel_partitions: int | None = None
 ) -> DataFrame:
@@ -132,15 +149,7 @@ def rule_prefilter(
     (pushed into the scan where possible) keeps the Arrow channel narrow.
     """
     t = F.col("tnorm")
-    has_rule = (
-        F.col("f1_id").isNotNull()
-        | t.contains("主治")
-        | t.contains("可治")
-        | t.contains("可致")
-        | t.contains("常见")
-        | t.contains("属于")
-        | t.contains("其性")
-    )
+    has_rule = F.col("f1_id").isNotNull() | rule_predicate(t)
     out = resolved.filter((F.col("role") == "assistant") & has_rule).select(
         "tnorm", "f1_id", "t2_formula"
     )
@@ -199,6 +208,8 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         ac_syn = get_automaton(key + "syndrome", m["syndrome"].keys())
         ac_dis = get_automaton(key + "disease", m["disease"].keys())
         ac_herb = get_automaton(key + "herb", m["herb"].keys())
+        ac_ing = get_automaton(key + "ingredient", m["ingredient"].keys())
+        ac_tgt = get_automaton(key + "target", m["target"].keys())
 
         for pdf in batches:
             # per-batch combine state
@@ -254,6 +265,31 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                         for d in ac_dis.find_set(t):
                             k = ("induces", hmap[h], m["disease"][d], None)
                             pair_n[k] = pair_n.get(k, 0) + 1
+                if "含有" in t:
+                    # derived-entity edge: herb → ingredient (reference
+                    # herb_consistof_ingredient, extract_ingredient.py:276-317
+                    # — there via per-source id maps; here both endpoints
+                    # resolve through their own alias→canonical broadcast map)
+                    left, _, right = t.partition("含有")
+                    hs = ac_herb.find_set(left)
+                    if hs:
+                        for ing in ac_ing.find_set(right):
+                            for h in hs:
+                                k = ("consistof", hmap[h], m["ingredient"][ing], None)
+                                pair_n[k] = pair_n.get(k, 0) + 1
+                # ingredient → gene statements (reference extract_target.py:
+                # 330-417): up/down/associate, de-conflicted in triples.py
+                for marker, kindname in (
+                    ("上调", "up_gene"), ("下调", "down_gene"), ("作用于", "assoc_gene"),
+                ):
+                    if marker in t:
+                        left, _, right = t.partition(marker)
+                        ings = ac_ing.find_set(left)
+                        if ings:
+                            for g in ac_tgt.find_set(right):
+                                for ing in ings:
+                                    k = (kindname, m["ingredient"][ing], m["target"][g], None)
+                                    pair_n[k] = pair_n.get(k, 0) + 1
                 if "其性" in t:
                     # dimension clause (herb property/flavour/tropism/
                     # toxicity — reference extract_herb.py:587-651): the

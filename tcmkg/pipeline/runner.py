@@ -151,15 +151,17 @@ class KGPipeline:
     # ------------------------------------------------------------------
     def nodes_table(self) -> DataFrame:
         from ..fixtures.dimensions import dim_node_rows
+        from ..fixtures.locus import locus_node_rows
 
         out = self.nodes[0]
         for n in self.nodes[1:]:
             out = out.unionByName(n)
-        # dimension entities (property/flavour/tropism/toxicity): the fixed
-        # vocabulary IS the entity table (reference extract_herb.py:466-585
-        # writes them as static entity CSVs) — constants, no CC needed
+        # dimension entities (property/flavour/tropism/toxicity) and locus
+        # entities: the fixed vocabulary IS the entity table (reference
+        # extract_herb.py:466-585 + merge_tcm_symptom.py:92-98 write them
+        # as static entity CSVs) — constants, no CC needed
         dims = self.spark.createDataFrame(
-            dim_node_rows(),
+            dim_node_rows() + locus_node_rows(),
             schema=(
                 "canonical_id string, entity_type string, names array<string>, "
                 "symmap_id string, extdb_id string, source_records array<string>"
@@ -174,6 +176,14 @@ class KGPipeline:
             F.nullif("extdb_id", F.lit("")).alias("extdb_id"),
             "source_records",
         )
+
+    def symptom_locus(self) -> DataFrame:
+        """Symptom→locus edges by entity-name containment (reference
+        merge_tcm_symptom.py:90-131) — corpus-independent, derived from the
+        canonicalized symptom entities and the fixed locus vocabulary."""
+        from .locus import symptom_locus_edges
+
+        return symptom_locus_edges(self.nodes_table())
 
     def mentions(
         self, transcripts: DataFrame, kernel_partitions: int | None = None

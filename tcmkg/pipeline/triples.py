@@ -42,6 +42,14 @@ PRED_OF_KIND = {
     "has_property": "herb_has_property",
     "tropism_of": "tropism_of_herb",
     "toxicity_of": "toxicity_of_herb",
+    # derived-entity → derived-entity families (both endpoints extracted
+    # from text and CC-canonicalized through their own alias→canonical map):
+    # reference herb2ingredient (extract_ingredient.py:311-317) and the
+    # ingredient→gene relations (extract_target.py:376-417)
+    "consistof": "herb_consistof_ingredient",
+    "up_gene": "ingredient_upregulate_gene",
+    "down_gene": "ingredient_downregulate_gene",
+    "assoc_gene": "ingredient_associate_gene",
 }
 
 
@@ -105,6 +113,30 @@ def treats_edges(pairs: DataFrame) -> DataFrame:
     return treats.join(induces, ["subj", "obj"], "left_anti")
 
 
+def gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Ingredient→gene de-conflict algebra (reference extract_target.py:
+    365-372 + 404-417): up∩down pairs are CONFLICTS — removed from both
+    directional sets and moved into associate; associate then loses any
+    pair that survives in a directional set (specific beats generic).
+
+    -> (upregulate, downregulate, associate) pair frames. All inputs are
+    the deduped pair frame (O(distinct pairs), tiny next to the corpus),
+    so these anti/semi joins never touch the mention stream."""
+    up = _pairs(pairs, "up_gene")
+    down = _pairs(pairs, "down_gene")
+    assoc = _pairs(pairs, "assoc_gene")
+    conflict = up.join(down, ["subj", "obj"], "left_semi")
+    up_f = up.join(down, ["subj", "obj"], "left_anti")
+    down_f = down.join(up, ["subj", "obj"], "left_anti")
+    assoc_f = (
+        assoc.unionByName(conflict)
+        .dropDuplicates(["subj", "obj"])
+        .join(up_f, ["subj", "obj"], "left_anti")
+        .join(down_f, ["subj", "obj"], "left_anti")
+    )
+    return up_f, down_f, assoc_f
+
+
 def is_a_edges(pairs: DataFrame) -> DataFrame:
     p = _pairs(pairs, "is_a")
     swapped = p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
@@ -148,6 +180,13 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_pairs(pairs, "has_property"), PRED_OF_KIND["has_property"]),
         lab(_pairs(pairs, "tropism_of"), PRED_OF_KIND["tropism_of"]),
         lab(_pairs(pairs, "toxicity_of"), PRED_OF_KIND["toxicity_of"]),
+        lab(_pairs(pairs, "consistof"), PRED_OF_KIND["consistof"]),
+    ]
+    up_f, down_f, assoc_f = gene_edges(pairs)
+    parts += [
+        lab(up_f, PRED_OF_KIND["up_gene"]),
+        lab(down_f, PRED_OF_KIND["down_gene"]),
+        lab(assoc_f, PRED_OF_KIND["assoc_gene"]),
     ]
     out = parts[0]
     for p in parts[1:]:

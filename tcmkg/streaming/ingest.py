@@ -209,13 +209,15 @@ def incremental_triples_stateful(
                 "readers may see mixed lineages",
                 stacklevel=2,
             )
+    from ..pipeline.extract import rule_predicate
+
     stream = stream_transcripts(spark, landing_dir, max_files_per_trigger)
     resolved = stateful_resolve_stream(stream, pipe.maps["formula"])
-    t = F.col("tnorm")
+    # SHARED marker predicate (pipeline/extract.RULE_MARKERS): a marker
+    # added to the batch prefilter is automatically live here — the r5
+    # derived-entity markers exposed that these two lists can drift
     pre = resolved.filter(
-        F.col("f1_id").isNotNull()
-        | t.contains("主治") | t.contains("可治") | t.contains("可致")
-        | t.contains("常见") | t.contains("属于")
+        F.col("f1_id").isNotNull() | rule_predicate(F.col("tnorm"))
     ).select("tnorm", "f1_id", "t2_formula")
     mentions = extract_mentions(spark, pre, pipe.maps, cache_key="stream")
     return (
@@ -284,6 +286,146 @@ def incremental_mentions(
 
     return (
         stream.writeStream.foreachBatch(mention_sink(pipe, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_schema: str = "doc_id long, text string",
+    n_bands: int = 6,
+    rows_per_band: int = 2,
+    max_bucket: int = 256,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming near-duplicate suppression — the production crawl shape
+    (SURVEY §2.8 + the incremental-dedup operator composed under
+    Structured Streaming):
+
+        crawl files land in `landing_dir`
+          → file stream (availableNow, oldest-first micro-batches)
+          → foreachBatch: exact id-dedup within the batch, then
+            near_dedup_incremental(seen_kept, batch,
+                                   seen_sigs=<persisted index>)
+          → kept docs + removals land per EPOCH (idempotent overwrite);
+            the kept docs' minhash signatures are appended to the
+            PERSISTED SIGNATURE INDEX (CheckpointStore, banding recorded)
+
+    Per-micro-batch cost is sign(batch) + bucket join against the index —
+    the corpus text is only touched to verify candidate pairs, so the
+    operator's work is proportional to the arrival rate, not the corpus
+    (the 10^12-doc crawl shape). The first micro-batch bootstraps with a
+    full near_dedup of itself.
+
+    PRECONDITION (inherited from near_dedup_incremental, ValueError):
+    doc ids must be monotone across micro-batches — every earlier-landed
+    id below every later id (the standard crawl-ingestion layout).
+
+    Outputs under `out_dir`:
+      docs/epoch=N/      kept docs of micro-batch N
+      removals/epoch=N/  (removed_doc, keep_doc, via) of micro-batch N
+      sigstore/          CheckpointStore: sigs_<N> index stages + banding
+
+    Epoch-keyed OVERWRITE makes retries idempotent within one checkpoint
+    lineage (same rule as incremental_mentions: fresh checkpoint clears
+    prior epoch dirs)."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    from ..ops.dedup import (
+        near_dedup,
+        near_dedup_incremental,
+        read_signature_index,
+        write_signature_index,
+    )
+    from ..pipeline.checkpoints import CheckpointStore
+
+    docs_root = os.path.join(out_dir, "docs")
+    rm_root = os.path.join(out_dir, "removals")
+    store_root = os.path.join(out_dir, "sigstore")
+    if _fresh_checkpoint(checkpoint_dir):
+        for root in (docs_root, rm_root):
+            for d in glob.glob(os.path.join(root, "epoch=*")):
+                shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        store = CheckpointStore(store_root)
+        batch = batch_df.dropDuplicates([id_col])
+        prior = sorted(
+            int(m.group(1))
+            for d in glob.glob(os.path.join(docs_root, "epoch=*"))
+            if (m := re.fullmatch(r"epoch=(\d+)", os.path.basename(d)))
+            and int(m.group(1)) < epoch_id
+            and store.has(f"sigs_{m.group(1)}")  # committed epochs only
+        )
+        if prior:
+            seen = spark.read.parquet(
+                *[os.path.join(docs_root, f"epoch={e}") for e in prior]
+            )
+            sig_frames = []
+            for e in prior:
+                sigs_e, banding = read_signature_index(store, spark, f"sigs_{e}")
+                if banding is not None and banding != (n_bands, rows_per_band):
+                    raise ValueError(
+                        f"epoch {e} signature index banding {banding} != "
+                        f"stream banding ({n_bands}, {rows_per_band})"
+                    )
+                sig_frames.append(sigs_e)
+            seen_sigs = sig_frames[0]
+            for s in sig_frames[1:]:
+                seen_sigs = seen_sigs.unionByName(s)
+            res = near_dedup_incremental(
+                seen, batch, id_col, text_col,
+                n_bands=n_bands, rows_per_band=rows_per_band,
+                max_bucket=max_bucket, threshold=threshold,
+                seen_sigs=seen_sigs, seen_banding=(n_bands, rows_per_band),
+            )
+            kept = res["kept_new"]
+        else:
+            # bootstrap micro-batch: the batch self-dedups
+            res = near_dedup(
+                batch, id_col, text_col,
+                n_bands=n_bands, rows_per_band=rows_per_band,
+                max_bucket=max_bucket, threshold=threshold,
+            )
+            kept = res["kept"]
+        kept.select(id_col, text_col).write.mode("overwrite").parquet(
+            os.path.join(docs_root, f"epoch={epoch_id}")
+        )
+        res["removals"].write.mode("overwrite").parquet(
+            os.path.join(rm_root, f"epoch={epoch_id}")
+        )
+        # sign the LANDED kept docs (re-read: one lineage for index+docs);
+        # the store.write manifest commit is the epoch's atomic publish —
+        # a retry after a crash between the parquet writes and this commit
+        # re-runs the whole epoch against the same `prior` set
+        write_signature_index(
+            store,
+            spark.read.parquet(os.path.join(docs_root, f"epoch={epoch_id}")),
+            f"sigs_{epoch_id}", id_col, text_col, n_bands, rows_per_band,
+        )
+        res["unpersist"]()
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(per_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -112,6 +112,10 @@ def test_nodes_table(pipeline):
         "herb", "formula", "symptom", "syndrome", "disease",
         # dimension families (fixtures/dimensions.py vocabularies)
         "property", "flavour", "tropism", "toxicity",
+        # derived-entity families (r5: reference TMIN/TMGE tables)
+        "ingredient", "target",
+        # locus entities (r5: reference TMLC table, merge_tcm_symptom.py)
+        "locus",
     }
     # dimension nodes carry [zh, en] names with reference-scheme ids
     assert (pdf.entity_type == "tropism").sum() == 12

@@ -78,4 +78,8 @@ def test_predicate_coverage(spark_triples):
         "herb_has_property",
         "tropism_of_herb",
         "toxicity_of_herb",
+        "herb_consistof_ingredient",
+        "ingredient_upregulate_gene",
+        "ingredient_downregulate_gene",
+        "ingredient_associate_gene",
     }

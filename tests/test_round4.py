@@ -217,13 +217,22 @@ def test_parse_dim_clause_slots():
     assert parse_dim_clause("") == []
 
 
-def _data_exchanges(df) -> int:
+def _data_exchanges(df, section: str = "final") -> int:
     """Count data Exchanges (hash/range/round-robin/single-partition) in
     the EXECUTED plan, excluding broadcasts and AQE-reused exchanges."""
     import re
 
-    df.count()  # execute so AQE finalizes
+    # collect() executes THIS df's own QueryExecution (count() would spawn a
+    # separate one and leave df's executedPlan un-finalized pre-AQE)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints BOTH the final and the initial
+    # plan; slice to one section or every exchange appears twice.
+    # 'final' = what actually ran (post-AQE, runtime broadcasts applied);
+    # 'initial' = the structural pre-AQE shape (deterministic across runs
+    # on tiny fixtures, where AQE's broadcast decisions can flip per side).
+    parts = plan.split("== Initial Plan ==")
+    plan = parts[0] if section == "final" else parts[-1]
     n = 0
     for line in plan.splitlines():
         if "Reused" in line or "BroadcastExchange" in line:
@@ -295,7 +304,10 @@ def test_run_incremental_plan_shape(spark, tmp_path, pipeline, transcripts_pdf):
     batch = pipeline.triples(
         spark.read.parquet(str(landing / "arrival_0.parquet"))
     )
-    assert _data_exchanges(triples) <= _data_exchanges(batch)
+    # STRUCTURAL comparison on the initial plans: AQE's runtime broadcast
+    # conversions on contract-sized inputs can differ between the two
+    # sides (a size-statistics accident, not an assembly-shape property)
+    assert _data_exchanges(triples, "initial") <= _data_exchanges(batch, "initial")
 
 
 def test_dim_ids_reference_scheme():

@@ -1,100 +1,129 @@
-"""Round-5 tests: scale-safe banding defaults, signature-index banding
-validation, and the other round-5 surface."""
+"""Round-5 additions: derived-entity families (ingredient/target), the
+ingredient→gene de-conflict algebra, and fixture-safety invariants."""
 
 import pytest
-from pyspark.sql import functions as F
 
 
-def test_banding_defaults_are_scale_safe():
-    """The library defaults MUST be the measured web-scale regime (b=6,
-    r=2) on every entry point — the round-4 stress showed the r=1 default
-    produced 100x the candidate pairs (86.97M vs 0.87M on 500k realistic
-    docs, BENCH/BASELINE.md §stress 2)."""
-    import inspect
-
-    from tcmkg.ops.dedup import (
-        minhash_signatures,
-        near_dedup,
-        near_dedup_incremental,
+def test_new_names_substring_free():
+    """Ingredient/target names (and their aliases) must be mutually
+    containment-free against EVERY other gazetteer surface form — the AC
+    automatons scan whole turns, so a contained name would emit mentions
+    the SQL oracles cannot predict (contract/kg._pick_free invariant)."""
+    from tcmkg.fixtures.gazetteers import (
+        INGREDIENT_ALIASES,
+        INGREDIENT_NAMES,
+        TARGET_ALIASES,
+        TARGET_NAMES,
+        build_gazetteers,
     )
-    from tcmkg.ops.prepare import prepare_corpus
+    from tcmkg.kernels.normalize import text_norm
 
-    for fn in (minhash_signatures, near_dedup, near_dedup_incremental,
-               prepare_corpus):
-        p = inspect.signature(fn).parameters
-        assert p["n_bands"].default == 6, fn.__name__
-        assert p["rows_per_band"].default == 2, fn.__name__
-
-
-def test_cli_banding_defaults_are_scale_safe():
-    """The CLI (the entry point a user actually types) must default to the
-    safe regime too, not just the Python API."""
-    from unittest import mock
-
-    import tcmkg.__main__ as m
-
-    captured = []
-    with mock.patch.object(m, "cmd_dedup", captured.append), \
-         mock.patch.object(m, "cmd_prepare", captured.append):
-        m.main(["dedup", "--input", "x", "--output", "y"])
-        m.main(["prepare", "--input", "x", "--output", "y"])
-    assert len(captured) == 2
-    for args in captured:
-        assert args.n_bands == 6 and args.rows_per_band == 2
+    new = set(INGREDIENT_NAMES + TARGET_NAMES)
+    for al in (INGREDIENT_ALIASES, TARGET_ALIASES):
+        for vs in al.values():
+            new.update(vs)
+    new = {text_norm(n) for n in new}
+    universe = {
+        text_norm(n)
+        for recs in build_gazetteers().tables().values()
+        for r in recs
+        for n in r.names
+    }
+    old = universe - new
+    bad = [(n, u) for n in new for u in old if n in u or u in n]
+    assert not bad, f"containment between new and existing names: {bad[:5]}"
+    # markers must not appear inside any universe name
+    markers = ["含有", "上调", "下调", "作用于"]
+    bad2 = [(m, u) for m in markers for u in universe if m in u]
+    assert not bad2, bad2
 
 
-def test_signature_index_roundtrip_and_mismatch(spark, tmp_path):
-    """write_signature_index records the banding in the store manifest;
-    read_signature_index returns it; near_dedup_incremental raises on a
-    banding mismatch instead of silently missing every cross-boundary
-    duplicate (the failure ADVICE r4 flagged)."""
-    from tcmkg.ops.dedup import (
-        near_dedup_incremental,
-        read_signature_index,
-        write_signature_index,
-    )
-    from tcmkg.pipeline.checkpoints import CheckpointStore
+def test_gene_edge_algebra(spark):
+    """gene_edges implements extract_target.py:365-372 + 404-417: up∩down
+    conflicts move to associate; associate loses pairs still held by a
+    directional set. Verified against a direct set-algebra model."""
+    from tcmkg.pipeline.triples import gene_edges
 
-    seen = spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "completely different words here")],
-        "doc_id long, text string",
-    )
-    new = spark.createDataFrame(
-        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
-    )
-    store = CheckpointStore(str(tmp_path / "ck"))
-    write_signature_index(store, seen, "sigs", "doc_id", "text",
-                          n_bands=4, rows_per_band=1)
-    sigs, banding = read_signature_index(store, spark, "sigs")
-    assert banding == (4, 1)
-    assert set(sigs.columns) == {"id", "band", "sig"}
+    mention = [
+        # (kind, subj, obj): plain up / plain down / plain assoc
+        ("up_gene", "I1", "G1"), ("down_gene", "I2", "G1"),
+        ("assoc_gene", "I3", "G1"),
+        # conflict: up and down for the same pair -> associate
+        ("up_gene", "I4", "G2"), ("down_gene", "I4", "G2"),
+        # priority: assoc + up -> up only
+        ("assoc_gene", "I5", "G2"), ("up_gene", "I5", "G2"),
+        # conflict pair ALSO stated as assoc -> still exactly one assoc edge
+        ("up_gene", "I6", "G3"), ("down_gene", "I6", "G3"),
+        ("assoc_gene", "I6", "G3"),
+    ]
+    pairs = spark.createDataFrame(
+        [(k, s, o) for k, s, o in mention], "kind string, subj string, obj string"
+    ).dropDuplicates(["kind", "subj", "obj"])
+    up, down, assoc = gene_edges(pairs)
+    got_up = {(r["subj"], r["obj"]) for r in up.collect()}
+    got_down = {(r["subj"], r["obj"]) for r in down.collect()}
+    got_assoc = {(r["subj"], r["obj"]) for r in assoc.collect()}
 
-    # recorded banding != call banding -> hard error, no Spark job needed
-    with pytest.raises(ValueError, match="banding"):
-        near_dedup_incremental(seen, new, "doc_id", "text",
-                               seen_sigs=sigs, seen_banding=banding)
-
-    # matching banding passes end-to-end
-    out = near_dedup_incremental(
-        seen, new, "doc_id", "text", n_bands=4, rows_per_band=1,
-        seen_sigs=sigs, seen_banding=banding,
-    )
-    got = {r["removed_doc"]: r["keep_doc"] for r in out["removals"].collect()}
-    assert got == {100: 1}
-    out["unpersist"]()
+    # independent set-algebra model
+    ups = {(s, o) for k, s, o in mention if k == "up_gene"}
+    downs = {(s, o) for k, s, o in mention if k == "down_gene"}
+    assocs = {(s, o) for k, s, o in mention if k == "assoc_gene"}
+    conflict = ups & downs
+    want_up, want_down = ups - conflict, downs - conflict
+    want_assoc = (assocs | conflict) - want_up - want_down
+    assert got_up == want_up == {("I1", "G1"), ("I5", "G2")}
+    assert got_down == want_down == {("I2", "G1")}
+    assert got_assoc == want_assoc == {("I3", "G1"), ("I4", "G2"), ("I6", "G3")}
 
 
-def test_signature_index_cardinality_fallback(spark):
-    """Without a recorded banding, the band-cardinality scan catches an
-    n_bands mismatch (the detectable half of the mismatch space)."""
-    from tcmkg.ops.dedup import minhash_signatures, near_dedup_incremental
+def test_derived_entity_maps_exist(pipeline):
+    """KGPipeline canonicalizes the two new gazetteers; alias surfaces
+    resolve to the same canonical id as their primary name (the CC merge
+    the reference does through shared source ids)."""
+    from tcmkg.kernels.normalize import text_norm
 
-    seen = spark.createDataFrame(
-        [(1, "alpha beta gamma delta")], "doc_id long, text string"
-    )
-    new = spark.createDataFrame([(100, "alpha beta epsilon")],
-                                "doc_id long, text string")
-    sigs4 = minhash_signatures(seen, "doc_id", "text", n_bands=4, rows_per_band=1)
-    with pytest.raises(ValueError, match="bands 0..3"):
-        near_dedup_incremental(seen, new, "doc_id", "text",
-                               n_bands=6, rows_per_band=2, seen_sigs=sigs4)
+    m = pipeline.maps
+    assert m["ingredient"][text_norm("栎精")] == m["ingredient"][text_norm("槲皮素")]
+    assert m["ingredient"][text_norm("乌索酸")] == m["ingredient"][text_norm("熊果酸")]
+    assert m["target"]["trp53"] == m["target"]["tp53"]
+    assert m["target"]["cox2"] == m["target"]["ptgs2"]
+    assert m["ingredient"][text_norm("槲皮素")].startswith("TMIN")
+    assert m["target"]["tp53"].startswith("TMGE")
+
+
+def test_symptom_locus_edges(pipeline):
+    """Spark name-containment join vs the pure-Python derivation — and a
+    few hand-checked anchor edges (目赤→眼 through the reference's 目→眼
+    alias surface; 腰痛→腰部 through the stem surface)."""
+    from tcmkg.fixtures.locus import derive_symptom_locus, locus_id_map
+    from tcmkg.kernels.normalize import text_norm
+
+    got = {(r["subj"], r["obj"]) for r in pipeline.symptom_locus().collect()}
+    # independent derivation from the pipeline's own canonical entities
+    names_by_canon = {}
+    for r in pipeline.nodes_table().filter("entity_type = 'symptom'").collect():
+        names_by_canon[r["canonical_id"]] = list(r["names"])
+    want = derive_symptom_locus(names_by_canon)
+    assert got == want and got
+    ids = locus_id_map()
+    sym = pipeline.maps["symptom"]
+    assert (sym[text_norm("目赤")], ids["眼"]) in got
+    assert (sym[text_norm("腰痛")], ids["腰部"]) in got
+    assert (sym[text_norm("关节痛")], ids["关节"]) in got
+    # a locus-free symptom derives nothing
+    assert all(s != sym[text_norm("发热")] for s, _ in got)
+
+
+def test_locus_ids_reference_scheme():
+    from tcmkg.fixtures.locus import LOCUS_VOCAB, locus_id
+
+    assert locus_id(0) == "TMLC00001"
+    assert locus_id(len(LOCUS_VOCAB) - 1) == f"TMLC{len(LOCUS_VOCAB):05d}"
+
+
+def test_nodes_table_has_derived_types(pipeline):
+    types = {
+        r["entity_type"]
+        for r in pipeline.nodes_table().select("entity_type").distinct().collect()
+    }
+    assert {"ingredient", "target", "locus"} <= types

@@ -34,6 +34,15 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "..",
         "data", "bench", "transcripts_v2_60000.parquet",
     )
+    if not os.path.exists(corpus_path):
+        sys.exit(
+            "order_confound.py needs the HISTORICAL v2 bench corpus at\n"
+            f"  {os.path.abspath(corpus_path)}\n"
+            "(the round-3 fixture this probe's r02-vs-r03 comparison was "
+            "adjudicated on). bench.py now generates v3 fixtures only; the "
+            "v2 content is not reproducible from current code. Restore the "
+            "file from a round-3/4 checkout or skip this probe."
+        )
     print(f"loadavg={os.getloadavg()} repo={repo}", file=sys.stderr)
     spark = get_spark("order-confound", cores=32)
     pipe = _pipeline(spark)
