@@ -50,6 +50,37 @@ def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
 
 
 def main() -> None:
+    # loadavg gate (NOISE.md rule, added after BENCH_r04 was captured at
+    # loadavg 19 and judged unreadable by the repo's own adjudication
+    # rules): wait for a quiet window before measuring. If the host never
+    # quiets down within the budget, proceed anyway — the driver needs a
+    # result — but record the gate outcome so the JSON is self-describing
+    # ("load_gate.passed": false == treat cross-round deltas as unreadable
+    # and fall back to the interleaved local[8] method, tools/abba.py).
+    cores = os.cpu_count() or 8
+    gate_limit = float(os.environ.get("TCMKG_BENCH_LOAD_LIMIT", cores / 4))
+    gate_budget = float(os.environ.get("TCMKG_BENCH_LOAD_WAIT_SEC", "600"))
+    gate_waited = 0.0
+    gate_attempts = [round(os.getloadavg()[0], 2)]
+    while gate_attempts[-1] > gate_limit and gate_waited < gate_budget:
+        wait = 30.0
+        time.sleep(wait)
+        gate_waited += wait
+        gate_attempts.append(round(os.getloadavg()[0], 2))
+    load_gate = {
+        "limit": round(gate_limit, 2),
+        "attempts": gate_attempts,
+        "waited_sec": gate_waited,
+        "passed": gate_attempts[-1] <= gate_limit,
+    }
+    if not load_gate["passed"]:
+        print(
+            f"WARNING: loadavg {gate_attempts[-1]} > {gate_limit} after "
+            f"{gate_waited:.0f}s — wall times below are load-contaminated; "
+            "use the interleaved method for cross-round comparisons",
+            file=sys.stderr,
+        )
+
     load0 = os.getloadavg()
     from tcmkg.session import get_spark
 
@@ -143,6 +174,7 @@ def main() -> None:
                 # showed cross-session deltas are uninterpretable without
                 # them (null A/B of IDENTICAL code read 0.58x on this host)
                 "loadavg_start": [round(x, 2) for x in load0],
+                "load_gate": load_gate,
                 "comparable_r02_subset_sec": comparable_r02,
                 "comparable_r02_ops_only_sec": ops_only,
                 # v4 = derived-entity T7/T8 blocks added (r5): corpus

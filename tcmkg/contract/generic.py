@@ -851,6 +851,154 @@ FROM comp WHERE node <> comp AND node >= {NEAR_INC_CUT}
 """
 
 
+# streamed near-dedup: micro-batch boundaries by doc_id range (monotone-id
+# crawl layout; documents span 0..499 at every SF)
+STREAM_NEARDUP_CUTS = (200, 400)
+
+
+def q_stream_neardup(spark, sf_dir):
+    """STREAMING near-duplicate suppression (the production crawl shape):
+    the corpus lands as three time-ordered files, one micro-batch each
+    (availableNow, maxFilesPerTrigger=1); each micro-batch is near-deduped
+    against the PERSISTED, GROWING signature index via foreachBatch +
+    near_dedup_incremental(seen_sigs=...), and the kept docs' signatures
+    are appended to the index for the next batch. The oracle replays the
+    three sequential stages in SQL (each stage = the incremental chain
+    over kept-so-far ∪ tranche), so cross-micro-batch dedup against the
+    index — not just one tranche — is hash-verified."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import stream_near_dedup
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="tcmkg_stream_neardup_")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    c1, c2 = STREAM_NEARDUP_CUTS
+    bounds = [(None, c1), (c1, c2), (c2, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = d
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        p = os.path.join(landing, f"arrival_{i}.parquet")
+        part.toPandas().to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+    q = stream_near_dedup(
+        spark, landing, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
+        max_bucket=LSH_MAX_BUCKET, threshold=0.5,
+    )
+    assert q.awaitTermination(600), "stream_near_dedup timed out (600s)"
+    rows = (
+        spark.read.parquet(os.path.join(tmp, "out", "removals"))
+        .select("removed_doc", "keep_doc", "via")
+        .collect()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "removed_doc long, keep_doc long, via string"
+    )
+
+
+def _sql_neardup_stage(s: int, lo: int, hi: int | None, prior: list[int],
+                       n_bands: int = 6, rows_per_band: int = 2) -> str:
+    """CTE block for one streamed micro-batch: the incremental near-dedup
+    chain over docs{s} = (kept docs so far) ∪ tranche, with the b-side-new
+    restrictions of SQL_NEAR_DEDUP_INC at cut `lo`. At lo=0 the template
+    reduces exactly to the batch chain (the bootstrap micro-batch)."""
+    hi_pred = f"doc_id < {hi}" if hi is not None else "TRUE"
+    excl = ""
+    if prior:
+        u = " UNION ALL ".join(f"SELECT removed_doc FROM removed{p}" for p in prior)
+        excl = f" AND doc_id NOT IN ({u})"
+    mins = ",\n         ".join(
+        f"min(md5('{b}:{r}:' || tok)) AS m_{b}_{r}"
+        for b in range(n_bands) for r in range(rows_per_band)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'm_{b}_{r}' for r in range(rows_per_band))}) AS sig "
+        f"FROM mins{s}"
+        for b in range(n_bands)
+    )
+    return f"""docs{s} AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE {hi_pred}{excl}
+),
+tok{s} AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM docs{s}
+),
+mins{s} AS MATERIALIZED (
+  SELECT doc_id, {mins}
+  FROM tok{s} GROUP BY doc_id
+),
+sigs{s} AS MATERIALIZED (
+  {band_rows}
+),
+hot{s} AS MATERIALIZED (SELECT band, sig FROM sigs{s} GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
+keptb{s} AS MATERIALIZED (SELECT * FROM sigs{s} ANTI JOIN hot{s} USING (band, sig)),
+cand{s} AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM keptb{s} a JOIN keptb{s} b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= {lo}
+),
+ver{s} AS (
+  SELECT c.a, c.b FROM cand{s} c
+  JOIN dtok ta ON ta.doc_id = c.a
+  JOIN dtok tb ON tb.doc_id = c.b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) >= 0.5
+),
+hotn{s} AS (
+  SELECT DISTINCT band, sig FROM sigs{s} SEMI JOIN hot{s} USING (band, sig)
+  WHERE doc_id >= {lo}
+),
+hotdocs{s} AS MATERIALIZED (SELECT DISTINCT doc_id FROM sigs{s} SEMI JOIN hotn{s} USING (band, sig)),
+hx{s} AS MATERIALIZED (SELECT d.doc_id, md5(d.text) AS th FROM docs{s} d SEMI JOIN hotdocs{s} USING (doc_id)),
+ekeep{s} AS (SELECT th, min(doc_id) AS keep FROM hx{s} GROUP BY th),
+eedges{s} AS (
+  SELECT k.keep AS a, h.doc_id AS b FROM hx{s} h JOIN ekeep{s} k USING (th)
+  WHERE h.doc_id <> k.keep AND h.doc_id >= {lo}
+),
+edges{s} AS (SELECT a, b FROM ver{s} UNION SELECT a, b FROM eedges{s}),
+und{s} AS MATERIALIZED (SELECT a AS x, b AS y FROM edges{s} UNION SELECT b AS x, a AS y FROM edges{s}),
+nodes{s} AS (SELECT DISTINCT x AS n FROM und{s}),
+reach{s} AS (
+  SELECT n AS src, n AS dst FROM nodes{s}
+  UNION
+  SELECT r.src, u.y FROM reach{s} r JOIN und{s} u ON r.dst = u.x
+),
+comp{s} AS (SELECT src AS node, min(dst) AS comp FROM reach{s} GROUP BY src),
+removed{s} AS MATERIALIZED (
+  SELECT node AS removed_doc, comp AS keep_doc,
+         CASE WHEN node IN (SELECT DISTINCT b FROM eedges{s})
+              THEN 'exact_hot_bucket' ELSE 'near' END AS via
+  FROM comp{s} WHERE node <> comp AND node >= {lo}
+)"""
+
+
+def _sql_stream_neardup() -> str:
+    c1, c2 = STREAM_NEARDUP_CUTS
+    stages = ",\n".join(
+        [
+            _sql_neardup_stage(1, 0, c1, []),
+            _sql_neardup_stage(2, c1, c2, [1]),
+            _sql_neardup_stage(3, c2, None, [1, 2]),
+        ]
+    )
+    return f"""
+WITH RECURSIVE dtok AS MATERIALIZED (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+{stages}
+SELECT removed_doc, keep_doc, via FROM removed1
+UNION ALL SELECT removed_doc, keep_doc, via FROM removed2
+UNION ALL SELECT removed_doc, keep_doc, via FROM removed3
+"""
+
+
 def q_fingerprints(spark, sf_dir):
     """Winnowed k-gram document fingerprints (MOSS scheme): the DuckDB
     oracle replays gram-hashing + window-min + distinct with list
@@ -1407,6 +1555,42 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_multimodal_bmp(spark, sf_dir):
+    """REAL-codec multimodal path (fake_decode=False): image rows carry
+    actual 24-bit BMP bytes; the kernel decodes them with the stdlib-only
+    BMP parser (or PIL when the environment ships it — capability probe)
+    and featurizes the pixels. The oracle computes features from the pixel
+    ARRAYS directly, never touching BMP bytes, so the encode→decode
+    round-trip itself is inside the differential (`sf_dir` unused: the
+    media table is synthesized)."""
+    from ..ops.multimodal import decode_features, synth_bmp_media
+
+    feats = decode_features(synth_bmp_media(spark, 48), fake_decode=False)
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("fsum"),
+    )
+
+
+def _sql_multimodal_bmp() -> str:
+    from ..ops.multimodal import _features_from, bmp_pixels
+
+    rows = []
+    for i in range(48):
+        f = _features_from(bmp_pixels(i))
+        rows.append((i, "image", round(f[0], 6), round(sum(f), 6)))
+    vals = ",\n".join(f"({i},'{m}',{f0!r},{fs!r})" for i, m, f0, fs in rows)
+    return (
+        "SELECT doc_id::BIGINT AS doc_id, modality, f0::DOUBLE AS f0, "
+        "fsum::DOUBLE AS fsum FROM (VALUES\n" + vals +
+        "\n) AS t(doc_id, modality, f0, fsum)"
+    )
+
+
 def _sql_multimodal() -> str:
     import hashlib
 
@@ -1489,6 +1673,47 @@ def q_ann_ivf(spark, sf_dir):
     )
     return ivf_search(queries, corpus, cent, assign, "vec_id", "embedding",
                       nprobe=4, topk=3)
+
+
+def q_ann_ivf_add(spark, sf_dir):
+    """INCREMENTAL IVF maintenance: build on part of the corpus, persist,
+    ivf_add the remaining tranche with a cell cap that forces at least one
+    local re-split, then full-probe search the grown index — which must
+    STILL reproduce exact brute-force top-k over the grown corpus (the
+    same oracle as q_ann_topk). Proves the add/assign/split path preserves
+    the index invariant (every corpus vector in exactly one live cell)
+    without an O(corpus) rebuild."""
+    import shutil
+    import tempfile
+
+    from ..ops.ann import _as_double, build_ivf, ivf_add, ivf_search, save_ivf
+    from ..pipeline.checkpoints import CheckpointStore
+
+    e = _read(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    old = corpus.filter(F.col("vec_id") < 300)
+    new = corpus.filter(F.col("vec_id") >= 300)
+    tmp = tempfile.mkdtemp(prefix="tcmkg_ivf_add_")
+    try:
+        store = CheckpointStore(tmp)
+        cent0, assign0 = build_ivf(old, "vec_id", "embedding", n_centroids=4, n_iter=2)
+        save_ivf(store, cent0, assign0)
+        cent, assign = ivf_add(
+            spark, store, corpus, new, "vec_id", "embedding",
+            max_cell=120, n_subsplit=2, n_iter=2,
+        )
+        n_cells = cent.count()
+        queries = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+        )
+        out = ivf_search(
+            queries, corpus, cent, assign, "vec_id", "embedding",
+            nprobe=n_cells, topk=3,
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_ann_ivf2(spark, sf_dir):
@@ -1612,6 +1837,8 @@ GENERIC_QUERIES = {
     "q_near_dedup_r1": q_near_dedup_r1,
     "q_near_dedup_inc": q_near_dedup_inc,
     "q_near_dedup_sigs": q_near_dedup_sigs,
+    "kg_stream_neardup": q_stream_neardup,
+    "q_ann_ivf_add": q_ann_ivf_add,
     "q_literal_dict": q_literal_dict,
     "q_fingerprints": q_fingerprints,
     "q_token_quality": q_token_quality,
@@ -1624,6 +1851,7 @@ GENERIC_QUERIES = {
     "q_shingle_jaccard": q_shingle_jaccard,
     "q_lang_id": q_lang_id,
     "q_multimodal": q_multimodal,
+    "q_multimodal_bmp": q_multimodal_bmp,
     "q_merge_tolerance": q_merge_tolerance,
     "q_stable_rank": q_stable_rank,
     "q_ann_topk": q_ann_topk,
@@ -1661,6 +1889,7 @@ GENERIC_ORACLES = {
     "q_near_dedup_r1": SQL_NEAR_DEDUP_R1,
     "q_near_dedup_inc": SQL_NEAR_DEDUP_INC,
     "q_near_dedup_sigs": SQL_NEAR_DEDUP_INC,  # persisted-sigs path, same result
+    "kg_stream_neardup": _sql_stream_neardup(),
     "q_literal_dict": SQL_LITERAL_DICT,
     "q_fingerprints": SQL_FINGERPRINTS,
     "q_token_quality": SQL_TOKEN_QUALITY,
@@ -1673,10 +1902,12 @@ GENERIC_ORACLES = {
     "q_shingle_jaccard": SQL_SHINGLE_JACCARD,
     "q_lang_id": SQL_LANG_ID,
     "q_multimodal": _sql_multimodal(),
+    "q_multimodal_bmp": _sql_multimodal_bmp(),
     "q_merge_tolerance": SQL_MERGE_TOLERANCE,
     "q_stable_rank": SQL_STABLE_RANK,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_ivf": SQL_ANN_TOPK,  # full-probe IVF must equal exact brute force
+    "q_ann_ivf_add": SQL_ANN_TOPK,  # grown index, full probe ≡ exact
     "q_ann_ivf2": SQL_ANN_TOPK,  # two-level full probe: same exactness bar
     "q_ann_ivf2h": SQL_ANN_TOPK,  # hierarchical probe, full coverage ≡ exact
     "q_simhash": SQL_SIMHASH,

@@ -417,3 +417,112 @@ def ivf_search(
         .filter(F.col("rk") <= topk)
         .select("qid", F.col("rk").cast("long").alias("rk"), F.col("nid").alias("neighbor"))
     )
+
+
+def ivf_add(
+    spark,
+    store,
+    emb: DataFrame,
+    new_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    prefix: str = "ivf",
+    max_cell: int | None = None,
+    n_subsplit: int = 2,
+    n_iter: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental IVF maintenance: append `new_emb` to the PERSISTED index
+    without rebuilding — the 100 TB-embedding shape where Lloyd's over the
+    full corpus is a once-per-epoch event, not a per-tranche one.
+
+      assign  each new vector goes to its nearest EXISTING centroid — the
+              same pure argmin build/search use, so added assignments are
+              byte-identical to assigning the grown corpus from scratch
+              against the same centroids (tested).
+      split   any cell whose population now exceeds `max_cell` is re-split
+              LOCALLY: a sub-kmeans (build_ivf, k=n_subsplit) over just
+              that cell's members replaces its centroid with fresh-cid
+              sub-centroids and reassigns only those members. Per-tranche
+              work is O(new) + O(oversized cells), never O(corpus).
+
+    `emb` is the GROWN corpus (old ∪ new) — the index stores (id, cid)
+    only; vectors are looked up from the corpus table for the member sets
+    being re-split (an index that copied vectors would double the 100 TB).
+
+    Persists the updated (centroids, assignments) back to `store` under
+    `prefix` and returns them. Search-correctness contract: full-probe
+    ivf_search over the added-to index reproduces exact brute-force top-k
+    (q_ann_ivf_add), exactly like a freshly built index."""
+    centroids, assignments = load_ivf(spark, store, prefix)
+    cent_rows = sorted(
+        ((r["cid"], list(r["cvec"])) for r in centroids.collect())
+    )
+    base_new = new_emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("v_norm", _norm(F.col("v")))
+    new_assign = base_new.withColumn("cid", _argmin_cid(cent_rows)).select("id", "cid")
+    all_assign = assignments.unionByName(new_assign)
+
+    if max_cell is not None:
+        oversized = [
+            r["cid"]
+            for r in all_assign.groupBy("cid").count()
+            .filter(F.col("count") > max_cell).collect()
+        ]
+        if oversized:
+            all_assign = all_assign.persist()
+            next_cid = max(cid for cid, _ in cent_rows) + 1
+            cent_map = dict(cent_rows)
+            keep_assign = all_assign.filter(~F.col("cid").isin(oversized))
+            new_parts = [keep_assign]
+            for c in sorted(oversized):
+                members = (
+                    all_assign.filter(F.col("cid") == c)
+                    .select("id")
+                    .join(
+                        emb.select(
+                            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+                        ),
+                        "id",
+                    )
+                )
+                sub_cent, sub_assign = build_ivf(
+                    members, "id", "v", n_centroids=n_subsplit, n_iter=n_iter
+                )
+                # retire cid c; sub-cells get fresh sequential cids
+                remap = {
+                    r["cid"]: next_cid + i
+                    for i, r in enumerate(
+                        sorted(sub_cent.collect(), key=lambda r: r["cid"])
+                    )
+                }
+                for r in sub_cent.collect():
+                    cent_map[remap[r["cid"]]] = list(r["cvec"])
+                del cent_map[c]
+                next_cid += len(remap)
+                mapping = F.create_map(
+                    *[F.lit(x) for kv in remap.items() for x in kv]
+                )
+                new_parts.append(
+                    sub_assign.select(
+                        "id", mapping[F.col("cid")].cast("int").alias("cid")
+                    )
+                )
+            out_assign = new_parts[0]
+            for p in new_parts[1:]:
+                out_assign = out_assign.unionByName(p)
+            cent_rows = sorted(cent_map.items())
+            all_assign = out_assign
+
+    new_centroids = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cid int, cvec array<double>",
+    )
+    # the updated assignments still READ (lazily) from the store stage this
+    # save is about to OVERWRITE — materialize first or the writer deletes
+    # its own input mid-scan. localCheckpoint is eager and holds only
+    # (id, cid) rows; a production deployment would instead write a new
+    # index snapshot version and flip a pointer (same reason).
+    all_assign = all_assign.localCheckpoint()
+    save_ivf(store, new_centroids, all_assign, prefix)
+    return load_ivf(spark, store, prefix)

@@ -57,11 +57,145 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_bmp_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Media table whose image rows are REAL 24-bit BMP bytes (encode_bmp)
+    over a deterministic per-id pixel pattern — the fixture for the
+    fake_decode=False end-to-end path."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 3) * 4, 6 + (i % 4) * 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(xx * 7 + i) % 256, (yy * 13 + 2 * i) % 256, (xx * yy + 3 * i) % 256],
+            axis=2,
+        )
+        meta = {
+            "width": w, "height": h, "sample_rate": None, "n_frames": None,
+            "mime": "image/bmp",
+        }
+        rows.append((i, "image", bytearray(encode_bmp(px)), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def bmp_pixels(i: int) -> np.ndarray:
+    """The synth_bmp_media pixel pattern for id `i` (oracle side: features
+    computed from the ARRAY, never touching BMP bytes — so the contract
+    differential covers the encode→decode round-trip itself)."""
+    w, h = 8 + (i % 3) * 4, 6 + (i % 4) * 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 7 + i) % 256, (yy * 13 + 2 * i) % 256, (xx * yy + 3 * i) % 256],
+        axis=2,
+    ).astype(np.float64)
+
+
+def nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via index slicing (numpy-only)."""
+    h, w = px.shape[:2]
+    yi = np.arange(height) * h // height
+    xi = np.arange(width) * w // width
+    return px[yi][:, xi]
+
+
+def _pil_decoder():
+    """Capability probe: PIL if the image ships it, else None. Cached."""
+    global _PIL_DECODER
+    try:
+        return _PIL_DECODER
+    except NameError:
+        pass
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        def dec(blob: bytes) -> np.ndarray:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            return np.asarray(_Image.open(_io.BytesIO(blob))).astype(np.float64)
+
+        _PIL_DECODER = dec
+    except ImportError:
+        _PIL_DECODER = None
+    return _PIL_DECODER
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BI_RGB BMP (the one real
+    format the real-codec path supports WITHOUT external libraries) ->
+    (H, W, 3) float64 RGB array. Parses BITMAPFILEHEADER (14 bytes) +
+    BITMAPINFOHEADER (40 bytes); rows are bottom-up and padded to 4
+    bytes, pixels stored BGR — all per the public BMP spec."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = int.from_bytes(blob[10:14], "little")
+    hdr_size = int.from_bytes(blob[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    px = np.frombuffer(blob, dtype=np.uint8, count=stride * height, offset=off)
+    px = px.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].astype(np.float64)  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) array -> uncompressed 24-bit bottom-up BMP bytes (the
+    inverse of decode_bmp; round-trip tested)."""
+    px = np.asarray(pixels)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) pixels")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = (
+        np.clip(px, 0, 255).astype(np.uint8)[::-1, :, ::-1].reshape(h, w * 3)
+    )
+    data = body.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
 def _decode_image(blob: bytes, fake: bool) -> np.ndarray:
     if not fake:
-        # real path: PIL.Image.open(io.BytesIO(blob)) — library not in this
-        # container image, see module docstring
-        raise NotImplementedError("image codec not available in this environment")
+        # real path: PIL when the environment ships it (capability probe),
+        # else the stdlib-only BMP decoder — so fake_decode=False has one
+        # real format end-to-end even in a codec-free container
+        pil = _pil_decoder()
+        if pil is not None:
+            return pil(blob)
+        if blob[:2] == b"BM":
+            return decode_bmp(blob)
+        raise NotImplementedError(
+            "no image codec for this format in this environment "
+            "(PIL absent; stdlib path supports 24-bit BMP only)"
+        )
     # deterministic fake decode: bytes -> pseudo-pixel grid
     arr = np.frombuffer(hashlib.md5(blob).digest() * 8, dtype=np.uint8)
     return arr.reshape(16, 8).astype(np.float64)
@@ -106,9 +240,15 @@ def decode_features(df: DataFrame, fake_decode: bool = True, decoder=None) -> Da
 
 
 def resize_images(df: DataFrame, width: int, height: int,
-                  fake_decode: bool = True, decoder=None) -> DataFrame:
+                  fake_decode: bool = True, decoder=None, encoder=None) -> DataFrame:
     """image rows -> re-encoded binary at (width, height); non-images pass
-    through untouched. Binary-in/binary-out transform shape."""
+    through untouched. Binary-in/binary-out transform shape.
+
+    `encoder(pixels: np.ndarray) -> bytes` makes the re-encode REAL: the
+    decoded pixels are nearest-neighbor-resampled (nn_resize) and
+    re-encoded (e.g. encoder=encode_bmp for the stdlib BMP path, or a
+    PIL-backed callable). Without it the re-encode is the deterministic
+    content-hash fake (plumbing-only mode)."""
     dec = _pick_decoder(decoder, fake_decode)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,10 +261,13 @@ def resize_images(df: DataFrame, width: int, height: int,
                     out_meta.append(meta)
                     continue
                 px = dec(bytes(blob))
-                # fake re-encode: content hash of (pixels, target size)
-                payload = hashlib.md5(
-                    px.tobytes() + f":{width}x{height}".encode()
-                ).digest() * 4
+                if encoder is not None:
+                    payload = encoder(nn_resize(px, width, height))
+                else:
+                    # fake re-encode: content hash of (pixels, target size)
+                    payload = hashlib.md5(
+                        px.tobytes() + f":{width}x{height}".encode()
+                    ).digest() * 4
                 out_media.append(bytearray(payload))
                 m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = width, height

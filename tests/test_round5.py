@@ -121,6 +121,185 @@ def test_locus_ids_reference_scheme():
     assert locus_id(len(LOCUS_VOCAB) - 1) == f"TMLC{len(LOCUS_VOCAB):05d}"
 
 
+def test_stream_near_dedup_cross_batch(spark, tmp_path):
+    """Streamed near-dedup must (a) remove a later-batch near-duplicate of
+    an EARLIER batch's kept doc through the persisted signature index,
+    (b) partition ids into kept ∪ removed exactly, and (c) be a no-op when
+    the stream restarts on the same checkpoint (nothing reprocessed)."""
+    import os
+
+    import pandas as pd
+
+    from tcmkg.streaming.ingest import stream_near_dedup
+
+    base = "tok%d " * 30
+    texts = {
+        0: base % tuple(range(30)),                      # batch0 keeper
+        1: base % tuple(range(30)),                      # exact dup in batch0
+        2: "zz%d " * 30 % tuple(range(100, 130)),        # distinct
+        10: base % tuple(list(range(28)) + [900, 901]),  # batch1 near-dup of 0
+        11: "yy%d " * 30 % tuple(range(200, 230)),       # distinct
+        20: base % tuple(list(range(27)) + [902, 903, 904]),  # batch2 near-dup of 0
+        21: "ww%d " * 30 % tuple(range(300, 330)),       # distinct
+    }
+    batches = [[0, 1, 2], [10, 11], [20, 21]]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, ids in enumerate(batches):
+        p = landing / f"b{i}.parquet"
+        pd.DataFrame(
+            {"doc_id": ids, "text": [texts[i] for i in ids]}
+        ).astype({"doc_id": "int64"}).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_near_dedup(spark, str(landing), out, ckpt)
+    assert q.awaitTermination(300)
+
+    rms = {
+        (r["removed_doc"], r["keep_doc"])
+        for r in spark.read.parquet(os.path.join(out, "removals")).collect()
+    }
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    # cross-batch removals resolve to the batch-0 keeper via the index
+    assert (1, 0) in rms and (10, 0) in rms and (20, 0) in rms
+    assert kept == {0, 2, 11, 21}
+    assert kept | {r for r, _ in rms} == set(texts)
+    # restart on the same checkpoint: availableNow finds nothing new
+    q2 = stream_near_dedup(spark, str(landing), out, ckpt)
+    assert q2.awaitTermination(300)
+    assert kept == {
+        r["doc_id"] for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+
+
+def test_ivf_add_incremental_maintenance(spark, tmp_path):
+    """ivf_add: (1) with no cap, added assignments are identical to
+    assigning the grown corpus from scratch against the same centroids
+    (assignment is a pure function of the centroid set); (2) with a cap,
+    oversized cells re-split locally — centroid count grows, the retired
+    cid disappears, and every corpus id stays in exactly one live cell;
+    (3) the updated index round-trips through the store."""
+    from pyspark.sql import functions as F
+
+    from tcmkg.ops.ann import (
+        _argmin_cid,
+        _as_double,
+        _norm,
+        build_ivf,
+        ivf_add,
+        load_ivf,
+        save_ivf,
+    )
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = e.filter(F.col("vec_id") < 300)
+    new = e.filter(F.col("vec_id") >= 300)
+
+    # (1) pure-assign equality, no split
+    store = CheckpointStore(str(tmp_path / "a"))
+    cent0, assign0 = build_ivf(old, "vec_id", "embedding", n_centroids=4, n_iter=2)
+    save_ivf(store, cent0, assign0)
+    cent, assign = ivf_add(spark, store, e, new, "vec_id", "embedding")
+    cent_rows = sorted((r["cid"], list(r["cvec"])) for r in cent0.collect())
+    scratch = (
+        e.select(F.col("vec_id").alias("id"), _as_double("embedding").alias("v"))
+        .withColumn("v_norm", _norm(F.col("v")))
+        .withColumn("cid", _argmin_cid(cent_rows))
+        .select("id", "cid")
+    )
+    got = {(r["id"], r["cid"]) for r in assign.collect()}
+    assert got == {(r["id"], r["cid"]) for r in scratch.collect()}
+    assert sorted((r["cid"], list(r["cvec"])) for r in cent.collect()) == cent_rows
+
+    # (2) forced split
+    store2 = CheckpointStore(str(tmp_path / "b"))
+    save_ivf(store2, cent0, assign0)
+    cent2, assign2 = ivf_add(
+        spark, store2, e, new, "vec_id", "embedding", max_cell=120, n_subsplit=2
+    )
+    sizes0 = {r["cid"]: r["count"] for r in
+              assign.groupBy("cid").count().collect()}
+    oversized = {c for c, n in sizes0.items() if n > 120}
+    assert oversized, "fixture must force at least one split"
+    cids2 = {r["cid"] for r in cent2.collect()}
+    assert not (oversized & cids2), "retired cids must not survive"
+    assert len(cids2) == 4 - len(oversized) + 2 * len(oversized)
+    a2 = assign2.collect()
+    assert len(a2) == e.count() and len({r["id"] for r in a2}) == len(a2)
+    assert {r["cid"] for r in a2} <= cids2
+
+    # (3) persistence round-trip
+    cent_r, assign_r = load_ivf(spark, store2)
+    assert {(r["cid"], tuple(r["cvec"])) for r in cent_r.collect()} == {
+        (r["cid"], tuple(r["cvec"])) for r in cent2.collect()
+    }
+    assert {(r["id"], r["cid"]) for r in assign_r.collect()} == {
+        (r["id"], r["cid"]) for r in a2
+    }
+
+
+def test_bmp_codec_roundtrip():
+    """encode_bmp/decode_bmp: exact pixel round-trip including odd widths
+    (4-byte row padding) and the top-down (negative height) layout."""
+    import numpy as np
+
+    from tcmkg.ops.multimodal import decode_bmp, encode_bmp, nn_resize
+
+    for w, h in [(1, 1), (3, 2), (5, 7), (8, 6), (13, 3)]:
+        px = (np.arange(h * w * 3).reshape(h, w, 3) * 17 % 256).astype(np.float64)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px), (w, h)
+    # top-down variant: flip the height sign in an encoded stream
+    px = (np.arange(4 * 3 * 3).reshape(3, 4, 3) % 256).astype(np.float64)
+    blob = bytearray(encode_bmp(px))
+    blob[22:26] = (-3).to_bytes(4, "little", signed=True)
+    td = decode_bmp(bytes(blob))
+    assert np.array_equal(td, px[::-1])
+    # nearest-neighbor resample: exact index-sample semantics
+    rs = nn_resize(px, 2, 6)
+    assert rs.shape == (6, 2, 3)
+    assert np.array_equal(rs[0, 0], px[0, 0]) and np.array_equal(rs[5, 1], px[2, 2])
+    # reject non-BMP and unsupported bit depths
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG....")
+    bad = bytearray(encode_bmp(px))
+    bad[28:30] = (8).to_bytes(2, "little")
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+
+
+def test_resize_images_real_bmp(spark):
+    """resize_images with decoder/encoder = the real BMP codec: output
+    binaries are REAL BMPs at the target size whose pixels equal the
+    nearest-neighbor resample of the source pattern."""
+    import numpy as np
+
+    from tcmkg.ops.multimodal import (
+        bmp_pixels,
+        decode_bmp,
+        encode_bmp,
+        nn_resize,
+        resize_images,
+        synth_bmp_media,
+    )
+
+    out = resize_images(
+        synth_bmp_media(spark, 6), 4, 5, fake_decode=False, encoder=encode_bmp
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        px = decode_bmp(bytes(r["media"]))
+        assert px.shape == (5, 4, 3)
+        want = nn_resize(bmp_pixels(r["doc_id"]), 4, 5)
+        assert np.array_equal(px, want)
+        assert (r["meta"]["width"], r["meta"]["height"]) == (4, 5)
+
+
 def test_nodes_table_has_derived_types(pipeline):
     types = {
         r["entity_type"]
