@@ -31,6 +31,7 @@ _CHECK_FIRST = [
     # oracles changed (new entity types, new T7/T8 clauses) — re-prove.
     "kg_consistof",
     "kg_gene_edges",
+    "kg_ingr_disease",
     "kg_chain_herb_gene",
     "kg_symptom_locus",
     "kg_stream_neardup",

@@ -263,6 +263,22 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_ing = _pick(POOL_INGR, p60 % N_ING)
     g_tgt = _pick(POOL_TGT, p60 % N_TGT)
     r5 = p60 % 5
+    # T9 (on m5==3 lines): ingredient→disease three-way wheel; same p60
+    # pair bijection, disease from the first 15 pool entries (12×15=60)
+    d_ing = _pick(POOL_INGR, p60 % N_ING)
+    d_dis = _pick(POOL_DIS[:15], p60 % 15)
+    dis_clause = (
+        F.when(r5 == 0, F.concat(d_ing, F.lit("能治"), d_dis, F.lit("。")))
+        .when(r5 == 1, F.concat(d_ing, F.lit("能致"), d_dis, F.lit("。")))
+        .when(r5 == 2, F.concat(d_ing, F.lit("忌用于"), d_dis, F.lit("。")))
+        # treats∩induces conflict: both edges drop corpus-wide
+        .when(r5 == 3, F.concat(d_ing, F.lit("能治"), d_dis,
+                                F.lit("，然亦能致"), d_dis, F.lit("。")))
+        # induces + contraindicates, no treats: BOTH survive (the
+        # asymmetric reference rule)
+        .otherwise(F.concat(d_ing, F.lit("能致"), d_dis,
+                            F.lit("，故忌用于"), d_dis, F.lit("。")))
+    )
     gene_clause = (
         F.when(r5 == 0, F.concat(g_ing, F.lit("上调"), g_tgt, F.lit("。")))
         .when(r5 == 1, F.concat(g_ing, F.lit("下调"), g_tgt, F.lit("。")))
@@ -325,7 +341,9 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit("")),
             ),
         )
-        .when(m5 == 3, F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2, F.lit("。")))
+        # m5 == 3: syndrome-symptom line + T9 (ingredient→disease wheel)
+        .when(m5 == 3, F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2,
+                                F.lit("。"), dis_clause))
         # m5 == 4: disease taxonomy line -> disease_is_a_disease with the
         # antisymmetry rule (both directions present corpus-wide -> both die)
         # + T8: an ingredient→gene statement (up/down/associate wheel with
@@ -930,6 +948,7 @@ def _sql_text_derivation() -> str:
     iB = _sql_pick(POOL_INGR, _SQL_IB_IDX)
     g_ing = _sql_pick(POOL_INGR, f"{_SQL_P60} % {N_ING}")
     g_tgt = _sql_pick(POOL_TGT, f"{_SQL_P60} % {N_TGT}")
+    d_dis = _sql_pick(POOL_DIS[:15], f"{_SQL_P60} % 15")
     return f"""
   CASE
     WHEN eid % 5 = 0 THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
@@ -943,7 +962,14 @@ def _sql_text_derivation() -> str:
          || (CASE WHEN eid % 3 = 2 THEN '含有' || {iA}
                   || (CASE WHEN eid % 2 = 0 THEN '、' || {iB} ELSE '' END) || '。'
              ELSE '' END)
-    WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。'
+    WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。' ||
+      (CASE ({_SQL_P60}) % 5
+         WHEN 0 THEN {g_ing} || '能治' || {d_dis} || '。'
+         WHEN 1 THEN {g_ing} || '能致' || {d_dis} || '。'
+         WHEN 2 THEN {g_ing} || '忌用于' || {d_dis} || '。'
+         WHEN 3 THEN {g_ing} || '能治' || {d_dis} || '，然亦能致' || {d_dis} || '。'
+         ELSE {g_ing} || '能致' || {d_dis} || '，故忌用于' || {d_dis} || '。'
+       END)
     ELSE {dis2} || '属于' || {dis3} || '。' ||
       (CASE ({_SQL_P60}) % 5
          WHEN 0 THEN {g_ing} || '上调' || {g_tgt} || '。'
@@ -1099,6 +1125,49 @@ FROM base
 """
 
 
+def q_kg_ingr_disease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingredient→disease three-way family with the reference's
+    de-conflict (extract_ingredient.py:476-542): 能治/能致/忌用于
+    statements; conflict = treats ∩ (induces ∪ contraindicates), dropped
+    from ALL sets — and, asymmetrically, an induces∩contraindicates pair
+    with no treats claim survives in BOTH directional sets. The T9 residue
+    wheel plants one conflict residue (r=3) and one both-survive residue
+    (r=4), so the oracle's per-residue CASE — including a residue that
+    emits TWO rows — is the algebra's fixed point at every scale."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "ingredient_treat_disease",
+            "ingredient_induce_disease",
+            "ingredient_contraindicate_disease",
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_ingr_disease() -> str:
+    ing = _sql_pick(CANON_INGR, f"p % {N_ING}")
+    dis = _sql_pick(_canon_pool("disease", POOL_DIS[:15]), "p % 15")
+    return f"""
+WITH base AS (
+  SELECT ({_SQL_P60}) AS p FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 3)
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT {ing} AS subj,
+         CASE p % 5
+           WHEN 0 THEN 'ingredient_treat_disease'
+           WHEN 1 THEN 'ingredient_induce_disease'
+           WHEN 2 THEN 'ingredient_contraindicate_disease'
+           ELSE 'ingredient_induce_disease'  -- r=4 first survivor; r=3 filtered below
+         END AS pred,
+         {dis} AS obj
+  FROM base WHERE p % 5 <> 3
+  UNION ALL
+  SELECT {ing}, 'ingredient_contraindicate_disease', {dis}
+  FROM base WHERE p % 5 = 4
+)
+"""
+
+
 def q_kg_chain_herb_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order chain herb→ingredient→gene (the reference's
     herb2ingredient ⨝ ingredient→gene composition): both edge families are
@@ -1230,6 +1299,7 @@ def _sql_kg_nodes() -> str:
 KG_QUERIES = {
     "kg_consistof": q_kg_consistof,
     "kg_gene_edges": q_kg_gene_edges,
+    "kg_ingr_disease": q_kg_ingr_disease,
     "kg_chain_herb_gene": q_kg_chain_herb_gene,
     "kg_symptom_locus": q_kg_symptom_locus,
     "kg_herb_dims": q_kg_herb_dims,
@@ -1255,6 +1325,7 @@ KG_QUERIES = {
 KG_ORACLES = {
     "kg_consistof": _sql_kg_consistof(),
     "kg_gene_edges": _sql_kg_gene_edges(),
+    "kg_ingr_disease": _sql_kg_ingr_disease(),
     "kg_chain_herb_gene": _sql_kg_chain(),
     "kg_symptom_locus": _sql_kg_symptom_locus(),
     "kg_herb_dims": _sql_kg_herb_dims(),

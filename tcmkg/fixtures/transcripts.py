@@ -32,6 +32,10 @@ Turn-text templates (the extraction rules live in pipeline/ and oracle/):
   T8  "<ingredient>上调/下调/作用于<target>。"  -> ingredient_{up,down,assoc}_gene
       with planted up∩down conflicts (move to associate) and assoc∩up
       priority cases (associate loses)
+  T9  "<ingredient>能治/能致/忌用于<disease>。" -> ingredient_{treat,induce,
+      contraindicate}_disease with planted treats∩induces conflicts (all
+      drop) and induces∩contraindicates pairs (both survive — the
+      asymmetric reference rule, extract_ingredient.py:514-521)
 """
 
 from __future__ import annotations
@@ -308,6 +312,22 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     # assoc∩up priority: the generic associate edge loses
                     # (reference extract_target.py:404-417)
                     yield row(f"{ing1}作用于{tg}，且上调{tg}。", role, tool)
+                # T9: ingredient→disease statement with the three-way
+                # conflict wheel (treat / induce / contraindicate)
+                d9 = diseases[(c * 11 + k) % len(diseases)]
+                u = (c * 3 + k) % 5
+                if u == 0:
+                    yield row(f"{ing2}能治{d9}。", role, tool)
+                elif u == 1:
+                    yield row(f"{ing2}能致{d9}。", role, tool)
+                elif u == 2:
+                    yield row(f"{ing2}忌用于{d9}。", role, tool)
+                elif u == 3:
+                    # treats∩induces conflict: BOTH edges drop
+                    yield row(f"{ing2}能治{d9}，然亦能致{d9}。", role, tool)
+                else:
+                    # induces + contraindicates, no treats: both survive
+                    yield row(f"{ing2}能致{d9}，故忌用于{d9}。", role, tool)
         # degree-cap formula: formulas[1] accumulates >=50 distinct symptoms
         if c % 17 == 0:
             f = formulas[1]

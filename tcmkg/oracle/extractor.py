@@ -81,6 +81,9 @@ PRED_CONSISTOF = "herb_consistof_ingredient"
 PRED_UP = "ingredient_upregulate_gene"
 PRED_DOWN = "ingredient_downregulate_gene"
 PRED_ASSOC = "ingredient_associate_gene"
+PRED_I_TREAT = "ingredient_treat_disease"
+PRED_I_INDUCE = "ingredient_induce_disease"
+PRED_I_CONTRA = "ingredient_contraindicate_disease"
 
 DEGREE_CAP = 50
 
@@ -180,6 +183,9 @@ class OracleExtractor:
         up_gene: set[tuple[str, str]] = set()
         down_gene: set[tuple[str, str]] = set()
         assoc_gene: set[tuple[str, str]] = set()
+        i_treat: set[tuple[str, str]] = set()
+        i_induce: set[tuple[str, str]] = set()
+        i_contra: set[tuple[str, str]] = set()
 
         fmap = self.maps["formula"]
         hmap = self.maps["herb"]
@@ -239,6 +245,16 @@ class OracleExtractor:
                             for g in self.ac["target"].find_set(right):
                                 sink.add(
                                     (self.maps["ingredient"][ing], self.maps["target"][g])
+                                )
+                for marker, sink in (
+                    ("能治", i_treat), ("能致", i_induce), ("忌用于", i_contra),
+                ):
+                    if marker in t:
+                        left, _, right = t.partition(marker)
+                        for ing in self.ac["ingredient"].find_set(left):
+                            for d in self.ac["disease"].find_set(right):
+                                sink.add(
+                                    (self.maps["ingredient"][ing], self.maps["disease"][d])
                                 )
                 if "其性" in t:
                     head, _, seg = t.partition("其性")
@@ -328,5 +344,17 @@ class OracleExtractor:
             triples.add((ing, PRED_DOWN, g, None))
         for ing, g in assoc_final:
             triples.add((ing, PRED_ASSOC, g, None))
+
+        # ---- ingredient→disease three-way de-conflict
+        # (extract_ingredient.py:514-521): conflict = treats ∩ (induces ∪
+        # contraindicates), dropped from ALL sets; an induces∩contra pair
+        # without a treats claim survives in both
+        id_conflict = (i_treat & i_induce) | (i_treat & i_contra)
+        for ing, d in i_treat - id_conflict:
+            triples.add((ing, PRED_I_TREAT, d, None))
+        for ing, d in i_induce - id_conflict:
+            triples.add((ing, PRED_I_INDUCE, d, None))
+        for ing, d in i_contra - id_conflict:
+            triples.add((ing, PRED_I_CONTRA, d, None))
 
         return triples

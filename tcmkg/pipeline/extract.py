@@ -128,7 +128,7 @@ def resolve_anchors(turns: DataFrame, formula_alias: DataFrame) -> DataFrame:
 # one of these or resolved a prescription prefix
 RULE_MARKERS = (
     "主治", "可治", "可致", "常见", "属于", "其性",
-    "含有", "上调", "下调", "作用于",
+    "含有", "上调", "下调", "作用于", "能治", "能致", "忌用于",
 )
 
 
@@ -278,7 +278,9 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                                 k = ("consistof", hmap[h], m["ingredient"][ing], None)
                                 pair_n[k] = pair_n.get(k, 0) + 1
                 # ingredient → gene statements (reference extract_target.py:
-                # 330-417): up/down/associate, de-conflicted in triples.py
+                # 330-417) and ingredient → disease statements (reference
+                # extract_ingredient.py:476-542): mention sets collected
+                # here, de-conflicted in triples.py
                 for marker, kindname in (
                     ("上调", "up_gene"), ("下调", "down_gene"), ("作用于", "assoc_gene"),
                 ):
@@ -289,6 +291,17 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                             for g in ac_tgt.find_set(right):
                                 for ing in ings:
                                     k = (kindname, m["ingredient"][ing], m["target"][g], None)
+                                    pair_n[k] = pair_n.get(k, 0) + 1
+                for marker, kindname in (
+                    ("能治", "i_treat"), ("能致", "i_induce"), ("忌用于", "i_contra"),
+                ):
+                    if marker in t:
+                        left, _, right = t.partition(marker)
+                        ings = ac_ing.find_set(left)
+                        if ings:
+                            for d in ac_dis.find_set(right):
+                                for ing in ings:
+                                    k = (kindname, m["ingredient"][ing], m["disease"][d], None)
                                     pair_n[k] = pair_n.get(k, 0) + 1
                 if "其性" in t:
                     # dimension clause (herb property/flavour/tropism/

@@ -50,6 +50,10 @@ PRED_OF_KIND = {
     "up_gene": "ingredient_upregulate_gene",
     "down_gene": "ingredient_downregulate_gene",
     "assoc_gene": "ingredient_associate_gene",
+    # ingredient→disease three-way family (extract_ingredient.py:514-542)
+    "i_treat": "ingredient_treat_disease",
+    "i_induce": "ingredient_induce_disease",
+    "i_contra": "ingredient_contraindicate_disease",
 }
 
 
@@ -137,6 +141,29 @@ def gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return up_f, down_f, assoc_f
 
 
+def ingredient_disease_edges(
+    pairs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Ingredient→disease three-way de-conflict (reference
+    extract_ingredient.py:514-542): conflict = treats ∩ (induces ∪
+    contraindicates); conflicted pairs are DROPPED from all three sets
+    (unlike the gene algebra, nothing moves to a generic bucket). The rule
+    is asymmetric by design: an induces∩contraindicates pair with no
+    treats claim survives in BOTH directional sets.
+
+    -> (treat, induce, contraindicate) pair frames over the deduped pair
+    frame — anti/semi joins on O(distinct pairs) rows only."""
+    treat = _pairs(pairs, "i_treat")
+    induce = _pairs(pairs, "i_induce")
+    contra = _pairs(pairs, "i_contra")
+    bad = induce.unionByName(contra).dropDuplicates(["subj", "obj"])
+    conflict = treat.join(bad, ["subj", "obj"], "left_semi")
+    treat_f = treat.join(bad, ["subj", "obj"], "left_anti")
+    induce_f = induce.join(conflict, ["subj", "obj"], "left_anti")
+    contra_f = contra.join(conflict, ["subj", "obj"], "left_anti")
+    return treat_f, induce_f, contra_f
+
+
 def is_a_edges(pairs: DataFrame) -> DataFrame:
     p = _pairs(pairs, "is_a")
     swapped = p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
@@ -187,6 +214,12 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(up_f, PRED_OF_KIND["up_gene"]),
         lab(down_f, PRED_OF_KIND["down_gene"]),
         lab(assoc_f, PRED_OF_KIND["assoc_gene"]),
+    ]
+    it_f, ii_f, ic_f = ingredient_disease_edges(pairs)
+    parts += [
+        lab(it_f, PRED_OF_KIND["i_treat"]),
+        lab(ii_f, PRED_OF_KIND["i_induce"]),
+        lab(ic_f, PRED_OF_KIND["i_contra"]),
     ]
     out = parts[0]
     for p in parts[1:]:

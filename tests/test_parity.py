@@ -82,4 +82,7 @@ def test_predicate_coverage(spark_triples):
         "ingredient_upregulate_gene",
         "ingredient_downregulate_gene",
         "ingredient_associate_gene",
+        "ingredient_treat_disease",
+        "ingredient_induce_disease",
+        "ingredient_contraindicate_disease",
     }

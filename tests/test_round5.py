@@ -76,6 +76,52 @@ def test_gene_edge_algebra(spark):
     assert got_assoc == want_assoc == {("I3", "G1"), ("I4", "G2"), ("I6", "G3")}
 
 
+def test_ingredient_disease_algebra(spark):
+    """ingredient_disease_edges implements extract_ingredient.py:514-521:
+    conflict = treats ∩ (induces ∪ contraindicates), dropped from ALL
+    sets; induces∩contraindicates WITHOUT treats survives in both."""
+    from tcmkg.pipeline.triples import ingredient_disease_edges
+
+    mention = [
+        ("i_treat", "I1", "D1"),                             # plain treat
+        ("i_induce", "I2", "D1"),                            # plain induce
+        ("i_contra", "I3", "D1"),                            # plain contra
+        ("i_treat", "I4", "D2"), ("i_induce", "I4", "D2"),   # conflict: both die
+        ("i_treat", "I5", "D2"), ("i_contra", "I5", "D2"),   # conflict: both die
+        ("i_induce", "I6", "D3"), ("i_contra", "I6", "D3"),  # both survive
+    ]
+    pairs = spark.createDataFrame(
+        mention, "kind string, subj string, obj string"
+    )
+    t, i, c = ingredient_disease_edges(pairs)
+    got_t = {(r["subj"], r["obj"]) for r in t.collect()}
+    got_i = {(r["subj"], r["obj"]) for r in i.collect()}
+    got_c = {(r["subj"], r["obj"]) for r in c.collect()}
+    assert got_t == {("I1", "D1")}
+    assert got_i == {("I2", "D1"), ("I6", "D3")}
+    assert got_c == {("I3", "D1"), ("I6", "D3")}
+
+
+def test_fillers_inert():
+    """Filler prose must carry no rule marker, gazetteer name, or dose
+    pattern — it pads turn length without changing extraction (the
+    invariant the fixture docstring promises)."""
+    from tcmkg.contract.kg import _UNIVERSE
+    from tcmkg.fixtures.transcripts import FILLER
+    from tcmkg.kernels.matcher import extract_herb_dose_pairs
+    from tcmkg.kernels.normalize import text_norm
+    from tcmkg.pipeline.extract import RULE_MARKERS
+
+    for f in FILLER:
+        tn = text_norm(f)
+        for mk in RULE_MARKERS + (":", "不渴"):
+            assert mk not in tn, (f, mk)
+        for u in _UNIVERSE:
+            assert u not in tn, (f, u)
+        # no token of the filler parses as carrying a dose
+        assert all(d is None for _, d in extract_herb_dose_pairs(tn)), f
+
+
 def test_derived_entity_maps_exist(pipeline):
     """KGPipeline canonicalizes the two new gazetteers; alias surfaces
     resolve to the same canonical id as their primary name (the CC merge

@@ -189,6 +189,19 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "symptom_locus entity-name containment join (r5)",
+            "Name-vs-name theta-join: the CONSTANT locus surface table is "
+            "the broadcast side (BroadcastNestedLoopJoin below — correct "
+            "for a containment predicate over a ~45-row vocabulary); the "
+            "symptom entity names are scanned once, and the only data "
+            "exchange is the final distinct aggregation. Linear in the "
+            "entity table at any scale.",
+            *render(pipe.symptom_locus()),
+        )
+    )
+
     from tcmkg.ops.prepare import prepare_corpus
 
     prep = prepare_corpus(
