@@ -11,6 +11,10 @@ sys.path.insert(0, ".")
 
 
 def summarize(plan: str) -> str:
+    # executed AdaptiveSparkPlans print the final AND the initial plan;
+    # count operators over the final section only (the initial section
+    # would double every join/exchange and misrepresent what ran)
+    plan = plan.split("== Initial Plan ==")[0]
     lines = plan.splitlines()
 
     def uniq(pred) -> int:
