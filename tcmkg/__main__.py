@@ -10,6 +10,11 @@ Subcommands:
     fixture     write a synthetic transcript corpus (deterministic)
     dedup       near-duplicate dedup a document corpus (kept + removal map)
     prepare     full training-data prep: quality -> dedup -> split -> pack
+    stream-dedup  streaming near-dedup of a landing dir against a
+                  persisted, growing signature index (availableNow drain)
+    ivf-build   build + persist an IVF ANN index over an embedding corpus
+    ivf-add     append new vectors to a persisted IVF index (no rebuild)
+    ivf-search  cell-pruned top-k search against a persisted index
 """
 
 from __future__ import annotations
@@ -30,11 +35,23 @@ def cmd_build(args) -> None:
     ckpt = args.checkpoint or (args.output.rstrip("/") + "/_checkpoints")
     out = pipe.run(transcripts, checkpoint_dir=ckpt)
     out["nodes"].write.mode("overwrite").parquet(args.output.rstrip("/") + "/nodes")
-    out["triples"].write.mode("overwrite").partitionBy("pred").parquet(
+    # corpus-independent derived edges (reference tcm_symptom2locus.csv):
+    # symptom entities scanned against the locus surface vocabulary
+    from pyspark.sql import functions as F
+
+    from .fixtures.locus import PRED_SYMPTOM_LOCUS
+
+    triples = out["triples"].unionByName(
+        pipe.symptom_locus().select(
+            "subj", F.lit(PRED_SYMPTOM_LOCUS).alias("pred"), "obj",
+            F.lit(None).cast("double").alias("weight"),
+        )
+    )
+    triples.write.mode("overwrite").partitionBy("pred").parquet(
         args.output.rstrip("/") + "/edges"
     )
     out["metrics"].write.mode("overwrite").parquet(args.output.rstrip("/") + "/metrics")
-    counts = {r["pred"]: r["count"] for r in out["triples"].groupBy("pred").count().collect()}
+    counts = {r["pred"]: r["count"] for r in triples.groupBy("pred").count().collect()}
     print(json.dumps({"status": "ok", "edges_by_pred": counts,
                       "nodes": out["nodes"].count(), "output": args.output}))
 
@@ -131,6 +148,94 @@ def cmd_prepare(args) -> None:
     print(json.dumps({"status": "ok", "metrics": metrics, "output": args.output}))
 
 
+def cmd_stream_dedup(args) -> None:
+    import glob
+    import os
+
+    from .session import get_spark
+    from .streaming.ingest import stream_near_dedup
+
+    spark = get_spark("tcmkg-stream-dedup", cores=args.cores)
+    q = stream_near_dedup(
+        spark, args.input, args.output, args.checkpoint,
+        id_col=args.id_col, text_col=args.text_col,
+        doc_schema=f"{args.id_col} long, {args.text_col} string",
+        n_bands=args.n_bands, rows_per_band=args.rows_per_band,
+        max_bucket=args.max_bucket, threshold=args.threshold,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    ok = q.awaitTermination(args.timeout)
+    root = args.output.rstrip("/")
+    n_kept = n_removed = 0
+    if glob.glob(os.path.join(root, "docs", "epoch=*")):
+        n_kept = spark.read.parquet(root + "/docs").count()
+    if glob.glob(os.path.join(root, "removals", "epoch=*")):
+        n_removed = spark.read.parquet(root + "/removals").count()
+    print(json.dumps({"status": "ok" if ok else "timeout",
+                      "kept": n_kept, "removed": n_removed,
+                      "output": args.output}))
+    if not ok:
+        sys.exit(1)
+
+
+def cmd_ivf_build(args) -> None:
+    from .ops.ann import build_ivf, save_ivf
+    from .pipeline.checkpoints import CheckpointStore
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-ivf-build", cores=args.cores)
+    emb = spark.read.parquet(args.input)
+    cent, assign = build_ivf(
+        emb, args.id_col, args.vec_col,
+        n_centroids=args.n_centroids, n_iter=args.n_iter,
+    )
+    store = CheckpointStore(args.store)
+    save_ivf(store, cent, assign, args.prefix)
+    print(json.dumps({"status": "ok", "n_centroids": cent.count(),
+                      "n_vectors": assign.count(), "store": args.store}))
+
+
+def cmd_ivf_add(args) -> None:
+    from .ops.ann import ivf_add
+    from .pipeline.checkpoints import CheckpointStore
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-ivf-add", cores=args.cores)
+    emb = spark.read.parquet(args.corpus)
+    new = spark.read.parquet(args.new)
+    store = CheckpointStore(args.store)
+    cent, assign = ivf_add(
+        spark, store, emb, new, args.id_col, args.vec_col,
+        prefix=args.prefix, max_cell=args.max_cell,
+        n_subsplit=args.n_subsplit,
+    )
+    print(json.dumps({"status": "ok", "n_centroids": cent.count(),
+                      "n_vectors": assign.count(), "store": args.store}))
+
+
+def cmd_ivf_search(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .ops.ann import _as_double, ivf_search, load_ivf
+    from .pipeline.checkpoints import CheckpointStore
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-ivf-search", cores=args.cores)
+    emb = spark.read.parquet(args.corpus)
+    queries = spark.read.parquet(args.queries).select(
+        F.col(args.id_col).alias("qid"),
+        _as_double(F.col(args.vec_col)).alias("qv"),
+    )
+    store = CheckpointStore(args.store)
+    cent, assign = load_ivf(spark, store, args.prefix)
+    out = ivf_search(
+        queries, emb, cent, assign, args.id_col, args.vec_col,
+        nprobe=args.nprobe, topk=args.topk,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"status": "ok", "rows": out.count(), "output": args.output}))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tcmkg")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -202,6 +307,70 @@ def main(argv=None) -> int:
                          r"(default: [\p{P}\p{S}])")
     pp.add_argument("--cores", default=None)
     pp.set_defaults(fn=cmd_prepare)
+
+    sd = sub.add_parser(
+        "stream-dedup",
+        help="streaming near-dedup of landing files vs a persisted "
+             "signature index (availableNow drain; re-run to process "
+             "newly landed files incrementally)",
+    )
+    sd.add_argument("--input", required=True, help="landing directory (parquet files)")
+    sd.add_argument("--output", required=True,
+                    help="state root: docs/, removals/, sigstore/")
+    sd.add_argument("--checkpoint", required=True)
+    sd.add_argument("--id-col", dest="id_col", default="doc_id")
+    sd.add_argument("--text-col", dest="text_col", default="text")
+    sd.add_argument("--n-bands", dest="n_bands", type=int, default=6)
+    sd.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=2)
+    sd.add_argument("--max-bucket", dest="max_bucket", type=int, default=256)
+    sd.add_argument("--threshold", type=float, default=0.5)
+    sd.add_argument("--max-files-per-trigger", dest="max_files_per_trigger",
+                    type=int, default=1)
+    sd.add_argument("--timeout", type=int, default=3600)
+    sd.add_argument("--cores", default=None)
+    sd.set_defaults(fn=cmd_stream_dedup)
+
+    ib = sub.add_parser("ivf-build", help="build + persist an IVF ANN index")
+    ib.add_argument("--input", required=True, help="embeddings parquet path")
+    ib.add_argument("--store", required=True, help="CheckpointStore directory")
+    ib.add_argument("--id-col", dest="id_col", default="vec_id")
+    ib.add_argument("--vec-col", dest="vec_col", default="embedding")
+    ib.add_argument("--n-centroids", dest="n_centroids", type=int, default=64)
+    ib.add_argument("--n-iter", dest="n_iter", type=int, default=5)
+    ib.add_argument("--prefix", default="ivf")
+    ib.add_argument("--cores", default=None)
+    ib.set_defaults(fn=cmd_ivf_build)
+
+    ia = sub.add_parser(
+        "ivf-add",
+        help="append new vectors to a persisted IVF index (assign to "
+             "existing centroids; re-split oversized cells locally)",
+    )
+    ia.add_argument("--corpus", required=True,
+                    help="GROWN embedding corpus parquet (old + new)")
+    ia.add_argument("--new", required=True, help="new-tranche parquet")
+    ia.add_argument("--store", required=True)
+    ia.add_argument("--id-col", dest="id_col", default="vec_id")
+    ia.add_argument("--vec-col", dest="vec_col", default="embedding")
+    ia.add_argument("--max-cell", dest="max_cell", type=int, default=None,
+                    help="re-split cells exceeding this population")
+    ia.add_argument("--n-subsplit", dest="n_subsplit", type=int, default=2)
+    ia.add_argument("--prefix", default="ivf")
+    ia.add_argument("--cores", default=None)
+    ia.set_defaults(fn=cmd_ivf_add)
+
+    isr = sub.add_parser("ivf-search", help="cell-pruned top-k search")
+    isr.add_argument("--corpus", required=True, help="embedding corpus parquet")
+    isr.add_argument("--queries", required=True, help="query vectors parquet")
+    isr.add_argument("--store", required=True)
+    isr.add_argument("--output", required=True)
+    isr.add_argument("--id-col", dest="id_col", default="vec_id")
+    isr.add_argument("--vec-col", dest="vec_col", default="embedding")
+    isr.add_argument("--nprobe", type=int, default=4)
+    isr.add_argument("--topk", type=int, default=10)
+    isr.add_argument("--prefix", default="ivf")
+    isr.add_argument("--cores", default=None)
+    isr.set_defaults(fn=cmd_ivf_search)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -460,6 +460,18 @@ def ivf_add(
     base_new = new_emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("v_norm", _norm(F.col("v")))
+    # id-disjointness guard: an id already in the index would end up
+    # assigned twice (every subsequent search returning it twice and every
+    # re-split double-counting it) — a silent corruption, so ValueError.
+    # One index-sized semi-join, no corpus scan.
+    n_dup = base_new.select("id").join(
+        assignments.select("id"), "id", "left_semi"
+    ).count()
+    if n_dup:
+        raise ValueError(
+            f"ivf_add: {n_dup} new ids are already assigned in the index "
+            "— tranche ids must be disjoint from the indexed corpus"
+        )
     new_assign = base_new.withColumn("cid", _argmin_cid(cent_rows)).select("id", "cid")
     all_assign = assignments.unionByName(new_assign)
 

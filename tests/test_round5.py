@@ -278,6 +278,13 @@ def test_ivf_add_incremental_maintenance(spark, tmp_path):
     assert len(a2) == e.count() and len({r["id"] for r in a2}) == len(a2)
     assert {r["cid"] for r in a2} <= cids2
 
+    # (2b) overlapping tranche ids are a hard error, not silent duplicates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already assigned"):
+        ivf_add(spark, store2, e, e.filter(F.col("vec_id") < 10),
+                "vec_id", "embedding")
+
     # (3) persistence round-trip
     cent_r, assign_r = load_ivf(spark, store2)
     assert {(r["cid"], tuple(r["cvec"])) for r in cent_r.collect()} == {
