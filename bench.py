@@ -36,12 +36,13 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "be
 def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
     """Generate (once) and cache the synthetic multi-turn corpus."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    # v4 (r5): the fixture adds T7/T8 derived-entity blocks (含有 /
-    # 上调 / 下调 / 作用于 lines -> ingredient and gene-target families) and
-    # reshuffles the block-kind wheel to %9 — corpus content and per-turn
-    # extraction work changed AGAIN vs v3 (r4) and v2 (r2/r3), so corpus
-    # legs are only comparable within the same fixture version (NOISE.md).
-    path = os.path.join(BENCH_DIR, f"transcripts_v4_{n_conversations}.parquet")
+    # v5 (r5 final): T7-T10 derived-entity blocks (含有/上调/下调/作用于/
+    # 能治/能致/忌用于/归为/包括 lines -> ingredient, gene-target,
+    # ingredient-disease, pharm-class families) and the %9 block wheel —
+    # corpus content and per-turn extraction work changed vs v3 (r4) and
+    # v2 (r2/r3); corpus legs are only comparable within one fixture
+    # version (NOISE.md).
+    path = os.path.join(BENCH_DIR, f"transcripts_v5_{n_conversations}.parquet")
     if not os.path.exists(path):
         from tcmkg.fixtures.transcripts import write_parquet
 
@@ -152,7 +153,7 @@ def main() -> None:
         "q_sessionize", "q_ann_topk", "q_lsh_pairs", "q_simhash_pairs",
     )
     comparable_r02 = round(sum(timings[n] for n in R2_SET), 3)
-    # the two kg legs consume the derived-entity (v4) fixtures from r5 on
+    # the two kg legs consume the derived-entity (v5) fixtures from r5 on
     # — MORE text and extraction work per turn than r02/r03 measured, so
     # only the operator queries remain strictly round-comparable
     ops_only = round(
@@ -177,11 +178,11 @@ def main() -> None:
                 "load_gate": load_gate,
                 "comparable_r02_subset_sec": comparable_r02,
                 "comparable_r02_ops_only_sec": ops_only,
-                # v4 = derived-entity T7/T8 blocks added (r5): corpus
-                # leg does MORE per-turn extraction work than v3 (r4) or
+                # v5 = derived-entity T7-T10 blocks (r5): corpus leg
+                # does MORE per-turn extraction work than v3 (r4) or
                 # v2 (r2/r3) — see NOISE.md before reading a cross-round
                 # corpus delta
-                "corpus_fixture": "v4",
+                "corpus_fixture": "v5",
                 "corpus_turns": n_corpus,
                 "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
                 "detail": extras,

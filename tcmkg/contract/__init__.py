@@ -32,6 +32,7 @@ _CHECK_FIRST = [
     "kg_consistof",
     "kg_gene_edges",
     "kg_ingr_disease",
+    "kg_pclass",
     "kg_chain_herb_gene",
     "kg_symptom_locus",
     "kg_stream_neardup",

@@ -89,6 +89,12 @@ from ..fixtures.dimensions import (  # noqa: E402
     dim_node_rows,
 )
 
+from ..fixtures.dimensions import PHARM_CLASS_VOCAB  # noqa: E402
+
+POOL_PCLS = [zh for zh, _ in PHARM_CLASS_VOCAB]
+N_PCLS = len(POOL_PCLS)
+ID_PCLS = [dim_id("pharm_class", i) for i in range(N_PCLS)]
+
 POOL_PROP = [zh for zh, _ in PROPERTY_VOCAB]
 POOL_FLAV = [zh for zh, _ in FLAVOUR_VOCAB[:7]]
 POOL_TROP = [zh for zh, _ in TROPISM_VOCAB]
@@ -255,6 +261,7 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # taxonomy lines) — mirrored exactly by the SQL twins below
     iA_idx = F.floor(F.col("eid") / 15) % N_ING
     iA = _pick(POOL_INGR, iA_idx)
+    pcls = _pick(POOL_PCLS, F.floor(F.col("eid") / 15) % N_PCLS)
     iB = _pick(
         POOL_INGR,
         (iA_idx + 1 + (F.floor(F.col("eid") / 45) % (N_ING - 1))) % N_ING,
@@ -329,7 +336,9 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 # T7 (eid%3==2, disjoint from the dim-clause residue): the
                 # statement's herb 含有 one or two ingredients -> the
-                # herb_consistof_ingredient derived-entity edge
+                # herb_consistof_ingredient derived-entity edge; odd eids
+                # (no second ingredient) may carry a T10 pharm-class
+                # clause in either statement direction
                 F.when(
                     F.col("eid") % 3 == 2,
                     F.concat(
@@ -337,6 +346,11 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.when(F.col("eid") % 2 == 0,
                                F.concat(F.lit("、"), iB)).otherwise(F.lit("")),
                         F.lit("。"),
+                        F.when(F.col("eid") % 4 == 1,
+                               F.concat(F.lit("归为"), pcls, F.lit("。")))
+                        .when(F.col("eid") % 4 == 3,
+                              F.concat(pcls, F.lit("包括"), iA, F.lit("。")))
+                        .otherwise(F.lit("")),
                     ),
                 ).otherwise(F.lit("")),
             ),
@@ -949,6 +963,7 @@ def _sql_text_derivation() -> str:
     g_ing = _sql_pick(POOL_INGR, f"{_SQL_P60} % {N_ING}")
     g_tgt = _sql_pick(POOL_TGT, f"{_SQL_P60} % {N_TGT}")
     d_dis = _sql_pick(POOL_DIS[:15], f"{_SQL_P60} % 15")
+    pcls = _sql_pick(POOL_PCLS, f"(eid // 15) % {N_PCLS}")
     return f"""
   CASE
     WHEN eid % 5 = 0 THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
@@ -961,6 +976,9 @@ def _sql_text_derivation() -> str:
          || (CASE WHEN eid % 3 = 1 THEN {_sql_dim_clause()} ELSE '' END)
          || (CASE WHEN eid % 3 = 2 THEN '含有' || {iA}
                   || (CASE WHEN eid % 2 = 0 THEN '、' || {iB} ELSE '' END) || '。'
+                  || (CASE WHEN eid % 4 = 1 THEN '归为' || {pcls} || '。'
+                           WHEN eid % 4 = 3 THEN {pcls} || '包括' || {iA} || '。'
+                           ELSE '' END)
              ELSE '' END)
     WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。' ||
       (CASE ({_SQL_P60}) % 5
@@ -1168,6 +1186,31 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_kg_pclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingredient→pharmacologic-class edges (reference
+    ingredient_belong_to_pharmacologic_class, extract_ingredient.py:
+    451-460): the reference merges the BELONGS_TO direction with the
+    REVERSED INCLUDES direction into one set — mirrored here by the two
+    statement forms 归为 (ingredient-first) and 包括 (class-first), which
+    must land in the SAME edge set."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred") == "ingredient_belong_to_pharmacologic_class"
+    ).select("subj", "obj")
+
+
+def _sql_kg_pclass() -> str:
+    ing = _sql_pick(CANON_INGR, _SQL_IA_IDX)
+    pc = _sql_pick(ID_PCLS, f"(eid // 15) % {N_PCLS}")
+    return f"""
+WITH base AS (
+  SELECT event_id AS eid FROM events
+  WHERE event_id % 5 = 2 AND event_id % 3 = 2 AND event_id % 4 IN (1, 3)
+)
+SELECT DISTINCT {ing} AS subj, {pc} AS obj FROM base
+"""
+
+
 def q_kg_chain_herb_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order chain herb→ingredient→gene (the reference's
     herb2ingredient ⨝ ingredient→gene composition): both edge families are
@@ -1208,7 +1251,9 @@ def q_kg_dim_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dimension families (`sf_dir` unused: the vocabulary is the table)."""
     p = _pipeline(spark)
     return p.nodes_table().filter(
-        F.col("entity_type").isin("property", "flavour", "tropism", "toxicity")
+        F.col("entity_type").isin(
+            "property", "flavour", "tropism", "toxicity", "pharm_class"
+        )
     ).select(
         "canonical_id",
         "entity_type",
@@ -1300,6 +1345,7 @@ KG_QUERIES = {
     "kg_consistof": q_kg_consistof,
     "kg_gene_edges": q_kg_gene_edges,
     "kg_ingr_disease": q_kg_ingr_disease,
+    "kg_pclass": q_kg_pclass,
     "kg_chain_herb_gene": q_kg_chain_herb_gene,
     "kg_symptom_locus": q_kg_symptom_locus,
     "kg_herb_dims": q_kg_herb_dims,
@@ -1326,6 +1372,7 @@ KG_ORACLES = {
     "kg_consistof": _sql_kg_consistof(),
     "kg_gene_edges": _sql_kg_gene_edges(),
     "kg_ingr_disease": _sql_kg_ingr_disease(),
+    "kg_pclass": _sql_kg_pclass(),
     "kg_chain_herb_gene": _sql_kg_chain(),
     "kg_symptom_locus": _sql_kg_symptom_locus(),
     "kg_herb_dims": _sql_kg_herb_dims(),

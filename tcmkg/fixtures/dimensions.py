@@ -77,6 +77,25 @@ TOXICITY_VOCAB: list[tuple[str, str]] = [
     ("极毒", "extremely toxic"),
 ]
 
+# pharmacologic classes: a fixed INGREDIENT-dimension vocabulary (the
+# reference's pharmacologic_class entity table, extract_ingredient.py:
+# 404-428, TMPC%05d ids); edges are ingredient_belong_to_pharmacologic_class
+# (:451-460, merged from BOTH pharmebinet directions — BELONGS_TO plus the
+# reversed INCLUDES — which the transcript analogue mirrors with the
+# 归为 / 包括 dual statement forms)
+PHARM_CLASS_VOCAB: list[tuple[str, str]] = [
+    ("黄酮类", "flavonoids"),
+    ("生物碱类", "alkaloids"),
+    ("皂苷类", "saponins"),
+    ("萜类", "terpenoids"),
+    ("酚酸类", "phenolic acids"),
+    ("木脂素类", "lignans"),
+    ("香豆素类", "coumarins"),
+    ("多糖类", "polysaccharides"),
+    ("挥发油类", "volatile oils"),
+    ("蒽醌类", "anthraquinones"),
+]
+
 # surrogate-id scheme per the reference (extract_herb.py:491-493 TMFV%05d,
 # :512-514 TMTX%05d, :547-549 TMTP%02d, :578-580 TMPP%05d)
 DIM_SPECS: dict[str, tuple[list[tuple[str, str]], str, int]] = {
@@ -84,6 +103,8 @@ DIM_SPECS: dict[str, tuple[list[tuple[str, str]], str, int]] = {
     "flavour": (FLAVOUR_VOCAB, "TMFV", 5),
     "tropism": (TROPISM_VOCAB, "TMTP", 2),
     "toxicity": (TOXICITY_VOCAB, "TMTX", 5),
+    # ingredient dimension (extract_ingredient.py:423-424 TMPC%05d)
+    "pharm_class": (PHARM_CLASS_VOCAB, "TMPC", 5),
 }
 
 # kernel mention kind -> edge predicate (the reference's Relation_type

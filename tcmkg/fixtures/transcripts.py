@@ -36,6 +36,9 @@ Turn-text templates (the extraction rules live in pipeline/ and oracle/):
       contraindicate}_disease with planted treats∩induces conflicts (all
       drop) and induces∩contraindicates pairs (both survive — the
       asymmetric reference rule, extract_ingredient.py:514-521)
+  T10 "<ingredient>归为<class>。" / "<class>包括<ingredient>。" -> the
+      ingredient_belong_to_pharmacologic_class edge from either statement
+      direction (the reference merges BELONGS_TO with reversed INCLUDES)
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ from datetime import datetime, timedelta, timezone
 
 from .dimensions import (
     FLAVOUR_VOCAB,
+    PHARM_CLASS_VOCAB,
     PROPERTY_VOCAB,
     TOXICITY_VOCAB,
     TROPISM_VOCAB,
@@ -296,6 +300,13 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                 if ing1 == ing2:
                     ing2 = _ING_POOL[(c * 5 + k + 1) % ni]
                 yield row(f"{h}含有{ing1}、{ing2}。", role, tool, pad_prefix=True)
+                # T10: ingredient→pharm-class, both statement directions
+                npc = len(PHARM_CLASS_VOCAB)
+                pcls = PHARM_CLASS_VOCAB[(c * 7 + k) % npc][0]
+                if (c + k) % 3 == 0:
+                    yield row(f"{ing1}归为{pcls}。", role, tool)
+                elif (c + k) % 3 == 1:
+                    yield row(f"{pcls}包括{ing2}。", role, tool)
                 tg = _TGT_POOL[(c * 3 + k) % nt]
                 v = (c + k) % 5
                 if v == 0:

@@ -84,6 +84,7 @@ PRED_ASSOC = "ingredient_associate_gene"
 PRED_I_TREAT = "ingredient_treat_disease"
 PRED_I_INDUCE = "ingredient_induce_disease"
 PRED_I_CONTRA = "ingredient_contraindicate_disease"
+PRED_PCLASS = "ingredient_belong_to_pharmacologic_class"
 
 DEGREE_CAP = 50
 
@@ -186,6 +187,12 @@ class OracleExtractor:
         i_treat: set[tuple[str, str]] = set()
         i_induce: set[tuple[str, str]] = set()
         i_contra: set[tuple[str, str]] = set()
+        pclass: set[tuple[str, str]] = set()
+
+        from ..fixtures.dimensions import dim_maps
+
+        pc_map = dim_maps()["pharm_class"]
+        ac_pc = AhoCorasick(pc_map.keys())
 
         fmap = self.maps["formula"]
         hmap = self.maps["herb"]
@@ -256,6 +263,16 @@ class OracleExtractor:
                                 sink.add(
                                     (self.maps["ingredient"][ing], self.maps["disease"][d])
                                 )
+                if "归为" in t:
+                    left, _, right = t.partition("归为")
+                    for ing in self.ac["ingredient"].find_set(left):
+                        for pc in ac_pc.find_set(right):
+                            pclass.add((self.maps["ingredient"][ing], pc_map[pc]))
+                if "包括" in t:
+                    left, _, right = t.partition("包括")
+                    for pc in ac_pc.find_set(left):
+                        for ing in self.ac["ingredient"].find_set(right):
+                            pclass.add((self.maps["ingredient"][ing], pc_map[pc]))
                 if "其性" in t:
                     head, _, seg = t.partition("其性")
                     for h in self.ac["herb"].find_set(head):
@@ -356,5 +373,8 @@ class OracleExtractor:
             triples.add((ing, PRED_I_INDUCE, d, None))
         for ing, d in i_contra - id_conflict:
             triples.add((ing, PRED_I_CONTRA, d, None))
+
+        for ing, pc in pclass:
+            triples.add((ing, PRED_PCLASS, pc, None))
 
         return triples

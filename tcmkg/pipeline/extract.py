@@ -129,6 +129,7 @@ def resolve_anchors(turns: DataFrame, formula_alias: DataFrame) -> DataFrame:
 RULE_MARKERS = (
     "主治", "可治", "可致", "常见", "属于", "其性",
     "含有", "上调", "下调", "作用于", "能治", "能致", "忌用于",
+    "归为", "包括",
 )
 
 
@@ -210,6 +211,10 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         ac_herb = get_automaton(key + "herb", m["herb"].keys())
         ac_ing = get_automaton(key + "ingredient", m["ingredient"].keys())
         ac_tgt = get_automaton(key + "target", m["target"].keys())
+        from ..fixtures.dimensions import dim_maps
+
+        pc_map = dim_maps()["pharm_class"]  # static constant, no broadcast
+        ac_pc = get_automaton("static:pharm_class", pc_map.keys())
 
         for pdf in batches:
             # per-batch combine state
@@ -303,6 +308,22 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                                 for ing in ings:
                                     k = (kindname, m["ingredient"][ing], m["disease"][d], None)
                                     pair_n[k] = pair_n.get(k, 0) + 1
+                # ingredient → pharmacologic class: the reference merges
+                # BOTH relation directions into one edge set
+                # (extract_ingredient.py:451-460); 归为 states it
+                # ingredient-first, 包括 class-first
+                if "归为" in t:
+                    left, _, right = t.partition("归为")
+                    for ing in ac_ing.find_set(left):
+                        for pc in ac_pc.find_set(right):
+                            k = ("pclass", m["ingredient"][ing], pc_map[pc], None)
+                            pair_n[k] = pair_n.get(k, 0) + 1
+                if "包括" in t:
+                    left, _, right = t.partition("包括")
+                    for pc in ac_pc.find_set(left):
+                        for ing in ac_ing.find_set(right):
+                            k = ("pclass", m["ingredient"][ing], pc_map[pc], None)
+                            pair_n[k] = pair_n.get(k, 0) + 1
                 if "其性" in t:
                     # dimension clause (herb property/flavour/tropism/
                     # toxicity — reference extract_herb.py:587-651): the

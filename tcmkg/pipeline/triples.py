@@ -54,6 +54,9 @@ PRED_OF_KIND = {
     "i_treat": "ingredient_treat_disease",
     "i_induce": "ingredient_induce_disease",
     "i_contra": "ingredient_contraindicate_disease",
+    # ingredient→pharm-class (extract_ingredient.py:451-460, both
+    # directions set-merged)
+    "pclass": "ingredient_belong_to_pharmacologic_class",
 }
 
 
@@ -208,6 +211,7 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_pairs(pairs, "tropism_of"), PRED_OF_KIND["tropism_of"]),
         lab(_pairs(pairs, "toxicity_of"), PRED_OF_KIND["toxicity_of"]),
         lab(_pairs(pairs, "consistof"), PRED_OF_KIND["consistof"]),
+        lab(_pairs(pairs, "pclass"), PRED_OF_KIND["pclass"]),
     ]
     up_f, down_f, assoc_f = gene_edges(pairs)
     parts += [

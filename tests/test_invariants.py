@@ -111,7 +111,7 @@ def test_nodes_table(pipeline):
     assert set(pdf.entity_type.unique()) == {
         "herb", "formula", "symptom", "syndrome", "disease",
         # dimension families (fixtures/dimensions.py vocabularies)
-        "property", "flavour", "tropism", "toxicity",
+        "property", "flavour", "tropism", "toxicity", "pharm_class",
         # derived-entity families (r5: reference TMIN/TMGE tables)
         "ingredient", "target",
         # locus entities (r5: reference TMLC table, merge_tcm_symptom.py)

@@ -85,4 +85,5 @@ def test_predicate_coverage(spark_triples):
         "ingredient_treat_disease",
         "ingredient_induce_disease",
         "ingredient_contraindicate_disease",
+        "ingredient_belong_to_pharmacologic_class",
     }

@@ -318,6 +318,7 @@ def test_dim_ids_reference_scheme():
     assert dim_id("flavour", 12) == "TMFV00013"
     assert dim_id("tropism", 11) == "TMTP12"
     assert dim_id("toxicity", 3) == "TMTX00004"
+    assert dim_id("pharm_class", 0) == "TMPC00001"  # extract_ingredient.py:424
     rows = dim_node_rows()
-    assert len(rows) == 11 + 13 + 12 + 4
+    assert len(rows) == 11 + 13 + 12 + 4 + 10
     assert all(len(r["names"]) == 2 for r in rows)
