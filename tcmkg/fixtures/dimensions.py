@@ -96,6 +96,51 @@ PHARM_CLASS_VOCAB: list[tuple[str, str]] = [
     ("蒽醌类", "anthraquinones"),
 ]
 
+# ---- gene-side fixed entity families (reference extract_other_entities.py:
+# pathway :329-396 TMPW%05d, biological process :221-279 TMBP%05d, cellular
+# component :19-97 TMCC%05d, molecular function :181-271 TMMF%05d). In the
+# reference these are external-database entity tables merged by GO/reactome
+# id; in the transcript KG they are fixed vocabularies (like pharm_class)
+# whose edges arrive as statement text. Names are chosen substring-free vs
+# every gazetteer alias and every other vocabulary (asserted in
+# contract/kg.py), so AC scans stay oracle-predictable.
+PATHWAY_VOCAB: list[tuple[str, str]] = [
+    ("凋亡通路", "apoptosis pathway"),
+    ("炎症通路", "inflammation pathway"),
+    ("免疫通路", "immune pathway"),
+    ("传导通路", "signal transduction pathway"),
+    ("代谢通路", "metabolic pathway"),
+    ("修复通路", "repair pathway"),
+    ("周期通路", "cell cycle pathway"),
+    ("分泌通路", "secretion pathway"),
+]
+
+BIOPROC_VOCAB: list[tuple[str, str]] = [
+    ("增殖过程", "proliferation process"),
+    ("分化过程", "differentiation process"),
+    ("自噬过程", "autophagy process"),
+    ("迁移过程", "migration process"),
+    ("粘附过程", "adhesion process"),
+    ("衰老过程", "senescence process"),
+]
+
+CELLCOMP_VOCAB: list[tuple[str, str]] = [
+    ("线粒体", "mitochondrion"),
+    ("细胞核", "nucleus"),
+    ("内质网", "endoplasmic reticulum"),
+    ("溶酶体", "lysosome"),
+    ("核糖体", "ribosome"),
+    ("高尔基体", "golgi apparatus"),
+]
+
+MOLFUNC_VOCAB: list[tuple[str, str]] = [
+    ("激酶活性", "kinase activity"),
+    ("磷酸酶活性", "phosphatase activity"),
+    ("转录活性", "transcription activity"),
+    ("结合活性", "binding activity"),
+    ("转运活性", "transport activity"),
+]
+
 # surrogate-id scheme per the reference (extract_herb.py:491-493 TMFV%05d,
 # :512-514 TMTX%05d, :547-549 TMTP%02d, :578-580 TMPP%05d)
 DIM_SPECS: dict[str, tuple[list[tuple[str, str]], str, int]] = {
@@ -105,6 +150,11 @@ DIM_SPECS: dict[str, tuple[list[tuple[str, str]], str, int]] = {
     "toxicity": (TOXICITY_VOCAB, "TMTX", 5),
     # ingredient dimension (extract_ingredient.py:423-424 TMPC%05d)
     "pharm_class": (PHARM_CLASS_VOCAB, "TMPC", 5),
+    # gene-side families (extract_other_entities.py, prefixes per reference)
+    "pathway": (PATHWAY_VOCAB, "TMPW", 5),
+    "bioprocess": (BIOPROC_VOCAB, "TMBP", 5),
+    "cellcomp": (CELLCOMP_VOCAB, "TMCC", 5),
+    "molfunction": (MOLFUNC_VOCAB, "TMMF", 5),
 }
 
 # kernel mention kind -> edge predicate (the reference's Relation_type

@@ -39,6 +39,17 @@ Turn-text templates (the extraction rules live in pipeline/ and oracle/):
   T10 "<ingredient>归为<class>。" / "<class>包括<ingredient>。" -> the
       ingredient_belong_to_pharmacologic_class edge from either statement
       direction (the reference merges BELONGS_TO with reversed INCLUDES)
+  T11 "<gene>调控/共变/相互作用<gene>。"      -> gene_{regulate,covary,
+      associate}_gene with planted directional-kill (assoc pair also held
+      by regulate), reverse-direction kill, conflict clause, and MUTUAL
+      associate pairs (both directions planted -> one canonical edge)
+  T12 "<gene>参与<pathway|process>。" etc.     -> gene_associate_pathway /
+      gene2biological_process (参与∪驱动) / gene2cell_component
+      (定位于∪活跃于) / gene2molecular_function (介导) — the reference's
+      multi-source union predicates
+  T13 "<disease>升高/降低/关联<gene>。"        -> disease_{up,down}regulate_
+      gene / disease_associate_gene (assoc − up − down)
+  T14 "<locus>表达<gene>。"                   -> anatomy_express_gene
 """
 
 from __future__ import annotations
@@ -46,12 +57,17 @@ from __future__ import annotations
 from datetime import datetime, timedelta, timezone
 
 from .dimensions import (
+    BIOPROC_VOCAB,
+    CELLCOMP_VOCAB,
     FLAVOUR_VOCAB,
+    MOLFUNC_VOCAB,
+    PATHWAY_VOCAB,
     PHARM_CLASS_VOCAB,
     PROPERTY_VOCAB,
     TOXICITY_VOCAB,
     TROPISM_VOCAB,
 )
+from .locus import LOCUS_VOCAB
 from .gazetteers import (
     DISEASE_NAMES,
     HERB_NAMES,
@@ -95,6 +111,13 @@ _PROPS = [zh for zh, _ in PROPERTY_VOCAB]
 _FLAVS = [zh for zh, _ in FLAVOUR_VOCAB[:7]]
 _TROPS = [zh for zh, _ in TROPISM_VOCAB]
 _TOXES = [zh for zh, _ in TOXICITY_VOCAB]
+
+# gene-side statement pools (T11-T14)
+_PWS = [zh for zh, _ in PATHWAY_VOCAB]
+_BPS = [zh for zh, _ in BIOPROC_VOCAB]
+_CCS = [zh for zh, _ in CELLCOMP_VOCAB]
+_MFS = [zh for zh, _ in MOLFUNC_VOCAB]
+_LOCI = [zh for zh, _ in LOCUS_VOCAB]
 
 
 def _dim_clause(c: int, k: int) -> str:
@@ -237,7 +260,7 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
         yield row("请推荐适合的方剂。", "user")
         n_blocks = 3 + c % 5
         for k in range(n_blocks):
-            kind = (c + 2 * k) % 9
+            kind = (c + 2 * k) % 12
             # ~9% of template turns land in a *user* turn: rules only mine
             # assistant turns, so these are planted negatives.
             role = "user" if (c + k) % 11 == 0 else "assistant"
@@ -292,6 +315,65 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                 yield row(
                     f"昔人言：{near}非药也（０．５克不可信），勿用。", role, tool
                 )
+            elif kind == 9:
+                # T11 gene↔gene wheel + T14 anatomy express. The kill/
+                # mutual cases span separate turns, so the de-conflict is
+                # corpus-wide set algebra, not clause-local parsing.
+                nt = len(_TGT_POOL)
+                ga = _TGT_POOL[(c * 7 + k) % nt]
+                gb = _TGT_POOL[(c * 7 + k + 2 + c % 5) % nt]
+                if ga == gb:
+                    gb = _TGT_POOL[(c * 7 + k + 1) % nt]
+                v = (c + k) % 6
+                if v == 0:
+                    yield row(f"{ga}调控{gb}。", role, tool)
+                elif v == 1:
+                    yield row(f"{ga}共变{gb}。", role, tool)
+                elif v == 2:
+                    yield row(f"{ga}相互作用{gb}。", role, tool)
+                elif v == 3:
+                    # directional kill: regulate claims the assoc pair
+                    yield row(f"{ga}调控{gb}。", role, tool)
+                    yield row(f"{ga}相互作用{gb}。", role, tool)
+                elif v == 4:
+                    # reverse-direction kill: covary (b,a) kills assoc (a,b)
+                    yield row(f"{gb}共变{ga}。", role, tool)
+                    yield row(f"{ga}相互作用{gb}。", role, tool)
+                else:
+                    # mutual associate -> ONE canonical (subj<obj) edge
+                    yield row(f"{ga}相互作用{gb}。", role, tool)
+                    yield row(f"{gb}相互作用{ga}。", "assistant")
+                loc = _LOCI[(c * 3 + k) % len(_LOCI)]
+                yield row(f"{loc}表达{ga}。", role, tool)
+            elif kind == 10:
+                # T13 disease→gene wheel with the assoc-loses conflict line
+                d10 = diseases[(c * 7 + k) % len(diseases)]
+                g10 = _TGT_POOL[(c * 5 + k) % len(_TGT_POOL)]
+                u = (c * 3 + k) % 4
+                if u == 0:
+                    yield row(f"{d10}升高{g10}。", role, tool)
+                elif u == 1:
+                    yield row(f"{d10}降低{g10}。", role, tool)
+                elif u == 2:
+                    yield row(f"{d10}关联{g10}。", role, tool)
+                else:
+                    yield row(f"{d10}关联{g10}，且升高{g10}。", role, tool)
+            elif kind == 11:
+                # T12 gene→pathway/GO wheel (multi-marker union predicates)
+                g12 = _TGT_POOL[(c * 11 + k) % len(_TGT_POOL)]
+                w = (c + k) % 6
+                if w == 0:
+                    yield row(f"{g12}参与{_PWS[(c + k) % len(_PWS)]}。", role, tool)
+                elif w == 1:
+                    yield row(f"{g12}参与{_BPS[(c + k) % len(_BPS)]}。", role, tool)
+                elif w == 2:
+                    yield row(f"{g12}驱动{_BPS[(c * 3 + k) % len(_BPS)]}。", role, tool)
+                elif w == 3:
+                    yield row(f"{g12}定位于{_CCS[(c + k) % len(_CCS)]}。", role, tool)
+                elif w == 4:
+                    yield row(f"{g12}活跃于{_CCS[(c * 3 + k) % len(_CCS)]}。", role, tool)
+                else:
+                    yield row(f"{g12}介导{_MFS[(c + k) % len(_MFS)]}。", role, tool)
             else:  # kind == 8: derived-entity statements (T7/T8)
                 h = herbs[(c * 7 + k) % len(herbs)]
                 ni, nt = len(_ING_POOL), len(_TGT_POOL)

@@ -103,6 +103,22 @@ def get_automaton(key: str, patterns) -> AhoCorasick:
     return ac
 
 
+def clause_window(text: str, marker: str) -> tuple[str, str]:
+    """Sentence-bounded clause split at the FIRST occurrence of `marker`:
+    -> (subject text, object text), where the subject side runs from the
+    last 。 before the marker and the object side stops at the first 。
+    after it. The relation-statement handlers added for the gene-side
+    families (gene↔gene, disease→gene, gene→GO/pathway, anatomy→gene) use
+    this bounded window so multiple statement clauses can share one turn
+    without cross-contaminating each other's AC scans — the P11
+    split-at-first-delimiter shape applied on both sides of the marker.
+    Returns ("", "") when the marker is absent."""
+    left, hit, right = text.partition(marker)
+    if not hit:
+        return "", ""
+    return left.rpartition("。")[2], right.partition("。")[0]
+
+
 def split_prescription_tokens(text: str) -> list[str]:
     """Prescription line → herb tokens (parenthetical/noise removal + split).
 

@@ -85,6 +85,17 @@ PRED_I_TREAT = "ingredient_treat_disease"
 PRED_I_INDUCE = "ingredient_induce_disease"
 PRED_I_CONTRA = "ingredient_contraindicate_disease"
 PRED_PCLASS = "ingredient_belong_to_pharmacologic_class"
+PRED_GG_REG = "gene_regulate_gene"
+PRED_GG_COV = "gene_covary_gene"
+PRED_GG_ASSOC = "gene_associate_gene"
+PRED_DG_UP = "disease_upregulate_gene"
+PRED_DG_DOWN = "disease_downregulate_gene"
+PRED_DG_ASSOC = "disease_associate_gene"
+PRED_G_PATHWAY = "gene_associate_pathway"
+PRED_G_BIOPROC = "gene2biological_process"
+PRED_G_CELLCOMP = "gene2cell_component"
+PRED_G_MOLFUNC = "gene2molecular_function"
+PRED_ANAT_EXPRESS = "anatomy_express_gene"
 
 DEGREE_CAP = 50
 
@@ -190,9 +201,47 @@ class OracleExtractor:
         pclass: set[tuple[str, str]] = set()
 
         from ..fixtures.dimensions import dim_maps
+        from ..fixtures.locus import locus_surface_rows
+        from ..kernels.matcher import clause_window
 
-        pc_map = dim_maps()["pharm_class"]
+        dm = dim_maps()
+        pc_map = dm["pharm_class"]
         ac_pc = AhoCorasick(pc_map.keys())
+        loc_map = {r["surface"]: r["locus_id"] for r in locus_surface_rows()}
+        side = {
+            name: (AhoCorasick(dm[name].keys()), dm[name])
+            for name in ("pathway", "bioprocess", "cellcomp", "molfunction")
+        }
+        side["locus"] = (AhoCorasick(loc_map.keys()), loc_map)
+        side["target"] = (self.ac["target"], self.maps["target"])
+        side["disease"] = (self.ac["disease"], self.maps["disease"])
+        # sentence-bounded statement handlers — same table as the pipeline
+        # kernel (reference shapes: extract_target.py:425-493 gene↔gene,
+        # :520-607 disease→gene, :653-761 gene→pathway/GO unions, :612-658
+        # anatomy express)
+        sent_sinks: dict[str, set[tuple[str, str]]] = {
+            k: set()
+            for k in (
+                "gg_reg", "gg_cov", "gg_assoc", "dg_up", "dg_down",
+                "dg_assoc", "g_pathway", "g_bioproc", "g_cellcomp",
+                "g_molfunc", "anat_express",
+            )
+        }
+        sent_handlers = [
+            ("调控", "target", "target", "gg_reg"),
+            ("共变", "target", "target", "gg_cov"),
+            ("相互作用", "target", "target", "gg_assoc"),
+            ("升高", "disease", "target", "dg_up"),
+            ("降低", "disease", "target", "dg_down"),
+            ("关联", "disease", "target", "dg_assoc"),
+            ("参与", "target", "pathway", "g_pathway"),
+            ("参与", "target", "bioprocess", "g_bioproc"),
+            ("驱动", "target", "bioprocess", "g_bioproc"),
+            ("定位于", "target", "cellcomp", "g_cellcomp"),
+            ("活跃于", "target", "cellcomp", "g_cellcomp"),
+            ("介导", "target", "molfunction", "g_molfunc"),
+            ("表达", "locus", "target", "anat_express"),
+        ]
 
         fmap = self.maps["formula"]
         hmap = self.maps["herb"]
@@ -273,6 +322,16 @@ class OracleExtractor:
                     for pc in ac_pc.find_set(left):
                         for ing in self.ac["ingredient"].find_set(right):
                             pclass.add((self.maps["ingredient"][ing], pc_map[pc]))
+                for mk, sname, oname, kind in sent_handlers:
+                    if mk in t:
+                        ac_s, map_s = side[sname]
+                        ac_o, map_o = side[oname]
+                        ls, rs = clause_window(t, mk)
+                        for s in ac_s.find_set(ls):
+                            for o in ac_o.find_set(rs):
+                                cs, co = map_s[s], map_o[o]
+                                if cs != co:
+                                    sent_sinks[kind].add((cs, co))
                 if "其性" in t:
                     head, _, seg = t.partition("其性")
                     for h in self.ac["herb"].find_set(head):
@@ -376,5 +435,45 @@ class OracleExtractor:
 
         for ing, pc in pclass:
             triples.add((ing, PRED_PCLASS, pc, None))
+
+        # ---- gene↔gene de-conflict (extract_target.py:453-486): associate
+        # loses pairs present in EITHER direction in covary/regulate, then
+        # mutual associate pairs collapse to the subj<obj direction
+        gg_reg = sent_sinks["gg_reg"]
+        gg_cov = sent_sinks["gg_cov"]
+        directional = gg_reg | gg_cov
+        kill = directional | {(b, a) for a, b in directional}
+        gg_assoc = sent_sinks["gg_assoc"] - kill
+        gg_assoc = {
+            (a, b) for a, b in gg_assoc if not ((b, a) in gg_assoc and a > b)
+        }
+        for a, b in gg_reg:
+            triples.add((a, PRED_GG_REG, b, None))
+        for a, b in gg_cov:
+            triples.add((a, PRED_GG_COV, b, None))
+        for a, b in gg_assoc:
+            triples.add((a, PRED_GG_ASSOC, b, None))
+
+        # ---- disease→gene (extract_target.py:597-601): assoc − up − down
+        dg_assoc = (
+            sent_sinks["dg_assoc"] - sent_sinks["dg_up"] - sent_sinks["dg_down"]
+        )
+        for d, g in sent_sinks["dg_up"]:
+            triples.add((d, PRED_DG_UP, g, None))
+        for d, g in sent_sinks["dg_down"]:
+            triples.add((d, PRED_DG_DOWN, g, None))
+        for d, g in dg_assoc:
+            triples.add((d, PRED_DG_ASSOC, g, None))
+
+        # ---- gene→pathway/GO + anatomy express: plain set unions
+        for kind, pred in (
+            ("g_pathway", PRED_G_PATHWAY),
+            ("g_bioproc", PRED_G_BIOPROC),
+            ("g_cellcomp", PRED_G_CELLCOMP),
+            ("g_molfunc", PRED_G_MOLFUNC),
+            ("anat_express", PRED_ANAT_EXPRESS),
+        ):
+            for s, o in sent_sinks[kind]:
+                triples.add((s, pred, o, None))
 
         return triples

@@ -130,6 +130,11 @@ RULE_MARKERS = (
     "主治", "可治", "可致", "常见", "属于", "其性",
     "含有", "上调", "下调", "作用于", "能治", "能致", "忌用于",
     "归为", "包括",
+    # gene-side statement families (sentence-bounded handlers): gene↔gene
+    # (extract_target.py:425-493), disease→gene (:520-607), gene→pathway/
+    # GO (:653-761), anatomy→gene express (:612-658)
+    "调控", "共变", "相互作用", "升高", "降低", "关联",
+    "参与", "驱动", "定位于", "活跃于", "介导", "表达",
 )
 
 
@@ -197,6 +202,7 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         from ..kernels.dims import parse_dim_clause
         from ..kernels.dose import parse_dose_string
         from ..kernels.matcher import (
+            clause_window,
             extract_herb_dose_pairs,
             get_automaton,
             probe_herb,
@@ -212,9 +218,52 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         ac_ing = get_automaton(key + "ingredient", m["ingredient"].keys())
         ac_tgt = get_automaton(key + "target", m["target"].keys())
         from ..fixtures.dimensions import dim_maps
+        from ..fixtures.locus import locus_surface_rows
 
         pc_map = dim_maps()["pharm_class"]  # static constant, no broadcast
         ac_pc = get_automaton("static:pharm_class", pc_map.keys())
+        dm = dim_maps()
+        loc_map = {r["surface"]: r["locus_id"] for r in locus_surface_rows()}
+        _statics = {
+            dim: (get_automaton(f"static:{dim}", dm[dim].keys()), dm[dim])
+            for dim in ("pathway", "bioprocess", "cellcomp", "molfunction")
+        }
+        _statics["locus"] = (get_automaton("static:locus", loc_map.keys()), loc_map)
+        _gaz = {
+            "target": (ac_tgt, m["target"]),
+            "disease": (ac_dis, m["disease"]),
+        }
+
+        def _side(name):
+            return _statics.get(name) or _gaz[name]
+
+        # sentence-bounded statement handlers (kernels/matcher.clause_window):
+        # (marker, subj side, obj side, mention kind). Reference shapes:
+        # gene↔gene regulate/covary/associate extract_target.py:425-493;
+        # disease→gene up/down/associate :520-607; gene→pathway (PARTICIPATES)
+        # and gene→GO (INVOLVED/ACTS_UPSTREAM, LOCATED/ACTIVE, ENABLES —
+        # multi-marker unions into ONE predicate each) :653-761; anatomy
+        # express :612-658. 参与 appears twice (pathway + bioprocess): same
+        # verb resolved against two target maps — the reference's
+        # extract_specific_relation parameterized-id-map shape.
+        sent_handlers = [
+            (mk, _side(s), _side(o), kind)
+            for mk, s, o, kind in (
+                ("调控", "target", "target", "gg_reg"),
+                ("共变", "target", "target", "gg_cov"),
+                ("相互作用", "target", "target", "gg_assoc"),
+                ("升高", "disease", "target", "dg_up"),
+                ("降低", "disease", "target", "dg_down"),
+                ("关联", "disease", "target", "dg_assoc"),
+                ("参与", "target", "pathway", "g_pathway"),
+                ("参与", "target", "bioprocess", "g_bioproc"),
+                ("驱动", "target", "bioprocess", "g_bioproc"),
+                ("定位于", "target", "cellcomp", "g_cellcomp"),
+                ("活跃于", "target", "cellcomp", "g_cellcomp"),
+                ("介导", "target", "molfunction", "g_molfunc"),
+                ("表达", "locus", "target", "anat_express"),
+            )
+        ]
 
         for pdf in batches:
             # per-batch combine state
@@ -324,6 +373,21 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                         for ing in ac_ing.find_set(right):
                             k = ("pclass", m["ingredient"][ing], pc_map[pc], None)
                             pair_n[k] = pair_n.get(k, 0) + 1
+                # gene-side statement families: sentence-bounded windows so
+                # clauses compose on one turn without cross-talk; subj==obj
+                # self-pairs are guarded (same-type scans can catch the
+                # subject inside a conflict clause's window)
+                for mk, (ac_s, map_s), (ac_o, map_o), kindname in sent_handlers:
+                    if mk in t:
+                        ls, rs = clause_window(t, mk)
+                        subs = ac_s.find_set(ls)
+                        if subs:
+                            for o in ac_o.find_set(rs):
+                                for s in subs:
+                                    cs, co = map_s[s], map_o[o]
+                                    if cs != co:
+                                        k = (kindname, cs, co, None)
+                                        pair_n[k] = pair_n.get(k, 0) + 1
                 if "其性" in t:
                     # dimension clause (herb property/flavour/tropism/
                     # toxicity — reference extract_herb.py:587-651): the

@@ -57,6 +57,25 @@ PRED_OF_KIND = {
     # ingredient→pharm-class (extract_ingredient.py:451-460, both
     # directions set-merged)
     "pclass": "ingredient_belong_to_pharmacologic_class",
+    # gene↔gene family (extract_target.py:425-493): directional sets plain,
+    # associate carries the either-direction kill + symmetric dedup
+    "gg_reg": "gene_regulate_gene",
+    "gg_cov": "gene_covary_gene",
+    "gg_assoc": "gene_associate_gene",
+    # disease→gene family (extract_target.py:520-607): associate =
+    # assoc − up − down (plain priority subtraction)
+    "dg_up": "disease_upregulate_gene",
+    "dg_down": "disease_downregulate_gene",
+    "dg_assoc": "disease_associate_gene",
+    # gene→pathway/GO families (extract_target.py:653-761): each predicate
+    # is a UNION of relation sources (multiple markers land in one kind
+    # at extraction time, so these are plain distinct pairs here)
+    "g_pathway": "gene_associate_pathway",
+    "g_bioproc": "gene2biological_process",
+    "g_cellcomp": "gene2cell_component",
+    "g_molfunc": "gene2molecular_function",
+    # anatomy→gene (extract_target.py:612-658 EXPRESSES_AeG)
+    "anat_express": "anatomy_express_gene",
 }
 
 
@@ -167,6 +186,53 @@ def ingredient_disease_edges(
     return treat_f, induce_f, contra_f
 
 
+def _swap(df: DataFrame) -> DataFrame:
+    return df.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+
+
+def gene_gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Gene↔gene de-conflict algebra (reference extract_target.py:453-486):
+    associate = (interacts ∪ protein_protein mentions) minus every pair
+    present — IN EITHER DIRECTION — in covary or regulate; then mutual
+    associate pairs (both (a,b) and (b,a) survive) collapse to ONE edge.
+    The reference keeps an iteration-order-dependent direction
+    (:476-483); here the kept direction is the deterministic subj<obj one
+    (documented divergence — output is a set either way, the reference's
+    choice is just whatever set order yields).
+
+    -> (regulate, covary, associate). Directional sets pass through
+    unfiltered, as in the reference. All joins run on the deduped pair
+    frame: O(distinct pairs), never the mention stream."""
+    reg = _pairs(pairs, "gg_reg")
+    cov = _pairs(pairs, "gg_cov")
+    assoc = _pairs(pairs, "gg_assoc")
+    directional = reg.unionByName(cov)
+    kill = directional.unionByName(_swap(directional)).dropDuplicates(
+        ["subj", "obj"]
+    )
+    assoc1 = assoc.join(kill, ["subj", "obj"], "left_anti")
+    # symmetric dedup: drop (a,b) when (b,a) also survives and a > b
+    mutual_hi = assoc1.join(_swap(assoc1), ["subj", "obj"], "left_semi").filter(
+        F.col("subj") > F.col("obj")
+    )
+    assoc2 = assoc1.join(mutual_hi, ["subj", "obj"], "left_anti")
+    return reg, cov, assoc2
+
+
+def disease_gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Disease→gene priority subtraction (reference extract_target.py:
+    597-601: associate = set(assoc) − set(up) − set(down); the directional
+    sets are emitted as-is). -> (up, down, associate)."""
+    up = _pairs(pairs, "dg_up")
+    down = _pairs(pairs, "dg_down")
+    assoc = (
+        _pairs(pairs, "dg_assoc")
+        .join(up, ["subj", "obj"], "left_anti")
+        .join(down, ["subj", "obj"], "left_anti")
+    )
+    return up, down, assoc
+
+
 def is_a_edges(pairs: DataFrame) -> DataFrame:
     p = _pairs(pairs, "is_a")
     swapped = p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
@@ -224,6 +290,24 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(it_f, PRED_OF_KIND["i_treat"]),
         lab(ii_f, PRED_OF_KIND["i_induce"]),
         lab(ic_f, PRED_OF_KIND["i_contra"]),
+    ]
+    gr_f, gc_f, ga_f = gene_gene_edges(pairs)
+    du_f, dd_f, da_f = disease_gene_edges(pairs)
+    parts += [
+        lab(gr_f, PRED_OF_KIND["gg_reg"]),
+        lab(gc_f, PRED_OF_KIND["gg_cov"]),
+        lab(ga_f, PRED_OF_KIND["gg_assoc"]),
+        lab(du_f, PRED_OF_KIND["dg_up"]),
+        lab(dd_f, PRED_OF_KIND["dg_down"]),
+        lab(da_f, PRED_OF_KIND["dg_assoc"]),
+        # gene→pathway/GO + anatomy-express: plain distinct pairs (the
+        # multi-marker union already happened at extraction — both markers
+        # of a predicate emit the same mention kind)
+        lab(_pairs(pairs, "g_pathway"), PRED_OF_KIND["g_pathway"]),
+        lab(_pairs(pairs, "g_bioproc"), PRED_OF_KIND["g_bioproc"]),
+        lab(_pairs(pairs, "g_cellcomp"), PRED_OF_KIND["g_cellcomp"]),
+        lab(_pairs(pairs, "g_molfunc"), PRED_OF_KIND["g_molfunc"]),
+        lab(_pairs(pairs, "anat_express"), PRED_OF_KIND["anat_express"]),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -86,4 +86,15 @@ def test_predicate_coverage(spark_triples):
         "ingredient_induce_disease",
         "ingredient_contraindicate_disease",
         "ingredient_belong_to_pharmacologic_class",
+        "gene_regulate_gene",
+        "gene_covary_gene",
+        "gene_associate_gene",
+        "disease_upregulate_gene",
+        "disease_downregulate_gene",
+        "disease_associate_gene",
+        "gene_associate_pathway",
+        "gene2biological_process",
+        "gene2cell_component",
+        "gene2molecular_function",
+        "anatomy_express_gene",
     }
