@@ -25,6 +25,15 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
+    # round-5 late additions: gene-side families (gene↔gene, disease→gene,
+    # gene→pathway/GO, anatomy-express, ingredient→gene→pathway chain).
+    # kg_text_roundtrip's derivation gained the T11-T14 clauses and
+    # kg_nodes/kg_dim_nodes gained four entity families — re-prove.
+    "kg_gene_gene",
+    "kg_dis_gene",
+    "kg_gene_go",
+    "kg_anat_gene",
+    "kg_chain_ing_pathway",
     # round-5 additions: derived-entity families (ingredient/target),
     # symptom→locus name-containment edges, streaming near-dedup,
     # incremental IVF, real-codec multimodal. kg_nodes/text_roundtrip

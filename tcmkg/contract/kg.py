@@ -105,6 +105,72 @@ ID_FLAV = [dim_id("flavour", i) for i in range(N_FLAV)]
 ID_TROP = [dim_id("tropism", i) for i in range(N_TROP)]
 ID_TOX = [dim_id("toxicity", i) for i in range(N_TOX)]
 
+# ------------------------------------------- gene-side family pools (T11+) --
+from ..fixtures.dimensions import (  # noqa: E402
+    BIOPROC_VOCAB,
+    CELLCOMP_VOCAB,
+    MOLFUNC_VOCAB,
+    PATHWAY_VOCAB,
+)
+from ..fixtures.locus import LOCUS_VOCAB, locus_id_map, locus_surface_rows  # noqa: E402
+
+POOL_PW = [zh for zh, _ in PATHWAY_VOCAB]
+POOL_BPROC = [zh for zh, _ in BIOPROC_VOCAB]
+POOL_CCOMP = [zh for zh, _ in CELLCOMP_VOCAB]
+POOL_MFUNC = [zh for zh, _ in MOLFUNC_VOCAB]
+N_PW, N_BPROC, N_CCOMP, N_MFUNC = map(
+    len, (POOL_PW, POOL_BPROC, POOL_CCOMP, POOL_MFUNC)
+)
+ID_PW = [dim_id("pathway", i) for i in range(N_PW)]
+ID_BPROC = [dim_id("bioprocess", i) for i in range(N_BPROC)]
+ID_CCOMP = [dim_id("cellcomp", i) for i in range(N_CCOMP)]
+ID_MFUNC = [dim_id("molfunction", i) for i in range(N_MFUNC)]
+
+# loci planted by the T14 anatomy clause: only names whose surface scan
+# resolves to exactly their own id (上肢/下肢 contain the 肢→四肢 stem and
+# would emit a second edge the closed-form oracle doesn't model)
+POOL_LOC = [
+    zh for zh, _ in LOCUS_VOCAB if zh not in ("上肢", "下肢")
+]
+N_LOC = len(POOL_LOC)
+ID_LOC = [locus_id_map()[zh] for zh in POOL_LOC]
+
+_GENE_MARKERS = (
+    "调控", "共变", "相互作用", "升高", "降低", "关联",
+    "参与", "驱动", "定位于", "活跃于", "介导", "表达",
+)
+
+
+def _assert_gene_side_safe() -> None:
+    """The gene-side vocabularies and statement markers must be (a) free
+    of gazetteer aliases — existing full-turn AC scans cover the new
+    clauses, so an embedded alias would emit mentions the SQL oracles
+    cannot predict; (b) pairwise substring-free across the four
+    vocabularies — 参与's object window is scanned by two automatons;
+    (c) marker-free, and the markers themselves must not hide inside any
+    alias or already-planted name. Planted loci must self-resolve to
+    exactly their own id under the full locus surface map."""
+    vocab = POOL_PW + POOL_BPROC + POOL_CCOMP + POOL_MFUNC
+    for name in vocab:
+        assert not any(u in name for u in _UNIVERSE), name
+        assert not any(mk in name for mk in _GENE_MARKERS), name
+    for a in vocab:
+        for b in vocab:
+            assert a == b or a not in b, (a, b)
+    surf = [(r["surface"], r["locus_id"]) for r in locus_surface_rows()]
+    for zh, lid in zip(POOL_LOC, ID_LOC):
+        hits = {l for s, l in surf if s in zh}
+        assert hits == {lid}, (zh, hits)
+        assert not any(u in zh for u in _UNIVERSE), zh
+    for mk in _GENE_MARKERS:
+        assert not any(mk in u for u in _UNIVERSE), mk
+        assert not any(mk in c for c in _CHOSEN), mk
+        assert not any(mk in s or s in mk for s in _SCAFFOLD), mk
+
+
+_assert_gene_side_safe()
+_SCAFFOLD.extend(_GENE_MARKERS)  # future _pick_free calls must avoid them
+
 
 def _assert_dim_fragments_safe() -> None:
     """Every inter-punctuation fragment the dimension clause can produce
@@ -286,6 +352,71 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(d_ing, F.lit("能致"), d_dis,
                             F.lit("，故忌用于"), d_dis, F.lit("。")))
     )
+    # T11 (m5==2, eid%3==0 — eid ≡ 12 mod 15, so eid//15 walks consecutive
+    # ints): gene↔gene wheel over p75 with planted conflict (r=3: regulate
+    # claims the associate pair in one turn) and swapped-direction associate
+    # lines (r=4) that create MUTUAL pairs only where the r=2 set holds the
+    # reverse — both algebra branches exercised, oracle replays the sets.
+    p75 = F.floor(F.col("eid") / 15) % 75
+    ga_idx = p75 % 15
+    gb_idx = (ga_idx + 1 + (F.floor(p75 / 5) % 14)) % 15
+    ga = _pick(POOL_TGT, ga_idx)
+    gb = _pick(POOL_TGT, gb_idx)
+    rg = p75 % 5
+    # r=4 alternates between (a) the REVERSE of the r=2 line two positions
+    # back — guaranteeing surviving MUTUAL pairs so the symmetric-dedup
+    # branch is live at every scale (a parity argument shows the naive
+    # independent-wheel construction can never produce one) — and (b) an
+    # independent swapped line (the non-mutual survivor case)
+    p75m2 = p75 - 2
+    ga4_idx = p75m2 % 15
+    gb4_idx = (ga4_idx + 1 + (F.floor(p75m2 / 5) % 14)) % 15
+    use_rev = F.floor(p75 / 5) % 2 == 0
+    ga4 = F.when(use_rev, _pick(POOL_TGT, ga4_idx)).otherwise(ga)
+    gb4 = F.when(use_rev, _pick(POOL_TGT, gb4_idx)).otherwise(gb)
+    gg_clause = (
+        F.when(rg == 0, F.concat(ga, F.lit("调控"), gb, F.lit("。")))
+        .when(rg == 1, F.concat(ga, F.lit("共变"), gb, F.lit("。")))
+        .when(rg == 2, F.concat(ga, F.lit("相互作用"), gb, F.lit("。")))
+        .when(rg == 3, F.concat(ga, F.lit("调控"), gb,
+                                F.lit("，且相互作用"), gb, F.lit("。")))
+        .otherwise(F.concat(gb4, F.lit("相互作用"), ga4, F.lit("。")))
+    )
+    # T14 (every second T11 line): anatomy express
+    loc = _pick(POOL_LOC, p75 % N_LOC)
+    g2 = _pick(POOL_TGT, (p75 + 7) % 15)
+    anat_clause = F.when(
+        p75 % 2 == 0, F.concat(loc, F.lit("表达"), g2, F.lit("。"))
+    ).otherwise(F.lit(""))
+    # T13 (m5==1): disease→gene wheel; residue decoupled from the pair
+    # bijection's disease index via the +q//12 term
+    q60 = F.floor(F.col("eid") / 5) % 60
+    dgd = _pick(POOL_DIS[:12], q60 % 12)
+    dgg = _pick(POOL_TGT, q60 % 15)
+    rq = (q60 + F.floor(q60 / 12)) % 4
+    dg_clause = (
+        F.when(rq == 0, F.concat(dgd, F.lit("升高"), dgg, F.lit("。")))
+        .when(rq == 1, F.concat(dgd, F.lit("降低"), dgg, F.lit("。")))
+        .when(rq == 2, F.concat(dgd, F.lit("关联"), dgg, F.lit("。")))
+        # assoc + up in one turn: the generic associate edge loses
+        .otherwise(F.concat(dgd, F.lit("关联"), dgg,
+                            F.lit("，且升高"), dgg, F.lit("。")))
+    )
+    # T12 (m5==3): gene→pathway/GO wheel — 参与 resolves against BOTH the
+    # pathway and bioprocess vocabularies (reference parameterized-id-map
+    # shape); 参与∪驱动, 定位于∪活跃于 are the multi-source union predicates
+    v5 = F.floor(F.col("eid") / 5)
+    w6 = v5 % 6
+    u6 = F.floor(v5 / 6)
+    gg0 = _pick(POOL_TGT, u6 % 15)
+    go_clause = (
+        F.when(w6 == 0, F.concat(gg0, F.lit("参与"), _pick(POOL_PW, u6 % N_PW), F.lit("。")))
+        .when(w6 == 1, F.concat(gg0, F.lit("参与"), _pick(POOL_BPROC, u6 % N_BPROC), F.lit("。")))
+        .when(w6 == 2, F.concat(gg0, F.lit("驱动"), _pick(POOL_BPROC, (u6 + 1) % N_BPROC), F.lit("。")))
+        .when(w6 == 3, F.concat(gg0, F.lit("定位于"), _pick(POOL_CCOMP, u6 % N_CCOMP), F.lit("。")))
+        .when(w6 == 4, F.concat(gg0, F.lit("活跃于"), _pick(POOL_CCOMP, (u6 + 1) % N_CCOMP), F.lit("。")))
+        .otherwise(F.concat(gg0, F.lit("介导"), _pick(POOL_MFUNC, u6 % N_MFUNC), F.lit("。")))
+    )
     gene_clause = (
         F.when(r5 == 0, F.concat(g_ing, F.lit("上调"), g_tgt, F.lit("。")))
         .when(r5 == 1, F.concat(g_ing, F.lit("下调"), g_tgt, F.lit("。")))
@@ -312,6 +443,7 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("eid") % 3 == 0, F.concat(F.lit("，"), syn)).otherwise(F.lit("")),
                 F.when(F.col("eid") % 31 == 0, F.lit("，口不渴")).otherwise(F.lit("")),
                 F.lit("。"),
+                dg_clause,  # T13: disease→gene statement
             ),
         )
         .when(
@@ -353,11 +485,17 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(F.lit("")),
                     ),
                 ).otherwise(F.lit("")),
+                # T11+T14 (eid%3==0, disjoint from the dim/T7 residues):
+                # gene↔gene statement + anatomy-express clause
+                F.when(
+                    F.col("eid") % 3 == 0, F.concat(gg_clause, anat_clause)
+                ).otherwise(F.lit("")),
             ),
         )
         # m5 == 3: syndrome-symptom line + T9 (ingredient→disease wheel)
+        # + T12 (gene→pathway/GO wheel)
         .when(m5 == 3, F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2,
-                                F.lit("。"), dis_clause))
+                                F.lit("。"), dis_clause, go_clause))
         # m5 == 4: disease taxonomy line -> disease_is_a_disease with the
         # antisymmetry rule (both directions present corpus-wide -> both die)
         # + T8: an ingredient→gene statement (up/down/associate wheel with
@@ -964,6 +1102,22 @@ def _sql_text_derivation() -> str:
     g_tgt = _sql_pick(POOL_TGT, f"{_SQL_P60} % {N_TGT}")
     d_dis = _sql_pick(POOL_DIS[:15], f"{_SQL_P60} % 15")
     pcls = _sql_pick(POOL_PCLS, f"(eid // 15) % {N_PCLS}")
+    # gene-side clause twins (T11-T14)
+    ga = _sql_pick(POOL_TGT, _SQL_GA_IDX)
+    gb = _sql_pick(POOL_TGT, _SQL_GB_IDX)
+    ga4 = _sql_pick(POOL_TGT, _SQL_GA4_IDX)
+    gb4 = _sql_pick(POOL_TGT, _SQL_GB4_IDX)
+    loc = _sql_pick(POOL_LOC, f"({_SQL_P75}) % {N_LOC}")
+    g2 = _sql_pick(POOL_TGT, f"(({_SQL_P75}) + 7) % 15")
+    dgd = _sql_pick(POOL_DIS[:12], f"({_SQL_P60}) % 12")
+    dgg = _sql_pick(POOL_TGT, f"({_SQL_P60}) % 15")
+    g0 = _sql_pick(POOL_TGT, f"({_SQL_U6}) % 15")
+    pw = _sql_pick(POOL_PW, f"({_SQL_U6}) % {N_PW}")
+    bp1 = _sql_pick(POOL_BPROC, f"({_SQL_U6}) % {N_BPROC}")
+    bp2 = _sql_pick(POOL_BPROC, f"(({_SQL_U6}) + 1) % {N_BPROC}")
+    cc1 = _sql_pick(POOL_CCOMP, f"({_SQL_U6}) % {N_CCOMP}")
+    cc2 = _sql_pick(POOL_CCOMP, f"(({_SQL_U6}) + 1) % {N_CCOMP}")
+    mf = _sql_pick(POOL_MFUNC, f"({_SQL_U6}) % {N_MFUNC}")
     return f"""
   CASE
     WHEN eid % 5 = 0 THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
@@ -971,6 +1125,12 @@ def _sql_text_derivation() -> str:
          || '主治' || {s1} || '，' || {s2}
          || (CASE WHEN eid % 3 = 0 THEN '，' || {syn} ELSE '' END)
          || (CASE WHEN eid % 31 = 0 THEN '，口不渴' ELSE '' END) || '。'
+         || (CASE {_SQL_RQ}
+               WHEN 0 THEN {dgd} || '升高' || {dgg} || '。'
+               WHEN 1 THEN {dgd} || '降低' || {dgg} || '。'
+               WHEN 2 THEN {dgd} || '关联' || {dgg} || '。'
+               ELSE {dgd} || '关联' || {dgg} || '，且升高' || {dgg} || '。'
+             END)
     WHEN eid % 5 = 2 THEN {h1} || '可治' || {dis}
          || (CASE WHEN eid % 600 = 22 THEN '。但' || {h1} || '可致' || {dis} ELSE '' END) || '。'
          || (CASE WHEN eid % 3 = 1 THEN {_sql_dim_clause()} ELSE '' END)
@@ -980,6 +1140,17 @@ def _sql_text_derivation() -> str:
                            WHEN eid % 4 = 3 THEN {pcls} || '包括' || {iA} || '。'
                            ELSE '' END)
              ELSE '' END)
+         || (CASE WHEN eid % 3 = 0 THEN
+                  (CASE ({_SQL_P75}) % 5
+                     WHEN 0 THEN {ga} || '调控' || {gb} || '。'
+                     WHEN 1 THEN {ga} || '共变' || {gb} || '。'
+                     WHEN 2 THEN {ga} || '相互作用' || {gb} || '。'
+                     WHEN 3 THEN {ga} || '调控' || {gb} || '，且相互作用' || {gb} || '。'
+                     ELSE {gb4} || '相互作用' || {ga4} || '。'
+                   END)
+                  || (CASE WHEN ({_SQL_P75}) % 2 = 0
+                           THEN {loc} || '表达' || {g2} || '。' ELSE '' END)
+             ELSE '' END)
     WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。' ||
       (CASE ({_SQL_P60}) % 5
          WHEN 0 THEN {g_ing} || '能治' || {d_dis} || '。'
@@ -987,7 +1158,15 @@ def _sql_text_derivation() -> str:
          WHEN 2 THEN {g_ing} || '忌用于' || {d_dis} || '。'
          WHEN 3 THEN {g_ing} || '能治' || {d_dis} || '，然亦能致' || {d_dis} || '。'
          ELSE {g_ing} || '能致' || {d_dis} || '，故忌用于' || {d_dis} || '。'
-       END)
+       END) ||
+      (CASE {_SQL_W6}
+         WHEN 0 THEN {g0} || '参与' || {pw}
+         WHEN 1 THEN {g0} || '参与' || {bp1}
+         WHEN 2 THEN {g0} || '驱动' || {bp2}
+         WHEN 3 THEN {g0} || '定位于' || {cc1}
+         WHEN 4 THEN {g0} || '活跃于' || {cc2}
+         ELSE {g0} || '介导' || {mf}
+       END) || '。'
     ELSE {dis2} || '属于' || {dis3} || '。' ||
       (CASE ({_SQL_P60}) % 5
          WHEN 0 THEN {g_ing} || '上调' || {g_tgt} || '。'
@@ -1008,6 +1187,26 @@ _SQL_TI2 = f"((eid % {N_TROP}) + 1 + ((eid // 13) % {N_TROP - 1})) % {N_TROP}"
 _SQL_IA_IDX = f"(eid // 15) % {N_ING}"
 _SQL_IB_IDX = f"(({_SQL_IA_IDX}) + 1 + ((eid // 45) % {N_ING - 1})) % {N_ING}"
 _SQL_P60 = "(eid // 5) % 60"
+# gene-side clause arithmetic (T11-T14 twins)
+_SQL_P75 = "(eid // 15) % 75"
+_SQL_GA_IDX = f"(({_SQL_P75}) % 15)"
+_SQL_GB_IDX = f"(({_SQL_GA_IDX}) + 1 + ((({_SQL_P75}) // 5) % 14)) % 15"
+# r=4 mutual-construction twins (reverse of the r=2 line at p75-2 on even
+# p75//5; independent swapped line otherwise)
+_SQL_P75M2 = f"(({_SQL_P75}) - 2)"
+_SQL_USE_REV = f"(({_SQL_P75}) % 5 = 4 AND (({_SQL_P75}) // 5) % 2 = 0)"
+_SQL_GA4_IDX = (
+    f"(CASE WHEN {_SQL_USE_REV} THEN ({_SQL_P75M2}) % 15"
+    f" ELSE {_SQL_GA_IDX} END)"
+)
+_SQL_GB4_IDX = (
+    f"(CASE WHEN {_SQL_USE_REV}"
+    f" THEN ((({_SQL_P75M2}) % 15) + 1 + ((({_SQL_P75M2}) // 5) % 14)) % 15"
+    f" ELSE {_SQL_GB_IDX} END)"
+)
+_SQL_RQ = f"((({_SQL_P60}) + (({_SQL_P60}) // 12)) % 4)"
+_SQL_U6 = "((eid // 5) // 6)"
+_SQL_W6 = "((eid // 5) % 6)"
 
 
 def _sql_dim_clause() -> str:
@@ -1245,6 +1444,208 @@ FROM hi JOIN ig ON hi.obj = ig.ingr
 """
 
 
+CANON_DIS12 = _canon_pool("disease", POOL_DIS[:12])
+
+
+def q_kg_gene_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene↔gene family with the reference's de-conflict algebra
+    (extract_target.py:453-486): associate loses any pair present IN
+    EITHER DIRECTION in covary or regulate, then mutual associate pairs
+    collapse to one canonical (subj<obj) edge. The T11 wheel plants the
+    in-turn conflict residue (r=3) and a swapped-direction residue (r=4)
+    whose pairs are mutual only where the r=2 set holds the reverse — so
+    the oracle REPLAYS the set algebra over the arithmetic-derived mention
+    sets rather than using a per-residue closed form."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "gene_regulate_gene", "gene_covary_gene", "gene_associate_gene"
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_gene_gene() -> str:
+    a = _sql_pick(CANON_TGT, "ai")
+    b = _sql_pick(CANON_TGT, "bi")
+    return f"""
+WITH base AS (
+  SELECT DISTINCT ({_SQL_P75}) % 5 AS r, {_SQL_GA4_IDX} AS ai, {_SQL_GB4_IDX} AS bi
+  FROM (SELECT event_id AS eid FROM events
+        WHERE event_id % 5 = 2 AND event_id % 3 = 0)
+),
+prs AS (SELECT r, {a} AS a, {b} AS b FROM base),
+reg AS (SELECT DISTINCT a, b FROM prs WHERE r IN (0, 3)),
+cov AS (SELECT DISTINCT a, b FROM prs WHERE r = 1),
+asc0 AS (
+  SELECT a, b FROM prs WHERE r IN (2, 3)
+  UNION
+  SELECT b, a FROM prs WHERE r = 4
+),
+dirall AS (SELECT a, b FROM reg UNION SELECT a, b FROM cov),
+asc1 AS (
+  SELECT a, b FROM asc0
+  WHERE NOT EXISTS (SELECT 1 FROM dirall d
+                    WHERE (d.a = asc0.a AND d.b = asc0.b)
+                       OR (d.a = asc0.b AND d.b = asc0.a))
+),
+asc2 AS (
+  SELECT a, b FROM asc1
+  WHERE NOT (a > b AND EXISTS (SELECT 1 FROM asc1 x
+                               WHERE x.a = asc1.b AND x.b = asc1.a))
+)
+SELECT a AS subj, 'gene_regulate_gene' AS pred, b AS obj FROM reg
+UNION ALL SELECT a, 'gene_covary_gene', b FROM cov
+UNION ALL SELECT a, 'gene_associate_gene', b FROM asc2
+"""
+
+
+def q_kg_dis_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disease→gene family (extract_target.py:520-607): 升高/降低/关联
+    statements on indication lines; associate = assoc − up − down. The
+    T13 pair wheel is a bijection (q ↔ (q%12, q%15) over 60), so each
+    pair carries exactly one residue and the per-residue CASE — with the
+    r=3 conflict clause resolving to the directional edge — is the
+    algebra's fixed point at every scale."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "disease_upregulate_gene",
+            "disease_downregulate_gene",
+            "disease_associate_gene",
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_dis_gene() -> str:
+    d = _sql_pick(CANON_DIS12, "q % 12")
+    g = _sql_pick(CANON_TGT, "q % 15")
+    return f"""
+WITH base AS (
+  SELECT ({_SQL_P60}) AS q
+  FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 1)
+)
+SELECT DISTINCT {d} AS subj,
+  CASE (q + q // 12) % 4
+    WHEN 0 THEN 'disease_upregulate_gene'
+    WHEN 3 THEN 'disease_upregulate_gene'
+    WHEN 1 THEN 'disease_downregulate_gene'
+    ELSE 'disease_associate_gene'
+  END AS pred,
+  {g} AS obj
+FROM base
+"""
+
+
+def q_kg_gene_go(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene→pathway/GO families (extract_target.py:653-761): four
+    predicates over four fixed entity vocabularies, two of which are
+    MULTI-MARKER UNIONS (参与∪驱动 → biological process, 定位于∪活跃于 →
+    cellular component) and one marker (参与) resolves against two
+    vocabularies — the reference's extract_specific_relation
+    parameterized-id-map shape, re-expressed as statement verbs."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "gene_associate_pathway",
+            "gene2biological_process",
+            "gene2cell_component",
+            "gene2molecular_function",
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_gene_go() -> str:
+    g = _sql_pick(CANON_TGT, "u % 15")
+    pw = _sql_pick(ID_PW, f"u % {N_PW}")
+    bp1 = _sql_pick(ID_BPROC, f"u % {N_BPROC}")
+    bp2 = _sql_pick(ID_BPROC, f"(u + 1) % {N_BPROC}")
+    cc1 = _sql_pick(ID_CCOMP, f"u % {N_CCOMP}")
+    cc2 = _sql_pick(ID_CCOMP, f"(u + 1) % {N_CCOMP}")
+    mf = _sql_pick(ID_MFUNC, f"u % {N_MFUNC}")
+    return f"""
+WITH base AS (
+  SELECT DISTINCT {_SQL_W6} AS w, {_SQL_U6} AS u
+  FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 3)
+)
+SELECT DISTINCT {g} AS subj,
+  CASE w WHEN 0 THEN 'gene_associate_pathway'
+         WHEN 1 THEN 'gene2biological_process'
+         WHEN 2 THEN 'gene2biological_process'
+         WHEN 3 THEN 'gene2cell_component'
+         WHEN 4 THEN 'gene2cell_component'
+         ELSE 'gene2molecular_function' END AS pred,
+  CASE w WHEN 0 THEN {pw} WHEN 1 THEN {bp1} WHEN 2 THEN {bp2}
+         WHEN 3 THEN {cc1} WHEN 4 THEN {cc2} ELSE {mf} END AS obj
+FROM base
+"""
+
+
+def q_kg_anat_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anatomy→gene express edges (extract_target.py:612-658
+    EXPRESSES_AeG): the subject resolves through the locus SURFACE map
+    (the symptom-locus family's entity table), the object through the
+    gene gazetteer CC — a fixed-vocab × derived-entity pairing."""
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "anatomy_express_gene").select(
+        "subj", "obj"
+    )
+
+
+def _sql_kg_anat_gene() -> str:
+    lid = _sql_pick(ID_LOC, f"p % {N_LOC}")
+    g2 = _sql_pick(CANON_TGT, "(p + 7) % 15")
+    return f"""
+WITH base AS (
+  SELECT DISTINCT ({_SQL_P75}) AS p
+  FROM (SELECT event_id AS eid FROM events
+        WHERE event_id % 5 = 2 AND event_id % 3 = 0)
+)
+SELECT DISTINCT {lid} AS subj, {g2} AS obj FROM base WHERE p % 2 = 0
+"""
+
+
+def q_kg_chain_ing_pathway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-order composition ingredient→gene→pathway: joins two
+    derived-edge families whose endpoints are all non-gazetteer entities.
+    Like kg_chain_herb_gene, the join runs on the tiny deduped edge
+    frames — the oracle composes both edge derivations and replays the
+    join, so the traversal is hash-verified end-to-end."""
+    t = _triples(spark, sf_dir)
+    ig = t.filter(
+        F.col("pred").isin(
+            "ingredient_upregulate_gene",
+            "ingredient_downregulate_gene",
+            "ingredient_associate_gene",
+        )
+    ).select(F.col("subj").alias("ingr"), F.col("obj").alias("gene"))
+    gp = t.filter(F.col("pred") == "gene_associate_pathway").select(
+        F.col("subj").alias("gene"), F.col("obj").alias("pathway")
+    )
+    return ig.join(gp, "gene").select("ingr", "gene", "pathway").distinct()
+
+
+def _sql_kg_chain_ing_pathway() -> str:
+    ing = _sql_pick(CANON_INGR, f"p % {N_ING}")
+    tgt = _sql_pick(CANON_TGT, f"p % {N_TGT}")
+    g = _sql_pick(CANON_TGT, "u % 15")
+    pw = _sql_pick(ID_PW, f"u % {N_PW}")
+    return f"""
+WITH ig AS (
+  SELECT DISTINCT {ing} AS ingr, {tgt} AS gene
+  FROM (SELECT ({_SQL_P60}) AS p
+        FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 4))
+),
+gp AS (
+  SELECT DISTINCT {g} AS gene, {pw} AS pathway
+  FROM (SELECT DISTINCT {_SQL_U6} AS u
+        FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 3)
+        WHERE {_SQL_W6} = 0)
+)
+SELECT DISTINCT ig.ingr, ig.gene, gp.pathway
+FROM ig JOIN gp ON ig.gene = gp.gene
+"""
+
+
 def q_kg_dim_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension entities in the nodes table (zh surface + English gloss),
     with reference-scheme surrogate ids — the static entity-table side of
@@ -1252,7 +1653,8 @@ def q_kg_dim_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipeline(spark)
     return p.nodes_table().filter(
         F.col("entity_type").isin(
-            "property", "flavour", "tropism", "toxicity", "pharm_class"
+            "property", "flavour", "tropism", "toxicity", "pharm_class",
+            "pathway", "bioprocess", "cellcomp", "molfunction",
         )
     ).select(
         "canonical_id",
@@ -1342,6 +1744,11 @@ def _sql_kg_nodes() -> str:
 
 
 KG_QUERIES = {
+    "kg_gene_gene": q_kg_gene_gene,
+    "kg_dis_gene": q_kg_dis_gene,
+    "kg_gene_go": q_kg_gene_go,
+    "kg_anat_gene": q_kg_anat_gene,
+    "kg_chain_ing_pathway": q_kg_chain_ing_pathway,
     "kg_consistof": q_kg_consistof,
     "kg_gene_edges": q_kg_gene_edges,
     "kg_ingr_disease": q_kg_ingr_disease,
@@ -1369,6 +1776,11 @@ KG_QUERIES = {
 }
 
 KG_ORACLES = {
+    "kg_gene_gene": _sql_kg_gene_gene(),
+    "kg_dis_gene": _sql_kg_dis_gene(),
+    "kg_gene_go": _sql_kg_gene_go(),
+    "kg_anat_gene": _sql_kg_anat_gene(),
+    "kg_chain_ing_pathway": _sql_kg_chain_ing_pathway(),
     "kg_consistof": _sql_kg_consistof(),
     "kg_gene_edges": _sql_kg_gene_edges(),
     "kg_ingr_disease": _sql_kg_ingr_disease(),

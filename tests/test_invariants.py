@@ -116,6 +116,9 @@ def test_nodes_table(pipeline):
         "ingredient", "target",
         # locus entities (r5: reference TMLC table, merge_tcm_symptom.py)
         "locus",
+        # gene-side families (late r5: reference TMPW/TMBP/TMCC/TMMF
+        # tables, extract_other_entities.py)
+        "pathway", "bioprocess", "cellcomp", "molfunction",
     }
     # dimension nodes carry [zh, en] names with reference-scheme ids
     assert (pdf.entity_type == "tropism").sum() == 12

@@ -319,6 +319,11 @@ def test_dim_ids_reference_scheme():
     assert dim_id("tropism", 11) == "TMTP12"
     assert dim_id("toxicity", 3) == "TMTX00004"
     assert dim_id("pharm_class", 0) == "TMPC00001"  # extract_ingredient.py:424
+    # gene-side families (late r5; extract_other_entities.py prefixes)
+    assert dim_id("pathway", 0) == "TMPW00001"
+    assert dim_id("bioprocess", 0) == "TMBP00001"
+    assert dim_id("cellcomp", 0) == "TMCC00001"
+    assert dim_id("molfunction", 0) == "TMMF00001"
     rows = dim_node_rows()
-    assert len(rows) == 11 + 13 + 12 + 4 + 10
+    assert len(rows) == 11 + 13 + 12 + 4 + 10 + 8 + 6 + 6 + 5
     assert all(len(r["names"]) == 2 for r in rows)

@@ -359,3 +359,128 @@ def test_nodes_table_has_derived_types(pipeline):
         for r in pipeline.nodes_table().select("entity_type").distinct().collect()
     }
     assert {"ingredient", "target", "locus"} <= types
+
+
+def test_gene_gene_algebra(spark):
+    """gene_gene_edges implements extract_target.py:453-486: associate
+    loses pairs present IN EITHER DIRECTION in covary/regulate; surviving
+    mutual associate pairs collapse to the subj<obj direction. Verified
+    against a direct set-algebra model."""
+    from tcmkg.pipeline.triples import gene_gene_edges
+
+    mention = [
+        ("gg_reg", "G1", "G2"),                              # plain regulate
+        ("gg_cov", "G3", "G4"),                              # plain covary
+        ("gg_assoc", "G5", "G6"),                            # plain assoc
+        ("gg_assoc", "G1", "G2"),                            # killed: same dir in reg
+        ("gg_assoc", "G2", "G1"),                            # killed: reverse in reg
+        ("gg_assoc", "G4", "G3"),                            # killed: reverse in cov
+        ("gg_assoc", "G7", "G8"), ("gg_assoc", "G8", "G7"),  # mutual -> (G7,G8)
+    ]
+    pairs = spark.createDataFrame(
+        mention, "kind string, subj string, obj string"
+    ).dropDuplicates(["kind", "subj", "obj"])
+    reg, cov, assoc = gene_gene_edges(pairs)
+    assert {(r["subj"], r["obj"]) for r in reg.collect()} == {("G1", "G2")}
+    assert {(r["subj"], r["obj"]) for r in cov.collect()} == {("G3", "G4")}
+    got = {(r["subj"], r["obj"]) for r in assoc.collect()}
+    # independent model
+    regs = {("G1", "G2")}
+    covs = {("G3", "G4")}
+    assocs = {(s, o) for k, s, o in mention if k == "gg_assoc"}
+    kill = regs | covs | {(b, a) for a, b in regs | covs}
+    a1 = assocs - kill
+    want = {(a, b) for a, b in a1 if not ((b, a) in a1 and a > b)}
+    assert got == want == {("G5", "G6"), ("G7", "G8")}
+
+
+def test_disease_gene_algebra(spark):
+    """disease_gene_edges implements extract_target.py:597-601:
+    associate = assoc − up − down; directional sets pass through."""
+    from tcmkg.pipeline.triples import disease_gene_edges
+
+    mention = [
+        ("dg_up", "D1", "G1"),
+        ("dg_down", "D2", "G1"),
+        ("dg_assoc", "D3", "G1"),                         # survives
+        ("dg_assoc", "D1", "G1"),                         # loses to up
+        ("dg_assoc", "D2", "G1"),                         # loses to down
+    ]
+    pairs = spark.createDataFrame(mention, "kind string, subj string, obj string")
+    up, down, assoc = disease_gene_edges(pairs)
+    assert {(r["subj"], r["obj"]) for r in up.collect()} == {("D1", "G1")}
+    assert {(r["subj"], r["obj"]) for r in down.collect()} == {("D2", "G1")}
+    assert {(r["subj"], r["obj"]) for r in assoc.collect()} == {("D3", "G1")}
+
+
+def test_clause_window_bounds():
+    """clause_window is sentence-bounded on both sides and first-match."""
+    from tcmkg.kernels.matcher import clause_window
+
+    assert clause_window("前句。a调控b。后句。", "调控") == ("a", "b")
+    assert clause_window("a调控b，且相互作用b。尾。", "相互作用") == ("a调控b，且", "b")
+    assert clause_window("a调控b", "共变") == ("", "")
+    assert clause_window("调控b。", "调控") == ("", "b")
+
+
+def test_gene_side_statement_extraction(spark, pipeline):
+    """End-to-end: one conversation exercising every T11-T14 marker; the
+    kernel must emit exactly the oracle's mention sets (self-pair guard,
+    sentence bounds, multi-marker unions, locus surface resolution)."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    texts = [
+        "tp53调控egfr。",
+        "vegfa共变akt1。",
+        "stat3相互作用jak2。",
+        "bcl2调控mtor，且相互作用mtor。腰部表达nos2。",
+        "感冒升高tp53。消渴关联egfr，且降低egfr。",
+        # NOTE: one clause per marker per turn — clause_window (and the
+        # oracle) bind each marker's FIRST occurrence only
+        "casp3参与凋亡通路。",
+        "bcl2参与自噬过程。",
+        "jak2驱动迁移过程。nos2定位于溶酶体。",
+        "mtor活跃于内质网。egfr介导转运活性。",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(texts),
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "role": ["assistant"] * len(texts),
+            "text": texts,
+            "tool": [None] * len(texts),
+            "ts": [ts] * len(texts),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    triples = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipeline.triples(df).collect()
+    }
+    tgt = pipeline.maps["target"]
+    dis = pipeline.maps["disease"]
+    from tcmkg.fixtures.dimensions import dim_maps
+    from tcmkg.fixtures.locus import locus_id_map
+
+    dm = dim_maps()
+    want = {
+        (tgt["tp53"], "gene_regulate_gene", tgt["egfr"]),
+        (tgt["bcl2"], "gene_regulate_gene", tgt["mtor"]),
+        (tgt["vegfa"], "gene_covary_gene", tgt["akt1"]),
+        (tgt["stat3"], "gene_associate_gene", tgt["jak2"]),
+        # bcl2~mtor assoc killed by the regulate claim in the same turn
+        (locus_id_map()["腰部"], "anatomy_express_gene", tgt["nos2"]),
+        (dis["感冒"], "disease_upregulate_gene", tgt["tp53"]),
+        (dis["消渴"], "disease_downregulate_gene", tgt["egfr"]),
+        # 消渴~egfr assoc killed by the down claim in the same turn
+        (tgt["casp3"], "gene_associate_pathway", dm["pathway"]["凋亡通路"]),
+        (tgt["bcl2"], "gene2biological_process", dm["bioprocess"]["自噬过程"]),
+        (tgt["jak2"], "gene2biological_process", dm["bioprocess"]["迁移过程"]),
+        (tgt["nos2"], "gene2cell_component", dm["cellcomp"]["溶酶体"]),
+        (tgt["mtor"], "gene2cell_component", dm["cellcomp"]["内质网"]),
+        (tgt["egfr"], "gene2molecular_function", dm["molfunction"]["转运活性"]),
+    }
+    got = {t for t in triples if t[1] in {w[1] for w in want}}
+    assert got == want, f"spurious={got - want} missing={want - got}"
