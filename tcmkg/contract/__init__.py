@@ -25,6 +25,14 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
+    # round-5 latest: bind set (changes kg_gene_edges + both chain
+    # queries), side-effect certainty pair, anatomy up/down-regulate
+    "kg_sideeffect",
+    "kg_anat_updown",
+    "kg_resemble",
+    "kg_ing_pairs",
+    "kg_gene_edges",
+    "kg_chain_herb_gene",
     # round-5 late additions: gene-side families (gene↔gene, disease→gene,
     # gene→pathway/GO, anatomy-express, ingredient→gene→pathway chain).
     # kg_text_roundtrip's derivation gained the T11-T14 clauses and

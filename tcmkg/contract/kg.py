@@ -111,6 +111,7 @@ from ..fixtures.dimensions import (  # noqa: E402
     CELLCOMP_VOCAB,
     MOLFUNC_VOCAB,
     PATHWAY_VOCAB,
+    SIDEEFFECT_VOCAB,
 )
 from ..fixtures.locus import LOCUS_VOCAB, locus_id_map, locus_surface_rows  # noqa: E402
 
@@ -118,13 +119,15 @@ POOL_PW = [zh for zh, _ in PATHWAY_VOCAB]
 POOL_BPROC = [zh for zh, _ in BIOPROC_VOCAB]
 POOL_CCOMP = [zh for zh, _ in CELLCOMP_VOCAB]
 POOL_MFUNC = [zh for zh, _ in MOLFUNC_VOCAB]
-N_PW, N_BPROC, N_CCOMP, N_MFUNC = map(
-    len, (POOL_PW, POOL_BPROC, POOL_CCOMP, POOL_MFUNC)
+POOL_SE = [zh for zh, _ in SIDEEFFECT_VOCAB]
+N_PW, N_BPROC, N_CCOMP, N_MFUNC, N_SE = map(
+    len, (POOL_PW, POOL_BPROC, POOL_CCOMP, POOL_MFUNC, POOL_SE)
 )
 ID_PW = [dim_id("pathway", i) for i in range(N_PW)]
 ID_BPROC = [dim_id("bioprocess", i) for i in range(N_BPROC)]
 ID_CCOMP = [dim_id("cellcomp", i) for i in range(N_CCOMP)]
 ID_MFUNC = [dim_id("molfunction", i) for i in range(N_MFUNC)]
+ID_SE = [dim_id("sideeffect", i) for i in range(N_SE)]
 
 # loci planted by the T14 anatomy clause: only names whose surface scan
 # resolves to exactly their own id (上肢/下肢 contain the 肢→四肢 stem and
@@ -138,6 +141,9 @@ ID_LOC = [locus_id_map()[zh] for zh in POOL_LOC]
 _GENE_MARKERS = (
     "调控", "共变", "相互作用", "升高", "降低", "关联",
     "参与", "驱动", "定位于", "活跃于", "介导", "表达",
+    # late-r5 statement families: bind, side-effect certainty pair,
+    # anatomy up/down-regulate, resemble (disease + ingredient), interact
+    "绑定", "必致", "或致", "富集", "缺失", "相类", "协同",
 )
 
 
@@ -150,7 +156,7 @@ def _assert_gene_side_safe() -> None:
     (c) marker-free, and the markers themselves must not hide inside any
     alias or already-planted name. Planted loci must self-resolve to
     exactly their own id under the full locus surface map."""
-    vocab = POOL_PW + POOL_BPROC + POOL_CCOMP + POOL_MFUNC
+    vocab = POOL_PW + POOL_BPROC + POOL_CCOMP + POOL_MFUNC + POOL_SE
     for name in vocab:
         assert not any(u in name for u in _UNIVERSE), name
         assert not any(mk in name for mk in _GENE_MARKERS), name
@@ -352,6 +358,65 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(d_ing, F.lit("能致"), d_dis,
                             F.lit("，故忌用于"), d_dis, F.lit("。")))
     )
+    # T17 (m5==3, BEFORE dis_clause in the turn text — the unbounded 能治
+    # partition scans diseases right of the marker, so resemble diseases
+    # must precede it): disease↔disease resemble wheel. rd=1/2 emit the
+    # is_a pair of the NEXT event (eid+1 ≡ 4 mod 5 — the m5==4 taxonomy
+    # line's own pick arithmetic) in forward/swapped order, so the
+    # published-is_a kill is live in both directions at every scale; the
+    # oracle replays resemble − (is_a ∪ rev is_a) over the actual event
+    # sets, boundary events included.
+    v3 = F.floor(F.col("eid") / 5)
+    rd = F.floor(v3 / 2) % 3
+    dr1_idx = v3 % N_DIS
+    dr2_idx = (dr1_idx + 1 + (F.floor(v3 / 11) % (N_DIS - 1))) % N_DIS
+    dR1, dR2 = _pick(POOL_DIS, dr1_idx), _pick(POOL_DIS, dr2_idx)
+    e2 = F.col("eid") + 1
+    dj1 = _pick(POOL_DIS, F.floor(e2 / 2) % N_DIS)
+    dj2 = _pick(POOL_DIS, F.floor(e2 / 4) % N_DIS)
+    disr_clause = (
+        F.when(rd == 0, F.concat(dR1, F.lit("相类"), dR2, F.lit("。")))
+        .when(rd == 1, F.concat(dj1, F.lit("相类"), dj2, F.lit("。")))
+        .otherwise(F.concat(dj2, F.lit("相类"), dj1, F.lit("。")))
+    )
+    # T18/T19 (m5==4): ingredient interact (协同) and ingredient resemble
+    # (相类) wheels; ri=1/3 alternate between the REVERSE of the previous
+    # event-in-residue's pair (mutual — the collapse branch is live) and an
+    # independently swapped pair (non-mutual survivor), gg-r=4 style.
+    v4 = v3
+    ri = v4 % 4
+    mb = F.floor(v4 / 4) % 2
+    iiA_idx = v4 % N_ING
+    iiB_idx = (iiA_idx + 1 + (F.floor(v4 / 7) % (N_ING - 1))) % N_ING
+    v4m1 = v4 - 1
+    iiA1_idx = v4m1 % N_ING
+    iiB1_idx = (iiA1_idx + 1 + (F.floor(v4m1 / 7) % (N_ING - 1))) % N_ING
+    irC_idx = (v4 + 5) % N_ING
+    irD_idx = (irC_idx + 1 + (F.floor(v4 / 9) % (N_ING - 1))) % N_ING
+    irC1_idx = (v4m1 + 5) % N_ING
+    irD1_idx = (irC1_idx + 1 + (F.floor(v4m1 / 9) % (N_ING - 1))) % N_ING
+    ii_clause = (
+        F.when(ri == 0, F.concat(_pick(POOL_INGR, iiA_idx), F.lit("协同"),
+                                 _pick(POOL_INGR, iiB_idx), F.lit("。")))
+        .when(ri == 1, F.when(
+            mb == 0,
+            F.concat(_pick(POOL_INGR, iiB1_idx), F.lit("协同"),
+                     _pick(POOL_INGR, iiA1_idx), F.lit("。")),
+        ).otherwise(
+            F.concat(_pick(POOL_INGR, iiB_idx), F.lit("协同"),
+                     _pick(POOL_INGR, iiA_idx), F.lit("。")),
+        ))
+        .when(ri == 2, F.concat(_pick(POOL_INGR, irC_idx), F.lit("相类"),
+                                _pick(POOL_INGR, irD_idx), F.lit("。")))
+        .otherwise(F.when(
+            mb == 0,
+            F.concat(_pick(POOL_INGR, irD1_idx), F.lit("相类"),
+                     _pick(POOL_INGR, irC1_idx), F.lit("。")),
+        ).otherwise(
+            F.concat(_pick(POOL_INGR, irD_idx), F.lit("相类"),
+                     _pick(POOL_INGR, irC_idx), F.lit("。")),
+        ))
+    )
     # T11 (m5==2, eid%3==0 — eid ≡ 12 mod 15, so eid//15 walks consecutive
     # ints): gene↔gene wheel over p75 with planted conflict (r=3: regulate
     # claims the associate pair in one turn) and swapped-direction associate
@@ -382,12 +447,16 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit("，且相互作用"), gb, F.lit("。")))
         .otherwise(F.concat(gb4, F.lit("相互作用"), ga4, F.lit("。")))
     )
-    # T14 (every second T11 line): anatomy express
+    # T14 (every second T11 line): anatomy express; T14b on the odd p75
+    # half: anatomy up/down-regulate (p75%4==1 富集 / ==3 缺失)
     loc = _pick(POOL_LOC, p75 % N_LOC)
     g2 = _pick(POOL_TGT, (p75 + 7) % 15)
-    anat_clause = F.when(
-        p75 % 2 == 0, F.concat(loc, F.lit("表达"), g2, F.lit("。"))
-    ).otherwise(F.lit(""))
+    g3 = _pick(POOL_TGT, (p75 + 11) % 15)
+    anat_clause = (
+        F.when(p75 % 2 == 0, F.concat(loc, F.lit("表达"), g2, F.lit("。")))
+        .when(p75 % 4 == 1, F.concat(loc, F.lit("富集"), g3, F.lit("。")))
+        .otherwise(F.concat(loc, F.lit("缺失"), g3, F.lit("。")))
+    )
     # T13 (m5==1): disease→gene wheel; residue decoupled from the pair
     # bijection's disease index via the +q//12 term
     q60 = F.floor(F.col("eid") / 5) % 60
@@ -417,17 +486,39 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(w6 == 4, F.concat(gg0, F.lit("活跃于"), _pick(POOL_CCOMP, (u6 + 1) % N_CCOMP), F.lit("。")))
         .otherwise(F.concat(gg0, F.lit("介导"), _pick(POOL_MFUNC, u6 % N_MFUNC), F.lit("。")))
     )
+    # T8 wheel widened to %6 late r5: r=5 adds the bind set (plain bind on
+    # even p60//6, assoc∩bind priority — associate loses to bind — on odd).
+    # The pair↔p60 bijection keeps each pair on ONE residue at every scale,
+    # so the oracle's per-residue CASE stays the algebra's fixed point.
+    r6 = p60 % 6
+    b2 = F.floor(p60 / 6) % 2
     gene_clause = (
-        F.when(r5 == 0, F.concat(g_ing, F.lit("上调"), g_tgt, F.lit("。")))
-        .when(r5 == 1, F.concat(g_ing, F.lit("下调"), g_tgt, F.lit("。")))
-        .when(r5 == 2, F.concat(g_ing, F.lit("作用于"), g_tgt, F.lit("。")))
+        F.when(r6 == 0, F.concat(g_ing, F.lit("上调"), g_tgt, F.lit("。")))
+        .when(r6 == 1, F.concat(g_ing, F.lit("下调"), g_tgt, F.lit("。")))
+        .when(r6 == 2, F.concat(g_ing, F.lit("作用于"), g_tgt, F.lit("。")))
         # up∩down conflict in one turn: both directional edges die
         # corpus-wide, pair moves to associate (triples.gene_edges)
-        .when(r5 == 3, F.concat(g_ing, F.lit("上调"), g_tgt,
+        .when(r6 == 3, F.concat(g_ing, F.lit("上调"), g_tgt,
                                 F.lit("，亦下调"), g_tgt, F.lit("。")))
         # assoc∩up priority: the generic associate edge loses
-        .otherwise(F.concat(g_ing, F.lit("作用于"), g_tgt,
-                            F.lit("，且上调"), g_tgt, F.lit("。")))
+        .when(r6 == 4, F.concat(g_ing, F.lit("作用于"), g_tgt,
+                                F.lit("，且上调"), g_tgt, F.lit("。")))
+        .otherwise(
+            F.when(b2 == 0, F.concat(g_ing, F.lit("绑定"), g_tgt, F.lit("。")))
+            .otherwise(F.concat(g_ing, F.lit("作用于"), g_tgt,
+                                F.lit("，且绑定"), g_tgt, F.lit("。")))
+        )
+    )
+    # T16 (m5==4): ingredient→side-effect certainty wheel; rs=2 plants a
+    # pair claimed by BOTH certainty sets — no de-conflict, both publish
+    se_ing = _pick(POOL_INGR, p60 % N_ING)
+    se_obj = _pick(POOL_SE, (p60 + F.floor(p60 / 12)) % N_SE)
+    rs = F.floor(p60 / 4) % 3
+    se_clause = (
+        F.when(rs == 0, F.concat(se_ing, F.lit("必致"), se_obj, F.lit("。")))
+        .when(rs == 1, F.concat(se_ing, F.lit("或致"), se_obj, F.lit("。")))
+        .otherwise(F.concat(se_ing, F.lit("必致"), se_obj, F.lit("。"),
+                            se_ing, F.lit("或致"), se_obj, F.lit("。")))
     )
 
     text = (
@@ -492,16 +583,20 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit("")),
             ),
         )
-        # m5 == 3: syndrome-symptom line + T9 (ingredient→disease wheel)
-        # + T12 (gene→pathway/GO wheel)
+        # m5 == 3: syndrome-symptom line + T17 (disease resemble — must
+        # precede the 能治 marker, see disr_clause note) + T9
+        # (ingredient→disease wheel) + T12 (gene→pathway/GO wheel)
         .when(m5 == 3, F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2,
-                                F.lit("。"), dis_clause, go_clause))
+                                F.lit("。"), disr_clause, dis_clause,
+                                go_clause))
         # m5 == 4: disease taxonomy line -> disease_is_a_disease with the
         # antisymmetry rule (both directions present corpus-wide -> both die)
         # + T8: an ingredient→gene statement (up/down/associate wheel with
         # planted conflict and priority residues)
         .otherwise(
-            F.concat(dis2, F.lit("属于"), dis3, F.lit("。"), gene_clause)
+            # T16 side-effect + T18/T19 interact/resemble statements
+            F.concat(dis2, F.lit("属于"), dis3, F.lit("。"), gene_clause,
+                     se_clause, ii_clause)
         )
     )
     w = Window.partitionBy("conv_id").orderBy("ts", "eid")
@@ -1102,6 +1197,22 @@ def _sql_text_derivation() -> str:
     g_tgt = _sql_pick(POOL_TGT, f"{_SQL_P60} % {N_TGT}")
     d_dis = _sql_pick(POOL_DIS[:15], f"{_SQL_P60} % 15")
     pcls = _sql_pick(POOL_PCLS, f"(eid // 15) % {N_PCLS}")
+    # T16 side-effect clause twins (subject shares g_ing's index)
+    se_ing = g_ing
+    se_obj = _sql_pick(POOL_SE, f"(({_SQL_P60}) + (({_SQL_P60}) // 12)) % {N_SE}")
+    # T17-T19 resemble/interact clause twins
+    dr1 = _sql_pick(POOL_DIS, _SQL_DR1)
+    dr2 = _sql_pick(POOL_DIS, _SQL_DR2)
+    dj1 = _sql_pick(POOL_DIS, _SQL_DJ1)
+    dj2 = _sql_pick(POOL_DIS, _SQL_DJ2)
+    iiA = _sql_pick(POOL_INGR, _SQL_IIA)
+    iiB = _sql_pick(POOL_INGR, _SQL_IIB)
+    iiA1 = _sql_pick(POOL_INGR, _SQL_IIA1)
+    iiB1 = _sql_pick(POOL_INGR, _SQL_IIB1)
+    irC = _sql_pick(POOL_INGR, _SQL_IRC)
+    irD = _sql_pick(POOL_INGR, _SQL_IRD)
+    irC1 = _sql_pick(POOL_INGR, _SQL_IRC1)
+    irD1 = _sql_pick(POOL_INGR, _SQL_IRD1)
     # gene-side clause twins (T11-T14)
     ga = _sql_pick(POOL_TGT, _SQL_GA_IDX)
     gb = _sql_pick(POOL_TGT, _SQL_GB_IDX)
@@ -1109,6 +1220,7 @@ def _sql_text_derivation() -> str:
     gb4 = _sql_pick(POOL_TGT, _SQL_GB4_IDX)
     loc = _sql_pick(POOL_LOC, f"({_SQL_P75}) % {N_LOC}")
     g2 = _sql_pick(POOL_TGT, f"(({_SQL_P75}) + 7) % 15")
+    g3 = _sql_pick(POOL_TGT, f"(({_SQL_P75}) + 11) % 15")
     dgd = _sql_pick(POOL_DIS[:12], f"({_SQL_P60}) % 12")
     dgg = _sql_pick(POOL_TGT, f"({_SQL_P60}) % 15")
     g0 = _sql_pick(POOL_TGT, f"({_SQL_U6}) % 15")
@@ -1149,9 +1261,17 @@ def _sql_text_derivation() -> str:
                      ELSE {gb4} || '相互作用' || {ga4} || '。'
                    END)
                   || (CASE WHEN ({_SQL_P75}) % 2 = 0
-                           THEN {loc} || '表达' || {g2} || '。' ELSE '' END)
+                           THEN {loc} || '表达' || {g2} || '。'
+                           WHEN ({_SQL_P75}) % 4 = 1
+                           THEN {loc} || '富集' || {g3} || '。'
+                           ELSE {loc} || '缺失' || {g3} || '。' END)
              ELSE '' END)
     WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。' ||
+      (CASE {_SQL_RD}
+         WHEN 0 THEN {dr1} || '相类' || {dr2} || '。'
+         WHEN 1 THEN {dj1} || '相类' || {dj2} || '。'
+         ELSE {dj2} || '相类' || {dj1} || '。'
+       END) ||
       (CASE ({_SQL_P60}) % 5
          WHEN 0 THEN {g_ing} || '能治' || {d_dis} || '。'
          WHEN 1 THEN {g_ing} || '能致' || {d_dis} || '。'
@@ -1168,12 +1288,31 @@ def _sql_text_derivation() -> str:
          ELSE {g0} || '介导' || {mf}
        END) || '。'
     ELSE {dis2} || '属于' || {dis3} || '。' ||
-      (CASE ({_SQL_P60}) % 5
+      (CASE ({_SQL_P60}) % 6
          WHEN 0 THEN {g_ing} || '上调' || {g_tgt} || '。'
          WHEN 1 THEN {g_ing} || '下调' || {g_tgt} || '。'
          WHEN 2 THEN {g_ing} || '作用于' || {g_tgt} || '。'
          WHEN 3 THEN {g_ing} || '上调' || {g_tgt} || '，亦下调' || {g_tgt} || '。'
-         ELSE {g_ing} || '作用于' || {g_tgt} || '，且上调' || {g_tgt} || '。'
+         WHEN 4 THEN {g_ing} || '作用于' || {g_tgt} || '，且上调' || {g_tgt} || '。'
+         ELSE (CASE WHEN (({_SQL_P60}) // 6) % 2 = 0
+                    THEN {g_ing} || '绑定' || {g_tgt} || '。'
+                    ELSE {g_ing} || '作用于' || {g_tgt} || '，且绑定' || {g_tgt} || '。'
+               END)
+       END) ||
+      (CASE ((({_SQL_P60}) // 4) % 3)
+         WHEN 0 THEN {se_ing} || '必致' || {se_obj} || '。'
+         WHEN 1 THEN {se_ing} || '或致' || {se_obj} || '。'
+         ELSE {se_ing} || '必致' || {se_obj} || '。' || {se_ing} || '或致' || {se_obj} || '。'
+       END) ||
+      (CASE {_SQL_RI}
+         WHEN 0 THEN {iiA} || '协同' || {iiB} || '。'
+         WHEN 1 THEN (CASE WHEN {_SQL_MB} = 0
+                           THEN {iiB1} || '协同' || {iiA1} || '。'
+                           ELSE {iiB} || '协同' || {iiA} || '。' END)
+         WHEN 2 THEN {irC} || '相类' || {irD} || '。'
+         ELSE (CASE WHEN {_SQL_MB} = 0
+                    THEN {irD1} || '相类' || {irC1} || '。'
+                    ELSE {irD} || '相类' || {irC} || '。' END)
        END)
   END"""
 
@@ -1207,6 +1346,24 @@ _SQL_GB4_IDX = (
 _SQL_RQ = f"((({_SQL_P60}) + (({_SQL_P60}) // 12)) % 4)"
 _SQL_U6 = "((eid // 5) // 6)"
 _SQL_W6 = "((eid // 5) % 6)"
+# T17 disease-resemble and T18/T19 interact/resemble-ingredient twins
+_SQL_V = "(eid // 5)"
+_SQL_RD = f"((({_SQL_V}) // 2) % 3)"
+_SQL_DR1 = f"(({_SQL_V}) % {N_DIS})"
+_SQL_DR2 = f"((({_SQL_DR1}) + 1 + ((({_SQL_V}) // 11) % {N_DIS - 1})) % {N_DIS})"
+_SQL_DJ1 = f"(((eid + 1) // 2) % {N_DIS})"
+_SQL_DJ2 = f"(((eid + 1) // 4) % {N_DIS})"
+_SQL_RI = f"(({_SQL_V}) % 4)"
+_SQL_MB = f"((({_SQL_V}) // 4) % 2)"
+_SQL_IIA = f"(({_SQL_V}) % {N_ING})"
+_SQL_IIB = f"((({_SQL_IIA}) + 1 + ((({_SQL_V}) // 7) % {N_ING - 1})) % {N_ING})"
+_SQL_VM1 = f"(({_SQL_V}) - 1)"
+_SQL_IIA1 = f"(({_SQL_VM1}) % {N_ING})"
+_SQL_IIB1 = f"((({_SQL_IIA1}) + 1 + ((({_SQL_VM1}) // 7) % {N_ING - 1})) % {N_ING})"
+_SQL_IRC = f"((({_SQL_V}) + 5) % {N_ING})"
+_SQL_IRD = f"((({_SQL_IRC}) + 1 + ((({_SQL_V}) // 9) % {N_ING - 1})) % {N_ING})"
+_SQL_IRC1 = f"((({_SQL_VM1}) + 5) % {N_ING})"
+_SQL_IRD1 = f"((({_SQL_IRC1}) + 1 + ((({_SQL_VM1}) // 9) % {N_ING - 1})) % {N_ING})"
 
 
 def _sql_dim_clause() -> str:
@@ -1309,15 +1466,18 @@ def q_kg_gene_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-conflict algebra (extract_target.py:365-372 + 404-417): ingredient
     上调/下调/作用于 gene statements; up∩down pairs move to associate, and
     associate loses any pair still held by a directional set. The T8
-    residue wheel plants one conflict residue (r=3: up+down in one turn)
-    and one priority residue (r=4: assoc+up), so the oracle's per-residue
-    CASE is exactly the algebra's fixed point at every scale."""
+    residue wheel plants one conflict residue (r=3: up+down in one turn),
+    one priority residue (r=4: assoc+up), and — late r5 — the bind set
+    (extract_target.py:303-308; :405-411 subtracts bind from associate):
+    r=5 alternates plain bind with an assoc∩bind priority case, so every
+    residue still resolves to exactly one surviving edge."""
     t = _triples(spark, sf_dir)
     return t.filter(
         F.col("pred").isin(
             "ingredient_upregulate_gene",
             "ingredient_downregulate_gene",
             "ingredient_associate_gene",
+            "ingredient_bind_gene",
         )
     ).select("subj", "pred", "obj")
 
@@ -1331,10 +1491,11 @@ WITH base AS (
 )
 SELECT DISTINCT
   {ing} AS subj,
-  CASE p % 5
+  CASE p % 6
     WHEN 0 THEN 'ingredient_upregulate_gene'
     WHEN 4 THEN 'ingredient_upregulate_gene'
     WHEN 1 THEN 'ingredient_downregulate_gene'
+    WHEN 5 THEN 'ingredient_bind_gene'
     ELSE 'ingredient_associate_gene'
   END AS pred,
   {tgt} AS obj
@@ -1424,6 +1585,7 @@ def q_kg_chain_herb_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ingredient_upregulate_gene",
             "ingredient_downregulate_gene",
             "ingredient_associate_gene",
+            "ingredient_bind_gene",
         )
     ).select(F.col("subj").alias("ingr"), F.col("obj").alias("gene"))
     return hi.join(ig, "ingr").select("herb", "gene").distinct()
@@ -1616,6 +1778,7 @@ def q_kg_chain_ing_pathway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ingredient_upregulate_gene",
             "ingredient_downregulate_gene",
             "ingredient_associate_gene",
+            "ingredient_bind_gene",
         )
     ).select(F.col("subj").alias("ingr"), F.col("obj").alias("gene"))
     gp = t.filter(F.col("pred") == "gene_associate_pathway").select(
@@ -1646,6 +1809,171 @@ FROM ig JOIN gp ON ig.gene = gp.gene
 """
 
 
+def q_kg_sideeffect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingredient→side-effect certainty pair (reference
+    extract_ingredient.py:684-735: CAUSES_CHcSE and MIGHT_CAUSES_CHmcSE
+    publish as two independent relation sets with NO de-conflict — the T16
+    wheel's rs=2 residue plants a pair claimed by both, which must appear
+    under BOTH predicates). Side-effect entities are the TMSE fixed table
+    (extract_other_entities.py:436-496)."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "ingredient_cause_sideeffect", "ingredient_might_cause_sideeffect"
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_sideeffect() -> str:
+    ing = _sql_pick(CANON_INGR, f"p % {N_ING}")
+    se = _sql_pick(ID_SE, f"(p + p // 12) % {N_SE}")
+    return f"""
+WITH base AS (
+  SELECT ({_SQL_P60}) AS p FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 4)
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT {ing} AS subj, 'ingredient_cause_sideeffect' AS pred, {se} AS obj
+  FROM base WHERE (p // 4) % 3 IN (0, 2)
+  UNION ALL
+  SELECT {ing}, 'ingredient_might_cause_sideeffect', {se}
+  FROM base WHERE (p // 4) % 3 IN (1, 2)
+)
+"""
+
+
+def q_kg_anat_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anatomy up/down-regulate gene (the UPREGULATES_AuG /
+    DOWNREGULATES_AdG relations of the reference's anatomy→gene family,
+    extract_target.py:612-658): subject resolves through the locus surface
+    map, object through the gene gazetteer CC — published as plain
+    distinct pairs alongside anatomy_express_gene."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin("anatomy_upregulate_gene", "anatomy_downregulate_gene")
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_anat_updown() -> str:
+    lid = _sql_pick(ID_LOC, f"p % {N_LOC}")
+    g3 = _sql_pick(CANON_TGT, "(p + 11) % 15")
+    return f"""
+WITH base AS (
+  SELECT DISTINCT ({_SQL_P75}) AS p
+  FROM (SELECT event_id AS eid FROM events
+        WHERE event_id % 5 = 2 AND event_id % 3 = 0)
+)
+SELECT DISTINCT {lid} AS subj,
+  CASE WHEN p % 4 = 1 THEN 'anatomy_upregulate_gene'
+       ELSE 'anatomy_downregulate_gene' END AS pred,
+  {g3} AS obj
+FROM base WHERE p % 2 = 1
+"""
+
+
+def q_kg_resemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """disease_resemble_disease with the reference's cross-family kill
+    (extract_disease.py:311-317): resemble loses any pair present — in
+    either direction — in the PUBLISHED disease_is_a_disease set. The T17
+    wheel emits the NEXT event's is_a pair forward (rd=1) and swapped
+    (rd=2), so both kill directions are live; the oracle replays
+    resemble − (is_a ∪ reversed is_a) over the actual event sets."""
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "disease_resemble_disease").select(
+        "subj", "obj"
+    )
+
+
+def _sql_kg_resemble() -> str:
+    cr1 = _sql_pick(CANON_DIS, _SQL_DR1)
+    cr2 = _sql_pick(CANON_DIS, _SQL_DR2)
+    cj1 = _sql_pick(CANON_DIS, _SQL_DJ1)
+    cj2 = _sql_pick(CANON_DIS, _SQL_DJ2)
+    isa_s = _sql_pick(CANON_DIS, f"(event_id // 2) % {N_DIS}")
+    isa_o = _sql_pick(CANON_DIS, f"(event_id // 4) % {N_DIS}")
+    return f"""
+WITH res AS (
+  SELECT DISTINCT
+    CASE {_SQL_RD} WHEN 0 THEN {cr1} WHEN 1 THEN {cj1} ELSE {cj2} END AS subj,
+    CASE {_SQL_RD} WHEN 0 THEN {cr2} WHEN 1 THEN {cj2} ELSE {cj1} END AS obj
+  FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 3)
+),
+isap AS (
+  SELECT DISTINCT {isa_s} AS subj, {isa_o} AS obj
+  FROM events WHERE event_id % 5 = 4
+),
+isaf AS (
+  SELECT subj, obj FROM isap p
+  WHERE p.subj <> p.obj
+    AND NOT EXISTS (SELECT 1 FROM isap r WHERE r.subj = p.obj AND r.obj = p.subj)
+)
+SELECT subj, obj FROM res
+WHERE subj <> obj
+  AND NOT EXISTS (SELECT 1 FROM isaf f
+                  WHERE (f.subj = res.subj AND f.obj = res.obj)
+                     OR (f.subj = res.obj AND f.obj = res.subj))
+"""
+
+
+def q_kg_ing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingredient↔ingredient families (extract_ingredient.py:320-391):
+    interact (INTERACTS_CHiCH → ingredient_associate_ingredient) and
+    resemble (RESEMBLES_CrC), both with the reference's mutual-pair
+    collapse — the kept direction here is the deterministic subj<obj one
+    (the reference keeps whichever direction set iteration yields first;
+    the output SET is identical). The T18/T19 wheels plant guaranteed
+    mutual pairs (reverse-of-previous construction), so the collapse
+    branch is live at every scale; the oracle replays the sets."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "ingredient_associate_ingredient", "ingredient_resemble_ingredient"
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_ing_pairs() -> str:
+    n, n1 = N_ING, N_ING - 1
+    a = _sql_pick(CANON_INGR, f"v % {n}")
+    b = _sql_pick(CANON_INGR, f"((v % {n}) + 1 + ((v // 7) % {n1})) % {n}")
+    a1 = _sql_pick(CANON_INGR, f"(v - 1) % {n}")
+    b1 = _sql_pick(CANON_INGR, f"(((v - 1) % {n}) + 1 + (((v - 1) // 7) % {n1})) % {n}")
+    c = _sql_pick(CANON_INGR, f"(v + 5) % {n}")
+    d = _sql_pick(CANON_INGR, f"(((v + 5) % {n}) + 1 + ((v // 9) % {n1})) % {n}")
+    c1 = _sql_pick(CANON_INGR, f"((v - 1) + 5) % {n}")
+    d1 = _sql_pick(CANON_INGR, f"((((v - 1) + 5) % {n}) + 1 + (((v - 1) // 9) % {n1})) % {n}")
+    collapse = (
+        "SELECT subj, obj FROM {src} s "
+        "WHERE NOT (subj > obj AND EXISTS "
+        "(SELECT 1 FROM {src} r WHERE r.subj = s.obj AND r.obj = s.subj))"
+    )
+    return f"""
+WITH base AS (
+  SELECT (eid // 5) AS v FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 4)
+),
+ii AS (
+  SELECT DISTINCT
+    CASE WHEN v % 4 = 0 THEN {a}
+         WHEN (v // 4) % 2 = 0 THEN {b1} ELSE {b} END AS subj,
+    CASE WHEN v % 4 = 0 THEN {b}
+         WHEN (v // 4) % 2 = 0 THEN {a1} ELSE {a} END AS obj
+  FROM base WHERE v % 4 IN (0, 1)
+),
+ir AS (
+  SELECT DISTINCT
+    CASE WHEN v % 4 = 2 THEN {c}
+         WHEN (v // 4) % 2 = 0 THEN {d1} ELSE {d} END AS subj,
+    CASE WHEN v % 4 = 2 THEN {d}
+         WHEN (v // 4) % 2 = 0 THEN {c1} ELSE {c} END AS obj
+  FROM base WHERE v % 4 IN (2, 3)
+)
+SELECT subj, 'ingredient_associate_ingredient' AS pred, obj
+FROM ({collapse.format(src='ii')})
+UNION ALL
+SELECT subj, 'ingredient_resemble_ingredient', obj
+FROM ({collapse.format(src='ir')})
+"""
+
+
 def q_kg_dim_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension entities in the nodes table (zh surface + English gloss),
     with reference-scheme surrogate ids — the static entity-table side of
@@ -1654,7 +1982,7 @@ def q_kg_dim_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.nodes_table().filter(
         F.col("entity_type").isin(
             "property", "flavour", "tropism", "toxicity", "pharm_class",
-            "pathway", "bioprocess", "cellcomp", "molfunction",
+            "pathway", "bioprocess", "cellcomp", "molfunction", "sideeffect",
         )
     ).select(
         "canonical_id",
@@ -1744,6 +2072,10 @@ def _sql_kg_nodes() -> str:
 
 
 KG_QUERIES = {
+    "kg_sideeffect": q_kg_sideeffect,
+    "kg_anat_updown": q_kg_anat_updown,
+    "kg_resemble": q_kg_resemble,
+    "kg_ing_pairs": q_kg_ing_pairs,
     "kg_gene_gene": q_kg_gene_gene,
     "kg_dis_gene": q_kg_dis_gene,
     "kg_gene_go": q_kg_gene_go,
@@ -1776,6 +2108,10 @@ KG_QUERIES = {
 }
 
 KG_ORACLES = {
+    "kg_sideeffect": _sql_kg_sideeffect(),
+    "kg_anat_updown": _sql_kg_anat_updown(),
+    "kg_resemble": _sql_kg_resemble(),
+    "kg_ing_pairs": _sql_kg_ing_pairs(),
     "kg_gene_gene": _sql_kg_gene_gene(),
     "kg_dis_gene": _sql_kg_dis_gene(),
     "kg_gene_go": _sql_kg_gene_go(),

@@ -141,6 +141,24 @@ MOLFUNC_VOCAB: list[tuple[str, str]] = [
     ("转运活性", "transport activity"),
 ]
 
+# side-effect entity family (reference extract_other_entities.py:436-496:
+# PrimeKG + PharMeBINet side-effect tables xref-merged by six external-id
+# keys into TMSE ids — the reference's format string "TMSE{:5d}" space-pads;
+# we zero-pad like every other family and note the quirk here). In the
+# transcript KG the family is a fixed vocabulary whose edges arrive as
+# 必致/或致 statements (extract_ingredient.py:684-735 CAUSES_CHcSE /
+# MIGHT_CAUSES_CHmcSE). The 反应/感 suffixes keep every name substring-free
+# vs the symptom/disease gazetteers (asserted in contract/kg.py).
+SIDEEFFECT_VOCAB: list[tuple[str, str]] = [
+    ("药疹反应", "drug rash"),
+    ("晕沉反应", "drowsiness"),
+    ("胃逆反应", "gastric upset"),
+    ("倦乏反应", "fatigue"),
+    ("悸动反应", "palpitation"),
+    ("浮泛反应", "edema reaction"),
+    ("燥渴反应", "dry-mouth reaction"),
+]
+
 # surrogate-id scheme per the reference (extract_herb.py:491-493 TMFV%05d,
 # :512-514 TMTX%05d, :547-549 TMTP%02d, :578-580 TMPP%05d)
 DIM_SPECS: dict[str, tuple[list[tuple[str, str]], str, int]] = {
@@ -155,6 +173,8 @@ DIM_SPECS: dict[str, tuple[list[tuple[str, str]], str, int]] = {
     "bioprocess": (BIOPROC_VOCAB, "TMBP", 5),
     "cellcomp": (CELLCOMP_VOCAB, "TMCC", 5),
     "molfunction": (MOLFUNC_VOCAB, "TMMF", 5),
+    # side-effect family (extract_other_entities.py:491-493 TMSE ids)
+    "sideeffect": (SIDEEFFECT_VOCAB, "TMSE", 5),
 }
 
 # kernel mention kind -> edge predicate (the reference's Relation_type

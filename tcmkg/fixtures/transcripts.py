@@ -50,6 +50,20 @@ Turn-text templates (the extraction rules live in pipeline/ and oracle/):
   T13 "<disease>升高/降低/关联<gene>。"        -> disease_{up,down}regulate_
       gene / disease_associate_gene (assoc − up − down)
   T14 "<locus>表达<gene>。"                   -> anatomy_express_gene
+  T14b "<locus>富集/缺失<gene>。"             -> anatomy_{up,down}regulate_gene
+  T15 "<ingredient>绑定<gene>。"              -> ingredient_bind_gene (also
+      subtracts from ingredient_associate_gene, with a planted
+      assoc∩bind priority case)
+  T16 "<ingredient>必致/或致<side-effect>。"   -> ingredient_{cause,
+      might_cause}_sideeffect (both certainty sets published; a planted
+      pair holds BOTH — no de-conflict, per the reference)
+  T17 "<disease>相类<disease>。"              -> disease_resemble_disease
+      (killed by published is_a in either direction; both kill directions
+      planted)
+  T18 "<ingredient>协同<ingredient>。"        -> ingredient_associate_
+      ingredient (mutual pairs planted -> one canonical edge)
+  T19 "<ingredient>相类<ingredient>。"        -> ingredient_resemble_
+      ingredient (same mutual collapse)
 """
 
 from __future__ import annotations
@@ -64,6 +78,7 @@ from .dimensions import (
     PATHWAY_VOCAB,
     PHARM_CLASS_VOCAB,
     PROPERTY_VOCAB,
+    SIDEEFFECT_VOCAB,
     TOXICITY_VOCAB,
     TROPISM_VOCAB,
 )
@@ -118,6 +133,7 @@ _BPS = [zh for zh, _ in BIOPROC_VOCAB]
 _CCS = [zh for zh, _ in CELLCOMP_VOCAB]
 _MFS = [zh for zh, _ in MOLFUNC_VOCAB]
 _LOCI = [zh for zh, _ in LOCUS_VOCAB]
+_SES = [zh for zh, _ in SIDEEFFECT_VOCAB]
 
 
 def _dim_clause(c: int, k: int) -> str:
@@ -310,6 +326,18 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     yield row(f"{d1}属于{d2}。", role, tool)
                     if c % 19 == 0 and k == 1:
                         yield row(f"{d2}属于{d1}。", "assistant")  # bidirectional -> both dropped
+                # T17 disease resemble (extract_disease.py:303-317): killed
+                # when the pair survives in published is_a, either direction
+                w3 = (c // 12 + k) % 4
+                if w3 == 0 and d1 != d2:
+                    yield row(f"{d1}相类{d2}。", role, tool)   # same-dir kill
+                elif w3 == 1 and d1 != d2:
+                    yield row(f"{d2}相类{d1}。", role, tool)   # reverse-dir kill
+                elif w3 == 2:
+                    dA = diseases[(c * 7 + k + 2) % len(diseases)]
+                    dB = diseases[(c * 7 + k + 9) % len(diseases)]
+                    if dA != dB:
+                        yield row(f"{dA}相类{dB}。", role, tool)  # plain
             elif kind == 7:
                 near = _NEARMISS[(c + k) % len(_NEARMISS)]
                 yield row(
@@ -345,6 +373,16 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     yield row(f"{gb}相互作用{ga}。", "assistant")
                 loc = _LOCI[(c * 3 + k) % len(_LOCI)]
                 yield row(f"{loc}表达{ga}。", role, tool)
+                # T14b anatomy up/down-regulate wheel. kind==9 pins
+                # c ≡ 9-2k (mod 12), which makes any (a·c+b·k) % 3 wheel
+                # with b ≡ 2a (mod 3) CONSTANT on these blocks (e.g. the
+                # first attempt (5c+k)%3 ≡ 0 always) — c//12 walks freely,
+                # so this wheel hits all three residues
+                w2 = (c // 12 + k) % 3
+                if w2 == 0:
+                    yield row(f"{loc}富集{gb}。", role, tool)
+                elif w2 == 1:
+                    yield row(f"{loc}缺失{gb}。", role, tool)
             elif kind == 10:
                 # T13 disease→gene wheel with the assoc-loses conflict line
                 d10 = diseases[(c * 7 + k) % len(diseases)]
@@ -390,7 +428,7 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                 elif (c + k) % 3 == 1:
                     yield row(f"{pcls}包括{ing2}。", role, tool)
                 tg = _TGT_POOL[(c * 3 + k) % nt]
-                v = (c + k) % 5
+                v = (c + k) % 7
                 if v == 0:
                     yield row(f"{ing1}上调{tg}。", role, tool)
                 elif v == 1:
@@ -401,10 +439,42 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     # up∩down conflict: both directional edges die, pair
                     # moves to associate (reference extract_target.py:365-372)
                     yield row(f"{ing1}上调{tg}，亦下调{tg}。", role, tool)
-                else:
+                elif v == 4:
                     # assoc∩up priority: the generic associate edge loses
                     # (reference extract_target.py:404-417)
                     yield row(f"{ing1}作用于{tg}，且上调{tg}。", role, tool)
+                elif v == 5:
+                    # T15 plain bind (extract_target.py:303-308)
+                    yield row(f"{ing1}绑定{tg}。", role, tool)
+                else:
+                    # assoc∩bind priority: associate loses to bind
+                    # (extract_target.py:405-411 final subtracts bind)
+                    yield row(f"{ing1}作用于{tg}，且绑定{tg}。", role, tool)
+                # T18/T19 ingredient interact + ingredient resemble
+                # (extract_ingredient.py:320-391): mutual pairs collapse to
+                # one canonical subj<obj edge
+                w4 = (c // 12 + k) % 4
+                if w4 == 0:
+                    yield row(f"{ing1}协同{ing2}。", role, tool)
+                elif w4 == 1:
+                    yield row(f"{ing1}协同{ing2}。", role, tool)
+                    yield row(f"{ing2}协同{ing1}。", "assistant")  # mutual
+                elif w4 == 2:
+                    yield row(f"{ing1}相类{ing2}。", role, tool)
+                else:
+                    yield row(f"{ing1}相类{ing2}。", role, tool)
+                    yield row(f"{ing2}相类{ing1}。", "assistant")  # mutual
+                # T16: ingredient→side-effect certainty wheel
+                se = _SES[(c * 5 + k) % len(_SES)]
+                u2 = (c + k * 7) % 3
+                if u2 == 0:
+                    yield row(f"{ing1}必致{se}。", role, tool)
+                elif u2 == 1:
+                    yield row(f"{ing1}或致{se}。", role, tool)
+                else:
+                    # both certainty sets claim the pair -> BOTH publish
+                    # (no de-conflict in the reference)
+                    yield row(f"{ing1}必致{se}。{ing1}或致{se}。", role, tool)
                 # T9: ingredient→disease statement with the three-way
                 # conflict wheel (treat / induce / contraindicate)
                 d9 = diseases[(c * 11 + k) % len(diseases)]

@@ -96,6 +96,14 @@ PRED_G_BIOPROC = "gene2biological_process"
 PRED_G_CELLCOMP = "gene2cell_component"
 PRED_G_MOLFUNC = "gene2molecular_function"
 PRED_ANAT_EXPRESS = "anatomy_express_gene"
+PRED_BIND = "ingredient_bind_gene"
+PRED_I_CAUSE_SE = "ingredient_cause_sideeffect"
+PRED_I_MIGHT_SE = "ingredient_might_cause_sideeffect"
+PRED_ANAT_UP = "anatomy_upregulate_gene"
+PRED_ANAT_DOWN = "anatomy_downregulate_gene"
+PRED_DIS_RESEMBLE = "disease_resemble_disease"
+PRED_ING_RESEMBLE = "ingredient_resemble_ingredient"
+PRED_ING_INTERACT = "ingredient_associate_ingredient"
 
 DEGREE_CAP = 50
 
@@ -195,6 +203,7 @@ class OracleExtractor:
         up_gene: set[tuple[str, str]] = set()
         down_gene: set[tuple[str, str]] = set()
         assoc_gene: set[tuple[str, str]] = set()
+        bind_gene: set[tuple[str, str]] = set()
         i_treat: set[tuple[str, str]] = set()
         i_induce: set[tuple[str, str]] = set()
         i_contra: set[tuple[str, str]] = set()
@@ -210,11 +219,14 @@ class OracleExtractor:
         loc_map = {r["surface"]: r["locus_id"] for r in locus_surface_rows()}
         side = {
             name: (AhoCorasick(dm[name].keys()), dm[name])
-            for name in ("pathway", "bioprocess", "cellcomp", "molfunction")
+            for name in (
+                "pathway", "bioprocess", "cellcomp", "molfunction", "sideeffect"
+            )
         }
         side["locus"] = (AhoCorasick(loc_map.keys()), loc_map)
         side["target"] = (self.ac["target"], self.maps["target"])
         side["disease"] = (self.ac["disease"], self.maps["disease"])
+        side["ingredient"] = (self.ac["ingredient"], self.maps["ingredient"])
         # sentence-bounded statement handlers — same table as the pipeline
         # kernel (reference shapes: extract_target.py:425-493 gene↔gene,
         # :520-607 disease→gene, :653-761 gene→pathway/GO unions, :612-658
@@ -224,7 +236,9 @@ class OracleExtractor:
             for k in (
                 "gg_reg", "gg_cov", "gg_assoc", "dg_up", "dg_down",
                 "dg_assoc", "g_pathway", "g_bioproc", "g_cellcomp",
-                "g_molfunc", "anat_express",
+                "g_molfunc", "anat_express", "i_cause_se", "i_might_se",
+                "anat_up", "anat_down", "dis_resemble", "ing_resemble",
+                "ing_interact",
             )
         }
         sent_handlers = [
@@ -241,6 +255,13 @@ class OracleExtractor:
             ("活跃于", "target", "cellcomp", "g_cellcomp"),
             ("介导", "target", "molfunction", "g_molfunc"),
             ("表达", "locus", "target", "anat_express"),
+            ("必致", "ingredient", "sideeffect", "i_cause_se"),
+            ("或致", "ingredient", "sideeffect", "i_might_se"),
+            ("富集", "locus", "target", "anat_up"),
+            ("缺失", "locus", "target", "anat_down"),
+            ("相类", "disease", "disease", "dis_resemble"),
+            ("相类", "ingredient", "ingredient", "ing_resemble"),
+            ("协同", "ingredient", "ingredient", "ing_interact"),
         ]
 
         fmap = self.maps["formula"]
@@ -293,7 +314,8 @@ class OracleExtractor:
                         for ing in self.ac["ingredient"].find_set(right):
                             consistof.add((hmap[h], self.maps["ingredient"][ing]))
                 for marker, sink in (
-                    ("上调", up_gene), ("下调", down_gene), ("作用于", assoc_gene),
+                    ("上调", up_gene), ("下调", down_gene),
+                    ("作用于", assoc_gene), ("绑定", bind_gene),
                 ):
                     if marker in t:
                         left, _, right = t.partition(marker)
@@ -399,9 +421,27 @@ class OracleExtractor:
         for sm, sy in indicates:
             triples.add((sm, PRED_INDICATES, sy, None))
 
-        for a, b in is_a:
-            if (b, a) not in is_a:
-                triples.add((a, PRED_IS_A, b, None))
+        isa_final = {(a, b) for a, b in is_a if (b, a) not in is_a}
+        for a, b in isa_final:
+            triples.add((a, PRED_IS_A, b, None))
+
+        # ---- disease resemble (extract_disease.py:311-317): killed by the
+        # PUBLISHED is_a set in either direction
+        isa_kill = isa_final | {(b, a) for a, b in isa_final}
+        for a, b in sent_sinks["dis_resemble"] - isa_kill:
+            triples.add((a, PRED_DIS_RESEMBLE, b, None))
+
+        # ---- ingredient resemble / interact: mutual pairs collapse to the
+        # subj<obj direction (extract_ingredient.py:354-361, 375-383 —
+        # deterministic analogue of the set-iteration-order remove_rel loop)
+        for kind, pred in (
+            ("ing_resemble", PRED_ING_RESEMBLE),
+            ("ing_interact", PRED_ING_INTERACT),
+        ):
+            s0 = sent_sinks[kind]
+            kept = {(a, b) for a, b in s0 if not ((b, a) in s0 and a > b)}
+            for a, b in kept:
+                triples.add((a, pred, b, None))
 
         for h, pred, did in dims:
             triples.add((h, pred, did, None))
@@ -409,17 +449,22 @@ class OracleExtractor:
         for h, ing in consistof:
             triples.add((h, PRED_CONSISTOF, ing, None))
 
-        # ---- ingredient→gene de-conflict (extract_target.py:365-372,404-417)
+        # ---- ingredient→gene de-conflict (extract_target.py:365-372,
+        # 404-411: final associate also subtracts bind; bind publishes raw)
         conflict = up_gene & down_gene
         up_final = up_gene - conflict
         down_final = down_gene - conflict
-        assoc_final = (assoc_gene | conflict) - up_final - down_final
+        assoc_final = (
+            (assoc_gene | conflict) - up_final - down_final - bind_gene
+        )
         for ing, g in up_final:
             triples.add((ing, PRED_UP, g, None))
         for ing, g in down_final:
             triples.add((ing, PRED_DOWN, g, None))
         for ing, g in assoc_final:
             triples.add((ing, PRED_ASSOC, g, None))
+        for ing, g in bind_gene:
+            triples.add((ing, PRED_BIND, g, None))
 
         # ---- ingredient→disease three-way de-conflict
         # (extract_ingredient.py:514-521): conflict = treats ∩ (induces ∪
@@ -472,6 +517,10 @@ class OracleExtractor:
             ("g_cellcomp", PRED_G_CELLCOMP),
             ("g_molfunc", PRED_G_MOLFUNC),
             ("anat_express", PRED_ANAT_EXPRESS),
+            ("i_cause_se", PRED_I_CAUSE_SE),
+            ("i_might_se", PRED_I_MIGHT_SE),
+            ("anat_up", PRED_ANAT_UP),
+            ("anat_down", PRED_ANAT_DOWN),
         ):
             for s, o in sent_sinks[kind]:
                 triples.add((s, pred, o, None))

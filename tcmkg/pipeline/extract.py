@@ -135,6 +135,17 @@ RULE_MARKERS = (
     # GO (:653-761), anatomy→gene express (:612-658)
     "调控", "共变", "相互作用", "升高", "降低", "关联",
     "参与", "驱动", "定位于", "活跃于", "介导", "表达",
+    # ingredient_bind_gene (extract_target.py:303-308 BINDS_CHbG),
+    # ingredient {cause, might-cause} side-effect (extract_ingredient.py:
+    # 684-735), anatomy up/down-regulate gene (extract_target.py:612-658
+    # UPREGULATES_AuG / DOWNREGULATES_AdG analogues)
+    "绑定", "必致", "或致", "富集", "缺失",
+    # resemble families (disease extract_disease.py:303-317, ingredient
+    # extract_ingredient.py:354-372) and ingredient interact
+    # (extract_ingredient.py:320-338,375-391). 相类 rather than 类似:
+    # 类似 appears in the inert filler prose, and a filler marker would
+    # defeat the rule prefilter corpus-wide.
+    "相类", "协同",
 )
 
 
@@ -226,12 +237,15 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         loc_map = {r["surface"]: r["locus_id"] for r in locus_surface_rows()}
         _statics = {
             dim: (get_automaton(f"static:{dim}", dm[dim].keys()), dm[dim])
-            for dim in ("pathway", "bioprocess", "cellcomp", "molfunction")
+            for dim in (
+                "pathway", "bioprocess", "cellcomp", "molfunction", "sideeffect"
+            )
         }
         _statics["locus"] = (get_automaton("static:locus", loc_map.keys()), loc_map)
         _gaz = {
             "target": (ac_tgt, m["target"]),
             "disease": (ac_dis, m["disease"]),
+            "ingredient": (ac_ing, m["ingredient"]),
         }
 
         def _side(name):
@@ -262,6 +276,23 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                 ("活跃于", "target", "cellcomp", "g_cellcomp"),
                 ("介导", "target", "molfunction", "g_molfunc"),
                 ("表达", "locus", "target", "anat_express"),
+                # ingredient→side-effect certainty pair (CAUSES_CHcSE /
+                # MIGHT_CAUSES_CHmcSE, extract_ingredient.py:684-735 —
+                # both sets published, no de-conflict)
+                ("必致", "ingredient", "sideeffect", "i_cause_se"),
+                ("或致", "ingredient", "sideeffect", "i_might_se"),
+                # anatomy up/down-regulate (extract_target.py:612-658)
+                ("富集", "locus", "target", "anat_up"),
+                ("缺失", "locus", "target", "anat_down"),
+                # resemble: ONE marker resolved against two entity-type
+                # pairs (extract_disease.py:303-317 RESEMBLES_DrD,
+                # extract_ingredient.py:354-372 RESEMBLES_CrC) — the
+                # extract_specific_relation parameterized-id-map shape
+                ("相类", "disease", "disease", "dis_resemble"),
+                ("相类", "ingredient", "ingredient", "ing_resemble"),
+                # ingredient interact (extract_ingredient.py:320-338
+                # INTERACTS_CHiCH → ingredient_associate_ingredient)
+                ("协同", "ingredient", "ingredient", "ing_interact"),
             )
         ]
 
@@ -336,7 +367,8 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                 # extract_ingredient.py:476-542): mention sets collected
                 # here, de-conflicted in triples.py
                 for marker, kindname in (
-                    ("上调", "up_gene"), ("下调", "down_gene"), ("作用于", "assoc_gene"),
+                    ("上调", "up_gene"), ("下调", "down_gene"),
+                    ("作用于", "assoc_gene"), ("绑定", "bind_gene"),
                 ):
                     if marker in t:
                         left, _, right = t.partition(marker)

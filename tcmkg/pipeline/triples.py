@@ -76,6 +76,23 @@ PRED_OF_KIND = {
     "g_molfunc": "gene2molecular_function",
     # anatomy→gene (extract_target.py:612-658 EXPRESSES_AeG)
     "anat_express": "anatomy_express_gene",
+    # fourth ingredient→gene set (extract_target.py:303-308 BINDS_CHbG;
+    # :405-411 subtracts it from associate)
+    "bind_gene": "ingredient_bind_gene",
+    # ingredient→side-effect certainty pair (extract_ingredient.py:684-735
+    # CAUSES_CHcSE / MIGHT_CAUSES_CHmcSE — both published, no de-conflict)
+    "i_cause_se": "ingredient_cause_sideeffect",
+    "i_might_se": "ingredient_might_cause_sideeffect",
+    # anatomy up/down-regulate gene (extract_target.py:612-658 family)
+    "anat_up": "anatomy_upregulate_gene",
+    "anat_down": "anatomy_downregulate_gene",
+    # resemble families: disease loses pairs present (either direction) in
+    # the published is_a set (extract_disease.py:311-317); ingredient
+    # mutual-collapses (extract_ingredient.py:354-361)
+    "dis_resemble": "disease_resemble_disease",
+    "ing_resemble": "ingredient_resemble_ingredient",
+    # ingredient interact, mutual-collapsed (extract_ingredient.py:375-391)
+    "ing_interact": "ingredient_associate_ingredient",
 }
 
 
@@ -139,18 +156,23 @@ def treats_edges(pairs: DataFrame) -> DataFrame:
     return treats.join(induces, ["subj", "obj"], "left_anti")
 
 
-def gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def gene_edges(
+    pairs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Ingredient→gene de-conflict algebra (reference extract_target.py:
-    365-372 + 404-417): up∩down pairs are CONFLICTS — removed from both
+    365-372 + 404-411): up∩down pairs are CONFLICTS — removed from both
     directional sets and moved into associate; associate then loses any
-    pair that survives in a directional set (specific beats generic).
+    pair that survives in a directional set OR in bind (specific beats
+    generic; the reference's final = assoc − down − up − bind). Bind is
+    published unfiltered, like the directional sets.
 
-    -> (upregulate, downregulate, associate) pair frames. All inputs are
-    the deduped pair frame (O(distinct pairs), tiny next to the corpus),
-    so these anti/semi joins never touch the mention stream."""
+    -> (upregulate, downregulate, associate, bind) pair frames. All inputs
+    are the deduped pair frame (O(distinct pairs), tiny next to the
+    corpus), so these anti/semi joins never touch the mention stream."""
     up = _pairs(pairs, "up_gene")
     down = _pairs(pairs, "down_gene")
     assoc = _pairs(pairs, "assoc_gene")
+    bind = _pairs(pairs, "bind_gene")
     conflict = up.join(down, ["subj", "obj"], "left_semi")
     up_f = up.join(down, ["subj", "obj"], "left_anti")
     down_f = down.join(up, ["subj", "obj"], "left_anti")
@@ -159,8 +181,9 @@ def gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         .dropDuplicates(["subj", "obj"])
         .join(up_f, ["subj", "obj"], "left_anti")
         .join(down_f, ["subj", "obj"], "left_anti")
+        .join(bind, ["subj", "obj"], "left_anti")
     )
-    return up_f, down_f, assoc_f
+    return up_f, down_f, assoc_f, bind
 
 
 def ingredient_disease_edges(
@@ -190,6 +213,19 @@ def _swap(df: DataFrame) -> DataFrame:
     return df.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
 
 
+def _collapse_mutual(df: DataFrame) -> DataFrame:
+    """Symmetric dedup: when both (a,b) and (b,a) are present, keep only
+    the subj<obj direction. The reference's remove_rel loop
+    (extract_ingredient.py:354-361, 375-383; extract_target.py:476-483)
+    keeps whichever direction set iteration yields first — output as a SET
+    is the same; the kept direction here is deterministic (documented
+    divergence). Runs on deduped pair frames only."""
+    hi = df.join(_swap(df), ["subj", "obj"], "left_semi").filter(
+        F.col("subj") > F.col("obj")
+    )
+    return df.join(hi, ["subj", "obj"], "left_anti")
+
+
 def gene_gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Gene↔gene de-conflict algebra (reference extract_target.py:453-486):
     associate = (interacts ∪ protein_protein mentions) minus every pair
@@ -212,11 +248,7 @@ def gene_gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     )
     assoc1 = assoc.join(kill, ["subj", "obj"], "left_anti")
     # symmetric dedup: drop (a,b) when (b,a) also survives and a > b
-    mutual_hi = assoc1.join(_swap(assoc1), ["subj", "obj"], "left_semi").filter(
-        F.col("subj") > F.col("obj")
-    )
-    assoc2 = assoc1.join(mutual_hi, ["subj", "obj"], "left_anti")
-    return reg, cov, assoc2
+    return reg, cov, _collapse_mutual(assoc1)
 
 
 def disease_gene_edges(pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -237,6 +269,18 @@ def is_a_edges(pairs: DataFrame) -> DataFrame:
     p = _pairs(pairs, "is_a")
     swapped = p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
     return p.join(swapped, ["subj", "obj"], "left_anti")
+
+
+def disease_resemble_edges(pairs: DataFrame, isa_final: DataFrame) -> DataFrame:
+    """disease_resemble_disease loses any pair present — in either
+    direction — in the PUBLISHED disease_is_a_disease set (reference
+    extract_disease.py:311-317 checks the final relation, not raw
+    mentions). Anti-join over two deduped pair frames."""
+    res = _pairs(pairs, "dis_resemble")
+    kill = isa_final.unionByName(_swap(isa_final)).dropDuplicates(
+        ["subj", "obj"]
+    )
+    return res.join(kill, ["subj", "obj"], "left_anti")
 
 
 def assemble_triples(mentions: DataFrame) -> DataFrame:
@@ -269,7 +313,6 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_pairs(pairs, "p_syndrome"), PRED_OF_KIND["p_syndrome"]),
         lab(treats_edges(pairs), PRED_OF_KIND["treats"]),
         lab(_pairs(pairs, "indicates"), PRED_OF_KIND["indicates"]),
-        lab(is_a_edges(pairs), PRED_OF_KIND["is_a"]),
         # dimension families: plain distinct pairs off the shared dedup —
         # no caps/conflicts apply (the reference emits them set-deduped)
         lab(_pairs(pairs, "has_flavour"), PRED_OF_KIND["has_flavour"]),
@@ -279,11 +322,12 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_pairs(pairs, "consistof"), PRED_OF_KIND["consistof"]),
         lab(_pairs(pairs, "pclass"), PRED_OF_KIND["pclass"]),
     ]
-    up_f, down_f, assoc_f = gene_edges(pairs)
+    up_f, down_f, assoc_f, bind_f = gene_edges(pairs)
     parts += [
         lab(up_f, PRED_OF_KIND["up_gene"]),
         lab(down_f, PRED_OF_KIND["down_gene"]),
         lab(assoc_f, PRED_OF_KIND["assoc_gene"]),
+        lab(bind_f, PRED_OF_KIND["bind_gene"]),
     ]
     it_f, ii_f, ic_f = ingredient_disease_edges(pairs)
     parts += [
@@ -308,6 +352,22 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_pairs(pairs, "g_cellcomp"), PRED_OF_KIND["g_cellcomp"]),
         lab(_pairs(pairs, "g_molfunc"), PRED_OF_KIND["g_molfunc"]),
         lab(_pairs(pairs, "anat_express"), PRED_OF_KIND["anat_express"]),
+        # side-effect certainty pair + anatomy up/down: plain distinct
+        # pairs (the reference publishes all four sets un-de-conflicted)
+        lab(_pairs(pairs, "i_cause_se"), PRED_OF_KIND["i_cause_se"]),
+        lab(_pairs(pairs, "i_might_se"), PRED_OF_KIND["i_might_se"]),
+        lab(_pairs(pairs, "anat_up"), PRED_OF_KIND["anat_up"]),
+        lab(_pairs(pairs, "anat_down"), PRED_OF_KIND["anat_down"]),
+    ]
+    # is_a feeds both its own predicate and the disease-resemble kill set
+    isa_f = is_a_edges(pairs)
+    parts += [
+        lab(isa_f, PRED_OF_KIND["is_a"]),
+        lab(disease_resemble_edges(pairs, isa_f), PRED_OF_KIND["dis_resemble"]),
+        lab(_collapse_mutual(_pairs(pairs, "ing_resemble")),
+            PRED_OF_KIND["ing_resemble"]),
+        lab(_collapse_mutual(_pairs(pairs, "ing_interact")),
+            PRED_OF_KIND["ing_interact"]),
     ]
     out = parts[0]
     for p in parts[1:]:

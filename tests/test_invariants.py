@@ -119,6 +119,8 @@ def test_nodes_table(pipeline):
         # gene-side families (late r5: reference TMPW/TMBP/TMCC/TMMF
         # tables, extract_other_entities.py)
         "pathway", "bioprocess", "cellcomp", "molfunction",
+        # side-effect family (TMSE, extract_other_entities.py:436-496)
+        "sideeffect",
     }
     # dimension nodes carry [zh, en] names with reference-scheme ids
     assert (pdf.entity_type == "tropism").sum() == 12

@@ -97,4 +97,12 @@ def test_predicate_coverage(spark_triples):
         "gene2cell_component",
         "gene2molecular_function",
         "anatomy_express_gene",
+        "ingredient_bind_gene",
+        "ingredient_cause_sideeffect",
+        "ingredient_might_cause_sideeffect",
+        "anatomy_upregulate_gene",
+        "anatomy_downregulate_gene",
+        "disease_resemble_disease",
+        "ingredient_resemble_ingredient",
+        "ingredient_associate_ingredient",
     }

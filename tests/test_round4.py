@@ -325,5 +325,6 @@ def test_dim_ids_reference_scheme():
     assert dim_id("cellcomp", 0) == "TMCC00001"
     assert dim_id("molfunction", 0) == "TMMF00001"
     rows = dim_node_rows()
-    assert len(rows) == 11 + 13 + 12 + 4 + 10 + 8 + 6 + 6 + 5
+    assert dim_id("sideeffect", 0) == "TMSE00001"
+    assert len(rows) == 11 + 13 + 12 + 4 + 10 + 8 + 6 + 6 + 5 + 7
     assert all(len(r["names"]) == 2 for r in rows)

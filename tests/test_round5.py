@@ -59,7 +59,7 @@ def test_gene_edge_algebra(spark):
     pairs = spark.createDataFrame(
         [(k, s, o) for k, s, o in mention], "kind string, subj string, obj string"
     ).dropDuplicates(["kind", "subj", "obj"])
-    up, down, assoc = gene_edges(pairs)
+    up, down, assoc, _bind = gene_edges(pairs)
     got_up = {(r["subj"], r["obj"]) for r in up.collect()}
     got_down = {(r["subj"], r["obj"]) for r in down.collect()}
     got_assoc = {(r["subj"], r["obj"]) for r in assoc.collect()}
@@ -483,4 +483,163 @@ def test_gene_side_statement_extraction(spark, pipeline):
         (tgt["egfr"], "gene2molecular_function", dm["molfunction"]["转运活性"]),
     }
     got = {t for t in triples if t[1] in {w[1] for w in want}}
+    assert got == want, f"spurious={got - want} missing={want - got}"
+
+
+def test_gene_edges_bind_algebra(spark):
+    """gene_edges implements extract_target.py:365-372 + 404-411: up∩down
+    conflicts move to associate; associate then loses pairs held by a
+    directional set OR by bind; bind publishes raw."""
+    from tcmkg.pipeline.triples import gene_edges
+
+    mention = [
+        ("up_gene", "I1", "G1"),                              # plain up
+        ("bind_gene", "I2", "G1"),                            # plain bind
+        ("assoc_gene", "I2", "G1"),                           # killed by bind
+        ("assoc_gene", "I3", "G1"),                           # survives
+        ("up_gene", "I4", "G1"), ("down_gene", "I4", "G1"),   # conflict -> assoc
+        ("bind_gene", "I5", "G1"), ("up_gene", "I5", "G1"),   # both publish
+    ]
+    pairs = spark.createDataFrame(
+        mention, "kind string, subj string, obj string"
+    ).dropDuplicates(["kind", "subj", "obj"])
+    up, down, assoc, bind = gene_edges(pairs)
+    assert {(r["subj"], r["obj"]) for r in up.collect()} == {("I1", "G1"), ("I5", "G1")}
+    assert {(r["subj"], r["obj"]) for r in down.collect()} == set()
+    assert {(r["subj"], r["obj"]) for r in assoc.collect()} == {
+        ("I3", "G1"), ("I4", "G1")
+    }
+    assert {(r["subj"], r["obj"]) for r in bind.collect()} == {
+        ("I2", "G1"), ("I5", "G1")
+    }
+
+
+def test_sideeffect_and_anat_updown_extraction(spark, pipeline):
+    """End-to-end: bind / side-effect certainty / anatomy up-down markers
+    through the kernel; the dual-certainty pair publishes under BOTH
+    side-effect predicates (no de-conflict, extract_ingredient.py:684-735)."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    texts = [
+        "栎精绑定egfr。",
+        "山奈酚作用于mtor，且绑定mtor。",   # assoc loses to bind
+        "木犀草素必致药疹反应。",
+        "绿原酸或致晕沉反应。",
+        "芦丁必致倦乏反应。芦丁或致倦乏反应。",  # both certainty sets publish
+        "腰部富集nos2。",
+        "关节缺失casp3。",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(texts),
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "role": ["assistant"] * len(texts),
+            "text": texts,
+            "tool": [None] * len(texts),
+            "ts": [ts] * len(texts),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipeline.triples(df).collect()
+    }
+    ing = pipeline.maps["ingredient"]
+    tgt = pipeline.maps["target"]
+    from tcmkg.fixtures.dimensions import dim_maps
+    from tcmkg.fixtures.locus import locus_id_map
+
+    se = dim_maps()["sideeffect"]
+    want = {
+        (ing["栎精"], "ingredient_bind_gene", tgt["egfr"]),
+        (ing["山奈酚"], "ingredient_bind_gene", tgt["mtor"]),
+        (ing["木犀草素"], "ingredient_cause_sideeffect", se["药疹反应"]),
+        (ing["绿原酸"], "ingredient_might_cause_sideeffect", se["晕沉反应"]),
+        (ing["芦丁"], "ingredient_cause_sideeffect", se["倦乏反应"]),
+        (ing["芦丁"], "ingredient_might_cause_sideeffect", se["倦乏反应"]),
+        (locus_id_map()["腰部"], "anatomy_upregulate_gene", tgt["nos2"]),
+        (locus_id_map()["关节"], "anatomy_downregulate_gene", tgt["casp3"]),
+    }
+    preds = {w[1] for w in want} | {"ingredient_associate_gene"}
+    got_f = {t for t in got if t[1] in preds}
+    assert got_f == want, f"spurious={got_f - want} missing={want - got_f}"
+
+
+def test_resemble_and_interact_algebra(spark):
+    """disease_resemble loses pairs in published is_a (either direction,
+    extract_disease.py:311-317); ingredient interact/resemble mutual pairs
+    collapse to subj<obj (extract_ingredient.py:354-361, 375-383)."""
+    from tcmkg.pipeline.triples import (
+        _collapse_mutual,
+        disease_resemble_edges,
+        is_a_edges,
+    )
+
+    mention = [
+        ("is_a", "D1", "D2"),                          # published is_a
+        ("is_a", "D3", "D4"), ("is_a", "D4", "D3"),    # antisym -> neither published
+        ("dis_resemble", "D1", "D2"),                  # killed (same dir)
+        ("dis_resemble", "D2", "D1"),                  # killed (reverse dir)
+        ("dis_resemble", "D3", "D4"),                  # SURVIVES: is_a pair died
+        ("dis_resemble", "D5", "D6"),                  # plain survivor
+    ]
+    pairs = spark.createDataFrame(mention, "kind string, subj string, obj string")
+    isa_f = is_a_edges(pairs)
+    assert {(r["subj"], r["obj"]) for r in isa_f.collect()} == {("D1", "D2")}
+    res = disease_resemble_edges(pairs, isa_f)
+    assert {(r["subj"], r["obj"]) for r in res.collect()} == {
+        ("D3", "D4"), ("D5", "D6")
+    }
+
+    both = spark.createDataFrame(
+        [("x", "I2", "I1"), ("x", "I1", "I2"), ("x", "I3", "I4")],
+        "kind string, subj string, obj string",
+    )
+    kept = {(r["subj"], r["obj"]) for r in _collapse_mutual(
+        both.select("subj", "obj")).collect()}
+    assert kept == {("I1", "I2"), ("I3", "I4")}
+
+
+def test_resemble_interact_extraction(spark, pipeline):
+    """End-to-end 相类/协同 markers: one marker resolved against two
+    entity-type pairs (disease×disease and ingredient×ingredient)."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    texts = [
+        "感冒相类消渴。",
+        "栎精相类山奈酚。",
+        "芦丁协同绿原酸。",
+        "绿原酸协同芦丁。",   # mutual -> one canonical subj<obj edge
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(texts),
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "role": ["assistant"] * len(texts),
+            "text": texts,
+            "tool": [None] * len(texts),
+            "ts": [ts] * len(texts),
+        }
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipeline.triples(spark.createDataFrame(pdf)).collect()
+        if r["pred"] in (
+            "disease_resemble_disease",
+            "ingredient_resemble_ingredient",
+            "ingredient_associate_ingredient",
+        )
+    }
+    ing = pipeline.maps["ingredient"]
+    dis = pipeline.maps["disease"]
+    pair = tuple(sorted((ing["芦丁"], ing["绿原酸"])))
+    want = {
+        (dis["感冒"], "disease_resemble_disease", dis["消渴"]),
+        (ing["栎精"], "ingredient_resemble_ingredient", ing["山奈酚"]),
+        (pair[0], "ingredient_associate_ingredient", pair[1]),
+    }
     assert got == want, f"spurious={got - want} missing={want - got}"
