@@ -36,14 +36,13 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "be
 def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
     """Generate (once) and cache the synthetic multi-turn corpus."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    # v6 (r5 late): T11-T14 gene-side blocks (调控/共变/相互作用/升高/
-    # 降低/关联/参与/驱动/定位于/活跃于/介导/表达 lines -> gene-gene,
-    # disease-gene, gene-GO/pathway, anatomy-express families) and the
-    # %12 block wheel, on top of v5's T7-T10 derived-entity blocks —
-    # corpus content and per-turn extraction work changed vs v5 (r5
-    # early), v3 (r4), v2 (r2/r3); corpus legs are only comparable within
-    # one fixture version (NOISE.md).
-    path = os.path.join(BENCH_DIR, f"transcripts_v6_{n_conversations}.parquet")
+    # v7 (r5 final): T20-T24 blocks (herb→symptom/syndrome 善治/善解,
+    # disease/syndrome present 呈现, pathway→disease 引动, ingredient→GO
+    # quad 参与/增进/削减/定位于/介导) on top of v6's gene-side T11-T14 and
+    # the bind/side-effect/resemble statements — corpus content and
+    # per-turn extraction work changed vs v6/v5 (r5), v3 (r4), v2 (r2/r3);
+    # corpus legs are only comparable within one fixture version (NOISE.md).
+    path = os.path.join(BENCH_DIR, f"transcripts_v7_{n_conversations}.parquet")
     if not os.path.exists(path):
         from tcmkg.fixtures.transcripts import write_parquet
 
@@ -154,7 +153,7 @@ def main() -> None:
         "q_sessionize", "q_ann_topk", "q_lsh_pairs", "q_simhash_pairs",
     )
     comparable_r02 = round(sum(timings[n] for n in R2_SET), 3)
-    # the two kg legs consume the gene-side (v6) fixtures from late r5 on
+    # the two kg legs consume the final-family (v7) fixtures from r5 on
     # — MORE text and extraction work per turn than r02/r03 measured, so
     # only the operator queries remain strictly round-comparable
     ops_only = round(
@@ -179,11 +178,10 @@ def main() -> None:
                 "load_gate": load_gate,
                 "comparable_r02_subset_sec": comparable_r02,
                 "comparable_r02_ops_only_sec": ops_only,
-                # v6 = gene-side T11-T14 blocks (late r5): corpus leg
-                # does MORE per-turn extraction work than v3 (r4) or
-                # v2 (r2/r3) — see NOISE.md before reading a cross-round
-                # corpus delta
-                "corpus_fixture": "v6",
+                # v7 = final-family T20-T24 blocks (r5 final): corpus
+                # leg does MORE per-turn extraction work than v6/v5/v3/v2
+                # — see NOISE.md before reading a cross-round corpus delta
+                "corpus_fixture": "v7",
                 "corpus_turns": n_corpus,
                 "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
                 "detail": extras,

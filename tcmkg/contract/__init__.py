@@ -25,6 +25,12 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
+    # round-5 final: the last reference-inventory families (herb→symptom/
+    # syndrome, disease/syndrome present, pathway→disease, ingredient→GO
+    # quad) — their clauses also extend the roundtrip derivation
+    "kg_treat2",
+    "kg_ing_go",
+    "kg_text_roundtrip",
     # round-5 latest: bind set (changes kg_gene_edges + both chain
     # queries), side-effect certainty pair, anatomy up/down-regulate
     "kg_sideeffect",

@@ -144,6 +144,9 @@ _GENE_MARKERS = (
     # late-r5 statement families: bind, side-effect certainty pair,
     # anatomy up/down-regulate, resemble (disease + ingredient), interact
     "绑定", "必致", "或致", "富集", "缺失", "相类", "协同",
+    # final reference-inventory families: herb→symptom/syndrome treats,
+    # disease/syndrome present symptom, pathway→disease, ingredient→GO quad
+    "善治", "善解", "呈现", "引动", "增进", "削减",
 )
 
 
@@ -509,6 +512,51 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit("，且绑定"), g_tgt, F.lit("。")))
         )
     )
+    # T20-T23 (m5==2, appended after the herb statement): one social-clause
+    # wheel on v=eid//5 covering herb→symptom (善治), herb→syndrome (善解),
+    # disease→symptom (呈现), pathway→disease (引动), syndrome→symptom
+    # (呈现 again — one marker, two subject maps; at most ONE 呈现 per turn
+    # because clause_window binds the FIRST occurrence). The herb/disease
+    # slots reuse the turn's own h1/dis so the whole-turn 可治 scan sees no
+    # new herb×disease pairs.
+    sc = v3 % 5
+    scS = _pick(POOL_SYM, (v3 + 7) % N_SYM)
+    scSyn = _pick(POOL_SYN, (v3 + 3) % N_SYN)
+    scSyn2 = _pick(POOL_SYN, (v3 + 9) % N_SYN)
+    scPw = _pick(POOL_PW, v3 % N_PW)
+    social_clause = (
+        F.when(sc == 0, F.concat(h1, F.lit("善治"), scS, F.lit("。")))
+        .when(sc == 1, F.concat(h1, F.lit("善解"), scSyn, F.lit("。")))
+        .when(sc == 2, F.concat(dis, F.lit("呈现"), scS, F.lit("。")))
+        .when(sc == 3, F.concat(scPw, F.lit("引动"), dis, F.lit("。")))
+        .otherwise(F.concat(scSyn2, F.lit("呈现"), scS, F.lit("。")))
+    )
+    # T24 (m5==4, appended last): ingredient→pathway/GO quad wheel
+    # (extract_ingredient.py:550-676). gq=2 plants the SAME (ing, BP) pair
+    # through two statement kinds (参与 ASSOCIATES + 增进 INCREASES) — the
+    # published predicate is their union, so exactly one edge survives;
+    # gq=4's second sentence plants the DECREASES kind (削减). The clause
+    # sits at the END of the turn, so its ingredient is right of every
+    # unbounded marker (those scan ingredients only LEFT) and it introduces
+    # no targets/diseases for the whole-turn scans to see.
+    gq = v3 % 5
+    goI = _pick(POOL_INGR, (v3 + 4) % N_ING)
+    goPw = _pick(POOL_PW, (v3 + 1) % N_PW)
+    goBp = _pick(POOL_BPROC, v3 % N_BPROC)
+    goBp2 = _pick(POOL_BPROC, (v3 + 2) % N_BPROC)
+    goCc = _pick(POOL_CCOMP, v3 % N_CCOMP)
+    goCc2 = _pick(POOL_CCOMP, (v3 + 3) % N_CCOMP)
+    goMf = _pick(POOL_MFUNC, v3 % N_MFUNC)
+    ing_go_clause = (
+        F.when(gq == 0, F.concat(goI, F.lit("参与"), goPw, F.lit("。")))
+        .when(gq == 1, F.concat(goI, F.lit("参与"), goBp, F.lit("。")))
+        .when(gq == 2, F.concat(goI, F.lit("参与"), goBp, F.lit("。"),
+                                goI, F.lit("增进"), goBp, F.lit("。")))
+        .when(gq == 3, F.concat(goI, F.lit("定位于"), goCc, F.lit("。"),
+                                goI, F.lit("增进"), goCc2, F.lit("。")))
+        .otherwise(F.concat(goI, F.lit("介导"), goMf, F.lit("。"),
+                            goI, F.lit("削减"), goBp2, F.lit("。")))
+    )
     # T16 (m5==4): ingredient→side-effect certainty wheel; rs=2 plants a
     # pair claimed by BOTH certainty sets — no de-conflict, both publish
     se_ing = _pick(POOL_INGR, p60 % N_ING)
@@ -581,6 +629,9 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col("eid") % 3 == 0, F.concat(gg_clause, anat_clause)
                 ).otherwise(F.lit("")),
+                # T20-T23 social-clause wheel (herb/disease slots reuse
+                # h1/dis — see the wheel's construction note)
+                social_clause,
             ),
         )
         # m5 == 3: syndrome-symptom line + T17 (disease resemble — must
@@ -595,8 +646,10 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # planted conflict and priority residues)
         .otherwise(
             # T16 side-effect + T18/T19 interact/resemble statements
+            # + T24 ingredient→pathway/GO quad (must stay LAST — see the
+            # quad's unbounded-marker note)
             F.concat(dis2, F.lit("属于"), dis3, F.lit("。"), gene_clause,
-                     se_clause, ii_clause)
+                     se_clause, ii_clause, ing_go_clause)
         )
     )
     w = Window.partitionBy("conv_id").orderBy("ts", "eid")
@@ -1230,6 +1283,18 @@ def _sql_text_derivation() -> str:
     cc1 = _sql_pick(POOL_CCOMP, f"({_SQL_U6}) % {N_CCOMP}")
     cc2 = _sql_pick(POOL_CCOMP, f"(({_SQL_U6}) + 1) % {N_CCOMP}")
     mf = _sql_pick(POOL_MFUNC, f"({_SQL_U6}) % {N_MFUNC}")
+    # T20-T23 social clause + T24 ingredient→GO quad twins
+    scS = _sql_pick(POOL_SYM, _SQL_SC_S)
+    scSyn = _sql_pick(POOL_SYN, _SQL_SC_SYN)
+    scSyn2 = _sql_pick(POOL_SYN, _SQL_SC_SYN2)
+    scPw = _sql_pick(POOL_PW, _SQL_SC_PW)
+    goI = _sql_pick(POOL_INGR, _SQL_GO_I)
+    goPw = _sql_pick(POOL_PW, _SQL_GO_PW)
+    goBp = _sql_pick(POOL_BPROC, _SQL_GO_BP)
+    goBp2 = _sql_pick(POOL_BPROC, _SQL_GO_BP2)
+    goCc = _sql_pick(POOL_CCOMP, _SQL_GO_CC)
+    goCc2 = _sql_pick(POOL_CCOMP, _SQL_GO_CC2)
+    goMf = _sql_pick(POOL_MFUNC, _SQL_GO_MF)
     return f"""
   CASE
     WHEN eid % 5 = 0 THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
@@ -1266,6 +1331,13 @@ def _sql_text_derivation() -> str:
                            THEN {loc} || '富集' || {g3} || '。'
                            ELSE {loc} || '缺失' || {g3} || '。' END)
              ELSE '' END)
+         || (CASE {_SQL_SC}
+               WHEN 0 THEN {h1} || '善治' || {scS} || '。'
+               WHEN 1 THEN {h1} || '善解' || {scSyn} || '。'
+               WHEN 2 THEN {dis} || '呈现' || {scS} || '。'
+               WHEN 3 THEN {scPw} || '引动' || {dis} || '。'
+               ELSE {scSyn2} || '呈现' || {scS} || '。'
+             END)
     WHEN eid % 5 = 3 THEN {syn} || '常见' || {s1} || '，' || {s2} || '。' ||
       (CASE {_SQL_RD}
          WHEN 0 THEN {dr1} || '相类' || {dr2} || '。'
@@ -1313,6 +1385,13 @@ def _sql_text_derivation() -> str:
          ELSE (CASE WHEN {_SQL_MB} = 0
                     THEN {irD1} || '相类' || {irC1} || '。'
                     ELSE {irD} || '相类' || {irC} || '。' END)
+       END) ||
+      (CASE {_SQL_GQ}
+         WHEN 0 THEN {goI} || '参与' || {goPw} || '。'
+         WHEN 1 THEN {goI} || '参与' || {goBp} || '。'
+         WHEN 2 THEN {goI} || '参与' || {goBp} || '。' || {goI} || '增进' || {goBp} || '。'
+         WHEN 3 THEN {goI} || '定位于' || {goCc} || '。' || {goI} || '增进' || {goCc2} || '。'
+         ELSE {goI} || '介导' || {goMf} || '。' || {goI} || '削减' || {goBp2} || '。'
        END)
   END"""
 
@@ -1364,6 +1443,20 @@ _SQL_IRC = f"((({_SQL_V}) + 5) % {N_ING})"
 _SQL_IRD = f"((({_SQL_IRC}) + 1 + ((({_SQL_V}) // 9) % {N_ING - 1})) % {N_ING})"
 _SQL_IRC1 = f"((({_SQL_VM1}) + 5) % {N_ING})"
 _SQL_IRD1 = f"((({_SQL_IRC1}) + 1 + ((({_SQL_VM1}) // 9) % {N_ING - 1})) % {N_ING})"
+# T20-T23 social-clause wheel and T24 ingredient→GO quad twins
+_SQL_SC = f"(({_SQL_V}) % 5)"
+_SQL_SC_S = f"((({_SQL_V}) + 7) % {N_SYM})"
+_SQL_SC_SYN = f"((({_SQL_V}) + 3) % {N_SYN})"
+_SQL_SC_SYN2 = f"((({_SQL_V}) + 9) % {N_SYN})"
+_SQL_SC_PW = f"(({_SQL_V}) % {N_PW})"
+_SQL_GQ = f"(({_SQL_V}) % 5)"
+_SQL_GO_I = f"((({_SQL_V}) + 4) % {N_ING})"
+_SQL_GO_PW = f"((({_SQL_V}) + 1) % {N_PW})"
+_SQL_GO_BP = f"(({_SQL_V}) % {N_BPROC})"
+_SQL_GO_BP2 = f"((({_SQL_V}) + 2) % {N_BPROC})"
+_SQL_GO_CC = f"(({_SQL_V}) % {N_CCOMP})"
+_SQL_GO_CC2 = f"((({_SQL_V}) + 3) % {N_CCOMP})"
+_SQL_GO_MF = f"(({_SQL_V}) % {N_MFUNC})"
 
 
 def _sql_dim_clause() -> str:
@@ -2071,7 +2164,109 @@ def _sql_kg_nodes() -> str:
     )
 
 
+def q_kg_treat2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five remaining pair families of the reference's relation
+    inventory outside the gene/ingredient clusters: herb_treat_symptom
+    (merge_tcm_symptom.py:206), herb_treat_syndrome (extract_syndrome.py:
+    41-53), disease_present_symptom (extract_disease.py:240-267),
+    syndrome_present_symptom (merge_tcm_symptom.py:243-261) and
+    pathway_lead_to_disease (extract_disease.py:335-347). All publish as
+    plain set-deduped pairs; the T20-T23 social-clause wheel plants one
+    family per v%5 residue, with 呈现 resolved against TWO subject maps
+    (the parameterized-id-map shape)."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "herb_treat_symptom", "herb_treat_syndrome",
+            "disease_present_symptom", "syndrome_present_symptom",
+            "pathway_lead_to_disease",
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_treat2() -> str:
+    h1 = _sql_pick(CANON_HERB1, f"eid % {N_H1}")
+    dis = _sql_pick(CANON_DIS, f"eid % {N_DIS}")
+    scS = _sql_pick(CANON_SYM, _SQL_SC_S)
+    scSyn = _sql_pick(CANON_SYN, _SQL_SC_SYN)
+    scSyn2 = _sql_pick(CANON_SYN, _SQL_SC_SYN2)
+    scPw = _sql_pick(ID_PW, _SQL_SC_PW)
+    return f"""
+WITH base AS (
+  SELECT event_id AS eid, ({_SQL_SC}) AS sc FROM events WHERE event_id % 5 = 2
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT {h1} AS subj, 'herb_treat_symptom' AS pred, {scS} AS obj
+  FROM base WHERE sc = 0
+  UNION ALL
+  SELECT {h1}, 'herb_treat_syndrome', {scSyn} FROM base WHERE sc = 1
+  UNION ALL
+  SELECT {dis}, 'disease_present_symptom', {scS} FROM base WHERE sc = 2
+  UNION ALL
+  SELECT {scPw}, 'pathway_lead_to_disease', {dis} FROM base WHERE sc = 3
+  UNION ALL
+  SELECT {scSyn2}, 'syndrome_present_symptom', {scS} FROM base WHERE sc = 4
+)
+"""
+
+
+def q_kg_ing_go(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingredient→pathway/GO quad (reference extract_ingredient.py:
+    550-676): ingredient_associate_pathway is a single relation kind;
+    the biological-process / cellular-component / molecular-function
+    predicates are each the UNION of three statement kinds (ASSOCIATES ∪
+    INCREASES ∪ DECREASES relabelled to one type). The T24 wheel's gq=2
+    residue plants the same (ingredient, bioprocess) pair through 参与
+    AND 增进 — exactly one edge must survive the union dedup."""
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("pred").isin(
+            "ingredient_associate_pathway",
+            "ingredient_associate_biological_process",
+            "ingredient_associate_cellular_component",
+            "ingredient_associate_molecular_function",
+        )
+    ).select("subj", "pred", "obj")
+
+
+def _sql_kg_ing_go() -> str:
+    goI = _sql_pick(CANON_INGR, _SQL_GO_I)
+    goPw = _sql_pick(ID_PW, _SQL_GO_PW)
+    goBp = _sql_pick(ID_BPROC, _SQL_GO_BP)
+    goBp2 = _sql_pick(ID_BPROC, _SQL_GO_BP2)
+    goCc = _sql_pick(ID_CCOMP, _SQL_GO_CC)
+    goCc2 = _sql_pick(ID_CCOMP, _SQL_GO_CC2)
+    goMf = _sql_pick(ID_MFUNC, _SQL_GO_MF)
+    return f"""
+WITH base AS (
+  SELECT event_id AS eid, ({_SQL_GQ}) AS gq FROM events WHERE event_id % 5 = 4
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT {goI} AS subj, 'ingredient_associate_pathway' AS pred, {goPw} AS obj
+  FROM base WHERE gq = 0
+  UNION ALL
+  -- gq=1 plain ASSOCIATES; gq=2 the 参与∪增进 union plant (ONE edge)
+  SELECT {goI}, 'ingredient_associate_biological_process', {goBp}
+  FROM base WHERE gq IN (1, 2)
+  UNION ALL
+  SELECT {goI}, 'ingredient_associate_biological_process', {goBp2}
+  FROM base WHERE gq = 4
+  UNION ALL
+  SELECT {goI}, 'ingredient_associate_cellular_component', {goCc}
+  FROM base WHERE gq = 3
+  UNION ALL
+  SELECT {goI}, 'ingredient_associate_cellular_component', {goCc2}
+  FROM base WHERE gq = 3
+  UNION ALL
+  SELECT {goI}, 'ingredient_associate_molecular_function', {goMf}
+  FROM base WHERE gq = 4
+)
+"""
+
+
 KG_QUERIES = {
+    "kg_treat2": q_kg_treat2,
+    "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
     "kg_anat_updown": q_kg_anat_updown,
     "kg_resemble": q_kg_resemble,
@@ -2108,6 +2303,8 @@ KG_QUERIES = {
 }
 
 KG_ORACLES = {
+    "kg_treat2": _sql_kg_treat2(),
+    "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),
     "kg_anat_updown": _sql_kg_anat_updown(),
     "kg_resemble": _sql_kg_resemble(),

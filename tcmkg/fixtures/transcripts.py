@@ -311,11 +311,24 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     h3 = herbs[(c * 3 + k + 11) % len(herbs)]
                     d3 = diseases[(c * 5 + k + 7) % len(diseases)]
                     yield row(f"{h3}可治{d3}。{_dim_clause(c, k)}", role, tool)
+                # T20 herb→symptom / herb→syndrome treats
+                # (merge_tcm_symptom.py:206, extract_syndrome.py:41-53)
+                w5 = (c // 12 + k) % 3
+                if w5 == 0:
+                    sm = symptoms[(c * 7 + k) % len(symptoms)]
+                    yield row(f"{h}善治{sm}。", role, tool)
+                elif w5 == 1 and syndromes:
+                    sy = syndromes[(c * 7 + k) % len(syndromes)]
+                    yield row(f"{h2}善解{sy}。", role, tool)
             elif kind == 5:
                 s = syndromes[(c * 3 + k) % len(syndromes)]
                 yield row(
                     f"{s}常见{_indications(c, k + 9, symptoms, [])}。", role, tool
                 )
+                # T21 syndrome→symptom present (merge_tcm_symptom.py:243-261)
+                if (c // 12 + k) % 2 == 0:
+                    sm = symptoms[(c * 13 + k) % len(symptoms)]
+                    yield row(f"{s}呈现{sm}。", role, tool)
             elif kind == 6:
                 h = herbs[(c * 3 + k + 1) % len(herbs)]
                 d = diseases[(c * 5 + k + 1) % len(diseases)]
@@ -338,6 +351,15 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     dB = diseases[(c * 7 + k + 9) % len(diseases)]
                     if dA != dB:
                         yield row(f"{dA}相类{dB}。", role, tool)  # plain
+                # T22 disease→symptom present + T23 pathway→disease
+                # (extract_disease.py:240-267, :335-347)
+                w6 = (c // 12 + k) % 3
+                if w6 == 0:
+                    sm = symptoms[(c * 17 + k) % len(symptoms)]
+                    yield row(f"{d1}呈现{sm}。", role, tool)
+                elif w6 == 1:
+                    pw = _PWS[(c * 3 + k) % len(_PWS)]
+                    yield row(f"{pw}引动{d2}。", role, tool)
             elif kind == 7:
                 near = _NEARMISS[(c + k) % len(_NEARMISS)]
                 yield row(
@@ -464,6 +486,32 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                 else:
                     yield row(f"{ing1}相类{ing2}。", role, tool)
                     yield row(f"{ing2}相类{ing1}。", "assistant")  # mutual
+                # T24: ingredient→pathway/GO quad wheel
+                # (extract_ingredient.py:550-676). w7==3 plants the SAME
+                # (ingredient, bioprocess) pair through two statement kinds
+                # (参与 ASSOCIATES + 增进 INCREASES) — the published edge set
+                # is their union, so exactly one edge survives the dedup.
+                w7 = (c // 12 + k) % 6
+                bp = _BPS[(c * 5 + k) % len(_BPS)]
+                bp2 = _BPS[(c * 5 + k + 3) % len(_BPS)]
+                cc1 = _CCS[(c * 5 + k) % len(_CCS)]
+                cc2 = _CCS[(c * 5 + k + 2) % len(_CCS)]
+                mf1 = _MFS[(c * 5 + k) % len(_MFS)]
+                mf2 = _MFS[(c * 5 + k + 1) % len(_MFS)]
+                if w7 == 0:
+                    pw8 = _PWS[(c * 7 + k) % len(_PWS)]
+                    yield row(f"{ing1}参与{pw8}。", role, tool)
+                elif w7 == 1:
+                    yield row(f"{ing1}参与{bp}。", role, tool)
+                elif w7 == 2:
+                    yield row(f"{ing1}增进{bp}。{ing1}削减{bp2}。", role, tool)
+                elif w7 == 3:
+                    yield row(f"{ing1}参与{bp}。", role, tool)
+                    yield row(f"{ing1}增进{bp}。", "assistant")  # union dedup
+                elif w7 == 4:
+                    yield row(f"{ing1}定位于{cc1}。{ing1}增进{cc2}。", role, tool)
+                else:
+                    yield row(f"{ing1}介导{mf1}。{ing1}削减{mf2}。", role, tool)
                 # T16: ingredient→side-effect certainty wheel
                 se = _SES[(c * 5 + k) % len(_SES)]
                 u2 = (c + k * 7) % 3

@@ -104,6 +104,15 @@ PRED_ANAT_DOWN = "anatomy_downregulate_gene"
 PRED_DIS_RESEMBLE = "disease_resemble_disease"
 PRED_ING_RESEMBLE = "ingredient_resemble_ingredient"
 PRED_ING_INTERACT = "ingredient_associate_ingredient"
+PRED_H_SYMPTOM = "herb_treat_symptom"
+PRED_H_SYNDROME = "herb_treat_syndrome"
+PRED_DIS_PRESENT = "disease_present_symptom"
+PRED_SYN_PRESENT = "syndrome_present_symptom"
+PRED_PW_DISEASE = "pathway_lead_to_disease"
+PRED_I_PATHWAY = "ingredient_associate_pathway"
+PRED_I_BIOPROC = "ingredient_associate_biological_process"
+PRED_I_CELLCOMP = "ingredient_associate_cellular_component"
+PRED_I_MOLFUNC = "ingredient_associate_molecular_function"
 
 DEGREE_CAP = 50
 
@@ -227,6 +236,9 @@ class OracleExtractor:
         side["target"] = (self.ac["target"], self.maps["target"])
         side["disease"] = (self.ac["disease"], self.maps["disease"])
         side["ingredient"] = (self.ac["ingredient"], self.maps["ingredient"])
+        side["herb"] = (self.ac["herb"], self.maps["herb"])
+        side["symptom"] = (self.ac["symptom"], self.maps["symptom"])
+        side["syndrome"] = (self.ac["syndrome"], self.maps["syndrome"])
         # sentence-bounded statement handlers — same table as the pipeline
         # kernel (reference shapes: extract_target.py:425-493 gene↔gene,
         # :520-607 disease→gene, :653-761 gene→pathway/GO unions, :612-658
@@ -238,7 +250,9 @@ class OracleExtractor:
                 "dg_assoc", "g_pathway", "g_bioproc", "g_cellcomp",
                 "g_molfunc", "anat_express", "i_cause_se", "i_might_se",
                 "anat_up", "anat_down", "dis_resemble", "ing_resemble",
-                "ing_interact",
+                "ing_interact", "h_symptom", "h_syndrome", "dis_present",
+                "syn_present", "pw_disease", "i_pathway", "i_bioproc",
+                "i_cellcomp", "i_molfunc",
             )
         }
         sent_handlers = [
@@ -262,6 +276,28 @@ class OracleExtractor:
             ("相类", "disease", "disease", "dis_resemble"),
             ("相类", "ingredient", "ingredient", "ing_resemble"),
             ("协同", "ingredient", "ingredient", "ing_interact"),
+            # herb→symptom/syndrome treats (merge_tcm_symptom.py:206,
+            # extract_syndrome.py:41-53)
+            ("善治", "herb", "symptom", "h_symptom"),
+            ("善解", "herb", "syndrome", "h_syndrome"),
+            # disease/syndrome present symptom (extract_disease.py:240-267,
+            # merge_tcm_symptom.py:243-261)
+            ("呈现", "disease", "symptom", "dis_present"),
+            ("呈现", "syndrome", "symptom", "syn_present"),
+            # pathway→disease (extract_disease.py:335-347)
+            ("引动", "pathway", "disease", "pw_disease"),
+            # ingredient→pathway/GO quad (extract_ingredient.py:550-676);
+            # BP/CC/MF are 3-marker unions into one kind each
+            ("参与", "ingredient", "pathway", "i_pathway"),
+            ("参与", "ingredient", "bioprocess", "i_bioproc"),
+            ("增进", "ingredient", "bioprocess", "i_bioproc"),
+            ("削减", "ingredient", "bioprocess", "i_bioproc"),
+            ("定位于", "ingredient", "cellcomp", "i_cellcomp"),
+            ("增进", "ingredient", "cellcomp", "i_cellcomp"),
+            ("削减", "ingredient", "cellcomp", "i_cellcomp"),
+            ("介导", "ingredient", "molfunction", "i_molfunc"),
+            ("增进", "ingredient", "molfunction", "i_molfunc"),
+            ("削减", "ingredient", "molfunction", "i_molfunc"),
         ]
 
         fmap = self.maps["formula"]
@@ -521,6 +557,15 @@ class OracleExtractor:
             ("i_might_se", PRED_I_MIGHT_SE),
             ("anat_up", PRED_ANAT_UP),
             ("anat_down", PRED_ANAT_DOWN),
+            ("h_symptom", PRED_H_SYMPTOM),
+            ("h_syndrome", PRED_H_SYNDROME),
+            ("dis_present", PRED_DIS_PRESENT),
+            ("syn_present", PRED_SYN_PRESENT),
+            ("pw_disease", PRED_PW_DISEASE),
+            ("i_pathway", PRED_I_PATHWAY),
+            ("i_bioproc", PRED_I_BIOPROC),
+            ("i_cellcomp", PRED_I_CELLCOMP),
+            ("i_molfunc", PRED_I_MOLFUNC),
         ):
             for s, o in sent_sinks[kind]:
                 triples.add((s, pred, o, None))

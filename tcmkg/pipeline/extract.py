@@ -146,6 +146,14 @@ RULE_MARKERS = (
     # 类似 appears in the inert filler prose, and a filler marker would
     # defeat the rule prefilter corpus-wide.
     "相类", "协同",
+    # final reference-inventory families: herb→symptom/syndrome treats
+    # (merge_tcm_symptom.py:206, extract_syndrome.py:50), disease/syndrome
+    # present symptom (extract_disease.py:240-267, merge_tcm_symptom.py:
+    # 243-261), pathway→disease (extract_disease.py:335-347), and the
+    # ingredient→pathway/GO quad (extract_ingredient.py:550-676) whose
+    # BP/CC/MF predicates are each a 3-kind union (ASSOCIATES ∪ INCREASES
+    # ∪ DECREASES relabelled to one type)
+    "善治", "善解", "呈现", "引动", "增进", "削减",
 )
 
 
@@ -246,6 +254,9 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
             "target": (ac_tgt, m["target"]),
             "disease": (ac_dis, m["disease"]),
             "ingredient": (ac_ing, m["ingredient"]),
+            "herb": (ac_herb, hmap),
+            "symptom": (ac_sym, m["symptom"]),
+            "syndrome": (ac_syn, m["syndrome"]),
         }
 
         def _side(name):
@@ -293,6 +304,38 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                 # ingredient interact (extract_ingredient.py:320-338
                 # INTERACTS_CHiCH → ingredient_associate_ingredient)
                 ("协同", "ingredient", "ingredient", "ing_interact"),
+                # herb→symptom/syndrome treats (merge_tcm_symptom.py:206
+                # herb_treat_symptom; extract_syndrome.py:41-53
+                # herb_treat_syndrome)
+                ("善治", "herb", "symptom", "h_symptom"),
+                ("善解", "herb", "syndrome", "h_syndrome"),
+                # disease/syndrome present symptom: ONE marker against two
+                # subject maps (extract_disease.py:240-267 two-source union
+                # → disease_present_symptom; merge_tcm_symptom.py:243-261
+                # syndrome_present_symptom)
+                ("呈现", "disease", "symptom", "dis_present"),
+                ("呈现", "syndrome", "symptom", "syn_present"),
+                # pathway→disease (extract_disease.py:335-347
+                # pathway_lead_to_disease, ASSOCIATES_PWatD)
+                ("引动", "pathway", "disease", "pw_disease"),
+                # ingredient→pathway/GO quad (extract_ingredient.py:550-676):
+                # pathway is a single kind; BP/CC/MF are 3-kind unions —
+                # ASSOCIATES ∪ INCREASES ∪ DECREASES relabelled to ONE
+                # predicate, reproduced by sinking three markers into one
+                # mention kind (the dedup then IS the set union). 增进/削减
+                # each resolve against all three GO maps (disjoint vocab);
+                # 参与/定位于/介导 are the same verbs the gene-side family
+                # uses, resolved here against the ingredient subject map.
+                ("参与", "ingredient", "pathway", "i_pathway"),
+                ("参与", "ingredient", "bioprocess", "i_bioproc"),
+                ("增进", "ingredient", "bioprocess", "i_bioproc"),
+                ("削减", "ingredient", "bioprocess", "i_bioproc"),
+                ("定位于", "ingredient", "cellcomp", "i_cellcomp"),
+                ("增进", "ingredient", "cellcomp", "i_cellcomp"),
+                ("削减", "ingredient", "cellcomp", "i_cellcomp"),
+                ("介导", "ingredient", "molfunction", "i_molfunc"),
+                ("增进", "ingredient", "molfunction", "i_molfunc"),
+                ("削减", "ingredient", "molfunction", "i_molfunc"),
             )
         ]
 

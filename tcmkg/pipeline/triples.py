@@ -93,6 +93,22 @@ PRED_OF_KIND = {
     "ing_resemble": "ingredient_resemble_ingredient",
     # ingredient interact, mutual-collapsed (extract_ingredient.py:375-391)
     "ing_interact": "ingredient_associate_ingredient",
+    # herb→symptom/syndrome treats (merge_tcm_symptom.py:206,
+    # extract_syndrome.py:41-53)
+    "h_symptom": "herb_treat_symptom",
+    "h_syndrome": "herb_treat_syndrome",
+    # disease/syndrome present symptom (extract_disease.py:240-267,
+    # merge_tcm_symptom.py:243-261)
+    "dis_present": "disease_present_symptom",
+    "syn_present": "syndrome_present_symptom",
+    # pathway→disease (extract_disease.py:335-347)
+    "pw_disease": "pathway_lead_to_disease",
+    # ingredient→pathway/GO quad (extract_ingredient.py:550-676); the
+    # BP/CC/MF kinds already union three statement markers in the kernel
+    "i_pathway": "ingredient_associate_pathway",
+    "i_bioproc": "ingredient_associate_biological_process",
+    "i_cellcomp": "ingredient_associate_cellular_component",
+    "i_molfunc": "ingredient_associate_molecular_function",
 }
 
 
@@ -288,9 +304,9 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
 
     Plan shape: the raw mention stream is consumed exactly twice — once by
     the dose-weighting aggregation (contains) and once by the shared
-    distinct-pairs dedup; the five non-weighted predicates then branch off
-    the deduped (tiny) frame, so their filters/anti-joins/caps never touch
-    the full stream again. The previous call's pair cache is released
+    distinct-pairs dedup; all 45 non-weighted predicate branches (incl.
+    the de-conflict algebras) run off the deduped (tiny) frame, so their
+    filters/anti-joins/caps never touch the full stream again. The previous call's pair cache is released
     (same one-resident-copy rule as KGPipeline.triples' mention cache)."""
     global _prev_pairs
     if _prev_pairs is not None:
@@ -358,6 +374,19 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_pairs(pairs, "i_might_se"), PRED_OF_KIND["i_might_se"]),
         lab(_pairs(pairs, "anat_up"), PRED_OF_KIND["anat_up"]),
         lab(_pairs(pairs, "anat_down"), PRED_OF_KIND["anat_down"]),
+        # final reference-inventory families: all published set-deduped
+        # with no conflict algebra (the reference writes each as
+        # pd.DataFrame(set(pairs))); the BP/CC/MF 3-kind unions already
+        # collapsed into one kind at the kernel, so dedup = set union
+        lab(_pairs(pairs, "h_symptom"), PRED_OF_KIND["h_symptom"]),
+        lab(_pairs(pairs, "h_syndrome"), PRED_OF_KIND["h_syndrome"]),
+        lab(_pairs(pairs, "dis_present"), PRED_OF_KIND["dis_present"]),
+        lab(_pairs(pairs, "syn_present"), PRED_OF_KIND["syn_present"]),
+        lab(_pairs(pairs, "pw_disease"), PRED_OF_KIND["pw_disease"]),
+        lab(_pairs(pairs, "i_pathway"), PRED_OF_KIND["i_pathway"]),
+        lab(_pairs(pairs, "i_bioproc"), PRED_OF_KIND["i_bioproc"]),
+        lab(_pairs(pairs, "i_cellcomp"), PRED_OF_KIND["i_cellcomp"]),
+        lab(_pairs(pairs, "i_molfunc"), PRED_OF_KIND["i_molfunc"]),
     ]
     # is_a feeds both its own predicate and the disease-resemble kill set
     isa_f = is_a_edges(pairs)

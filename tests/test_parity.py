@@ -105,4 +105,13 @@ def test_predicate_coverage(spark_triples):
         "disease_resemble_disease",
         "ingredient_resemble_ingredient",
         "ingredient_associate_ingredient",
+        "herb_treat_symptom",
+        "herb_treat_syndrome",
+        "disease_present_symptom",
+        "syndrome_present_symptom",
+        "pathway_lead_to_disease",
+        "ingredient_associate_pathway",
+        "ingredient_associate_biological_process",
+        "ingredient_associate_cellular_component",
+        "ingredient_associate_molecular_function",
     }

@@ -643,3 +643,65 @@ def test_resemble_interact_extraction(spark, pipeline):
         (pair[0], "ingredient_associate_ingredient", pair[1]),
     }
     assert got == want, f"spurious={got - want} missing={want - got}"
+
+
+def test_final_family_extraction(spark, pipeline):
+    """End-to-end for the last reference-inventory families: herb→symptom/
+    syndrome treats, disease/syndrome present symptom (one marker, two
+    subject maps), pathway→disease, and the ingredient→pathway/GO quad
+    whose BP edge dedups the 参与∪增进 statement-kind union
+    (extract_ingredient.py:550-676: ASSOCIATES ∪ INCREASES ∪ DECREASES)."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    texts = [
+        "甘草善治头痛。",
+        "甘草善解气虚证。",
+        "感冒呈现发热。",
+        "气虚证呈现头痛。",
+        "凋亡通路引动消渴。",
+        "栎精参与凋亡通路。",
+        "山奈酚参与增殖过程。山奈酚增进增殖过程。",  # union -> ONE edge
+        "木犀草素削减分化过程。",
+        "芦丁定位于线粒体。",
+        "绿原酸介导激酶活性。",
+        "甘草善治头痛。",  # exact repeat -> still one edge
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(texts),
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "role": ["assistant"] * len(texts),
+            "text": texts,
+            "tool": [None] * len(texts),
+            "ts": [ts] * len(texts),
+        }
+    )
+    preds = {
+        "herb_treat_symptom", "herb_treat_syndrome",
+        "disease_present_symptom", "syndrome_present_symptom",
+        "pathway_lead_to_disease", "ingredient_associate_pathway",
+        "ingredient_associate_biological_process",
+        "ingredient_associate_cellular_component",
+        "ingredient_associate_molecular_function",
+    }
+    rows = pipeline.triples(spark.createDataFrame(pdf)).collect()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in rows if r["pred"] in preds}
+    m = pipeline.maps
+    from tcmkg.fixtures.dimensions import dim_maps
+
+    dm = dim_maps()
+    want = {
+        (m["herb"]["甘草"], "herb_treat_symptom", m["symptom"]["头痛"]),
+        (m["herb"]["甘草"], "herb_treat_syndrome", m["syndrome"]["气虚证"]),
+        (m["disease"]["感冒"], "disease_present_symptom", m["symptom"]["发热"]),
+        (m["syndrome"]["气虚证"], "syndrome_present_symptom", m["symptom"]["头痛"]),
+        (dm["pathway"]["凋亡通路"], "pathway_lead_to_disease", m["disease"]["消渴"]),
+        (m["ingredient"]["栎精"], "ingredient_associate_pathway", dm["pathway"]["凋亡通路"]),
+        (m["ingredient"]["山奈酚"], "ingredient_associate_biological_process", dm["bioprocess"]["增殖过程"]),
+        (m["ingredient"]["木犀草素"], "ingredient_associate_biological_process", dm["bioprocess"]["分化过程"]),
+        (m["ingredient"]["芦丁"], "ingredient_associate_cellular_component", dm["cellcomp"]["线粒体"]),
+        (m["ingredient"]["绿原酸"], "ingredient_associate_molecular_function", dm["molfunction"]["激酶活性"]),
+    }
+    assert got == want, f"spurious={got - want} missing={want - got}"
