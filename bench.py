@@ -36,13 +36,14 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "be
 def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
     """Generate (once) and cache the synthetic multi-turn corpus."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    # v7 (r5 final): T20-T24 blocks (herb→symptom/syndrome 善治/善解,
-    # disease/syndrome present 呈现, pathway→disease 引动, ingredient→GO
-    # quad 参与/增进/削减/定位于/介导) on top of v6's gene-side T11-T14 and
-    # the bind/side-effect/resemble statements — corpus content and
-    # per-turn extraction work changed vs v6/v5 (r5), v3 (r4), v2 (r2/r3);
+    # v8 (r5, 20/20 entity parity): T14/T14b subjects moved from the locus
+    # vocabulary to the CC-canonicalized anatomy gazetteer, and the T25
+    # tcm↔mm symptom mapping block (对应/溯源, both statement directions)
+    # landed — on top of v7's T20-T24 blocks, v6's gene-side T11-T14 and
+    # the bind/side-effect/resemble statements. Corpus content and per-turn
+    # extraction work changed vs v7/v6/v5 (r5), v3 (r4), v2 (r2/r3);
     # corpus legs are only comparable within one fixture version (NOISE.md).
-    path = os.path.join(BENCH_DIR, f"transcripts_v7_{n_conversations}.parquet")
+    path = os.path.join(BENCH_DIR, f"transcripts_v8_{n_conversations}.parquet")
     if not os.path.exists(path):
         from tcmkg.fixtures.transcripts import write_parquet
 

@@ -25,6 +25,15 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
+    # round-5 session 3: the 20/20 entity-parity batch — anatomy became a
+    # CC-canonicalized TMAT gazetteer (anat_* edge subjects changed ids),
+    # mm_symptom (TMMS) + the two-direction tcm_symptom_map_mm_symptom
+    # relation landed, and the roundtrip/nodes oracles changed with them
+    "kg_ts_mm",
+    "kg_anat_gene",
+    "kg_anat_updown",
+    "kg_nodes",
+    "kg_text_roundtrip",
     # round-5 final: the last reference-inventory families (herb→symptom/
     # syndrome, disease/syndrome present, pathway→disease, ingredient→GO
     # quad) — their clauses also extend the roundtrip derivation

@@ -113,8 +113,6 @@ from ..fixtures.dimensions import (  # noqa: E402
     PATHWAY_VOCAB,
     SIDEEFFECT_VOCAB,
 )
-from ..fixtures.locus import LOCUS_VOCAB, locus_id_map, locus_surface_rows  # noqa: E402
-
 POOL_PW = [zh for zh, _ in PATHWAY_VOCAB]
 POOL_BPROC = [zh for zh, _ in BIOPROC_VOCAB]
 POOL_CCOMP = [zh for zh, _ in CELLCOMP_VOCAB]
@@ -129,15 +127,6 @@ ID_CCOMP = [dim_id("cellcomp", i) for i in range(N_CCOMP)]
 ID_MFUNC = [dim_id("molfunction", i) for i in range(N_MFUNC)]
 ID_SE = [dim_id("sideeffect", i) for i in range(N_SE)]
 
-# loci planted by the T14 anatomy clause: only names whose surface scan
-# resolves to exactly their own id (上肢/下肢 contain the 肢→四肢 stem and
-# would emit a second edge the closed-form oracle doesn't model)
-POOL_LOC = [
-    zh for zh, _ in LOCUS_VOCAB if zh not in ("上肢", "下肢")
-]
-N_LOC = len(POOL_LOC)
-ID_LOC = [locus_id_map()[zh] for zh in POOL_LOC]
-
 _GENE_MARKERS = (
     "调控", "共变", "相互作用", "升高", "降低", "关联",
     "参与", "驱动", "定位于", "活跃于", "介导", "表达",
@@ -147,6 +136,8 @@ _GENE_MARKERS = (
     # final reference-inventory families: herb→symptom/syndrome treats,
     # disease/syndrome present symptom, pathway→disease, ingredient→GO quad
     "善治", "善解", "呈现", "引动", "增进", "削减",
+    # tcm↔mm symptom mapping, both statement directions (T25)
+    "对应", "溯源",
 )
 
 
@@ -157,8 +148,7 @@ def _assert_gene_side_safe() -> None:
     cannot predict; (b) pairwise substring-free across the four
     vocabularies — 参与's object window is scanned by two automatons;
     (c) marker-free, and the markers themselves must not hide inside any
-    alias or already-planted name. Planted loci must self-resolve to
-    exactly their own id under the full locus surface map."""
+    alias or already-planted name."""
     vocab = POOL_PW + POOL_BPROC + POOL_CCOMP + POOL_MFUNC + POOL_SE
     for name in vocab:
         assert not any(u in name for u in _UNIVERSE), name
@@ -166,11 +156,6 @@ def _assert_gene_side_safe() -> None:
     for a in vocab:
         for b in vocab:
             assert a == b or a not in b, (a, b)
-    surf = [(r["surface"], r["locus_id"]) for r in locus_surface_rows()]
-    for zh, lid in zip(POOL_LOC, ID_LOC):
-        hits = {l for s, l in surf if s in zh}
-        assert hits == {lid}, (zh, hits)
-        assert not any(u in zh for u in _UNIVERSE), zh
     for mk in _GENE_MARKERS:
         assert not any(mk in u for u in _UNIVERSE), mk
         assert not any(mk in c for c in _CHOSEN), mk
@@ -247,10 +232,26 @@ POOL_TGT = _pick_free(
     ["trp53", "egfr", "vegfa", "akt1", "aprf", "mapk1", "jak2", "nos2",
      "casp3", "bcl2", "nfkb1", "mtor", "tnfa", "cox2", "hmox1"], 15
 )
+# anatomy (TMAT, extract_other_entities.py:276-324) and mm_symptom (TMMS,
+# extract_mm_symmptom.py) gazetteer pools — canonical-distinct surfaces,
+# alias forms (海马回=海马体, 大动脉=主动脉, 眼底膜=视网膜; 紫绀=发绀,
+# 昏厥=晕厥, 颤抖=震颤) included INSTEAD of their primaries so each index
+# is a distinct canonical entity while still exercising the CC maps.
+# 14 anatomy entries keep the T14 index arithmetic of the former locus
+# pool unchanged.
+POOL_ANAT = _pick_free(
+    ["海马回", "垂体", "甲状腺", "肾上腺", "胸腺", "骨髓", "脊髓",
+     "淋巴结", "大动脉", "支气管", "眼底膜", "角膜", "膈肌", "胰岛"], 14
+)
+POOL_MMS = _pick_free(
+    ["紫绀", "昏厥", "谵妄", "构音障碍", "吞咽困难", "心动过速",
+     "低血压", "恶病质", "共济失调", "颤抖", "瞳孔散大", "呼吸急促"], 12
+)
 
 N_F, N_H1, N_H2 = len(POOL_FORMULA), len(POOL_HERB1), len(POOL_HERB2)
 N_SYM, N_SYN, N_DIS, N_D = len(POOL_SYM), len(POOL_SYN), len(POOL_DIS), len(POOL_DOSE)
 N_ING, N_TGT = len(POOL_INGR), len(POOL_TGT)
+N_ANAT, N_MMS = len(POOL_ANAT), len(POOL_MMS)
 
 
 def _canon_maps() -> dict[str, dict[str, str]]:
@@ -280,7 +281,10 @@ CANON_SYN = _canon_pool("syndrome", POOL_SYN)
 CANON_DIS = _canon_pool("disease", POOL_DIS)
 CANON_INGR = _canon_pool("ingredient", POOL_INGR)
 CANON_TGT = _canon_pool("target", POOL_TGT)
+CANON_ANAT = _canon_pool("anatomy", POOL_ANAT)
+CANON_MMS = _canon_pool("mm_symptom", POOL_MMS)
 assert len(set(CANON_INGR)) == N_ING and len(set(CANON_TGT)) == N_TGT
+assert len(set(CANON_ANAT)) == N_ANAT and len(set(CANON_MMS)) == N_MMS
 
 
 # ------------------------------------------------------------ derivation ---
@@ -451,8 +455,10 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(gb4, F.lit("相互作用"), ga4, F.lit("。")))
     )
     # T14 (every second T11 line): anatomy express; T14b on the odd p75
-    # half: anatomy up/down-regulate (p75%4==1 富集 / ==3 缺失)
-    loc = _pick(POOL_LOC, p75 % N_LOC)
+    # half: anatomy up/down-regulate (p75%4==1 富集 / ==3 缺失). The
+    # subject is a CC-canonicalized TMAT anatomy entity (r5: replaced the
+    # former locus-vocabulary stand-in — extract_other_entities.py:276-324)
+    loc = _pick(POOL_ANAT, p75 % N_ANAT)
     g2 = _pick(POOL_TGT, (p75 + 7) % 15)
     g3 = _pick(POOL_TGT, (p75 + 11) % 15)
     anat_clause = (
@@ -557,6 +563,26 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(goI, F.lit("介导"), goMf, F.lit("。"),
                             goI, F.lit("削减"), goBp2, F.lit("。")))
     )
+    # T25 (m5==4, appended after the GO quad): tcm↔mm symptom mapping
+    # wheel (merge_tcm_symptom.py:213-239 tcm_symptom_map_mm_symptom —
+    # the reference merges the symmap tcm→mm direction with the REVERSED
+    # cpmcp mm→tcm direction into one set). tm3=0 states it tcm-first
+    # (对应), tm3=1 mm-first (溯源), tm3=2 plants BOTH directions of the
+    # same pair — the union dedup must yield ONE edge. All residues emit
+    # the same (sym, mm) index pair, so the oracle is a uniform pick; a
+    # Spark side that mis-parses either direction loses a residue's pairs
+    # and hash-mismatches. Safe on m5==4: the turn has no 主治/常见/善治/
+    # 呈现 handler, so the planted symptom is invisible to every other
+    # scan, and both markers are sentence-bounded.
+    mmS = _pick(POOL_SYM, (v3 + 13) % N_SYM)
+    mmM = _pick(POOL_MMS, v3 % N_MMS)
+    tm3 = v3 % 3
+    mm_clause = (
+        F.when(tm3 == 0, F.concat(mmS, F.lit("对应"), mmM, F.lit("。")))
+        .when(tm3 == 1, F.concat(mmM, F.lit("溯源"), mmS, F.lit("。")))
+        .otherwise(F.concat(mmS, F.lit("对应"), mmM, F.lit("。"),
+                            mmM, F.lit("溯源"), mmS, F.lit("。")))
+    )
     # T16 (m5==4): ingredient→side-effect certainty wheel; rs=2 plants a
     # pair claimed by BOTH certainty sets — no de-conflict, both publish
     se_ing = _pick(POOL_INGR, p60 % N_ING)
@@ -646,10 +672,12 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # planted conflict and priority residues)
         .otherwise(
             # T16 side-effect + T18/T19 interact/resemble statements
-            # + T24 ingredient→pathway/GO quad (must stay LAST — see the
-            # quad's unbounded-marker note)
+            # + T24 ingredient→pathway/GO quad (its ingredient must stay
+            # right of every unbounded marker — the T25 mm clause after it
+            # introduces no ingredients/targets/diseases, so the quad's
+            # invariant holds) + T25 tcm↔mm mapping
             F.concat(dis2, F.lit("属于"), dis3, F.lit("。"), gene_clause,
-                     se_clause, ii_clause, ing_go_clause)
+                     se_clause, ii_clause, ing_go_clause, mm_clause)
         )
     )
     w = Window.partitionBy("conv_id").orderBy("ts", "eid")
@@ -1271,7 +1299,7 @@ def _sql_text_derivation() -> str:
     gb = _sql_pick(POOL_TGT, _SQL_GB_IDX)
     ga4 = _sql_pick(POOL_TGT, _SQL_GA4_IDX)
     gb4 = _sql_pick(POOL_TGT, _SQL_GB4_IDX)
-    loc = _sql_pick(POOL_LOC, f"({_SQL_P75}) % {N_LOC}")
+    loc = _sql_pick(POOL_ANAT, f"({_SQL_P75}) % {N_ANAT}")
     g2 = _sql_pick(POOL_TGT, f"(({_SQL_P75}) + 7) % 15")
     g3 = _sql_pick(POOL_TGT, f"(({_SQL_P75}) + 11) % 15")
     dgd = _sql_pick(POOL_DIS[:12], f"({_SQL_P60}) % 12")
@@ -1295,6 +1323,9 @@ def _sql_text_derivation() -> str:
     goCc = _sql_pick(POOL_CCOMP, _SQL_GO_CC)
     goCc2 = _sql_pick(POOL_CCOMP, _SQL_GO_CC2)
     goMf = _sql_pick(POOL_MFUNC, _SQL_GO_MF)
+    # T25 tcm↔mm mapping clause twins
+    mmS = _sql_pick(POOL_SYM, _SQL_MM_S)
+    mmM = _sql_pick(POOL_MMS, _SQL_MM_M)
     return f"""
   CASE
     WHEN eid % 5 = 0 THEN {f} || '：' || {h1} || {d1} || '、' || {h2} || {d2} || '。'
@@ -1392,6 +1423,11 @@ def _sql_text_derivation() -> str:
          WHEN 2 THEN {goI} || '参与' || {goBp} || '。' || {goI} || '增进' || {goBp} || '。'
          WHEN 3 THEN {goI} || '定位于' || {goCc} || '。' || {goI} || '增进' || {goCc2} || '。'
          ELSE {goI} || '介导' || {goMf} || '。' || {goI} || '削减' || {goBp2} || '。'
+       END) ||
+      (CASE {_SQL_TM3}
+         WHEN 0 THEN {mmS} || '对应' || {mmM} || '。'
+         WHEN 1 THEN {mmM} || '溯源' || {mmS} || '。'
+         ELSE {mmS} || '对应' || {mmM} || '。' || {mmM} || '溯源' || {mmS} || '。'
        END)
   END"""
 
@@ -1457,6 +1493,10 @@ _SQL_GO_BP2 = f"((({_SQL_V}) + 2) % {N_BPROC})"
 _SQL_GO_CC = f"(({_SQL_V}) % {N_CCOMP})"
 _SQL_GO_CC2 = f"((({_SQL_V}) + 3) % {N_CCOMP})"
 _SQL_GO_MF = f"(({_SQL_V}) % {N_MFUNC})"
+# T25 tcm↔mm mapping twins
+_SQL_TM3 = f"(({_SQL_V}) % 3)"
+_SQL_MM_S = f"((({_SQL_V}) + 13) % {N_SYM})"
+_SQL_MM_M = f"(({_SQL_V}) % {N_MMS})"
 
 
 def _sql_dim_clause() -> str:
@@ -1837,9 +1877,10 @@ FROM base
 
 def q_kg_anat_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anatomy→gene express edges (extract_target.py:612-658
-    EXPRESSES_AeG): the subject resolves through the locus SURFACE map
-    (the symptom-locus family's entity table), the object through the
-    gene gazetteer CC — a fixed-vocab × derived-entity pairing."""
+    EXPRESSES_AeG): BOTH endpoints are CC-canonicalized derived entities —
+    the subject through the anatomy gazetteer (TMAT,
+    extract_other_entities.py:276-324 xref-group merge), the object
+    through the gene gazetteer."""
     t = _triples(spark, sf_dir)
     return t.filter(F.col("pred") == "anatomy_express_gene").select(
         "subj", "obj"
@@ -1847,7 +1888,7 @@ def q_kg_anat_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_kg_anat_gene() -> str:
-    lid = _sql_pick(ID_LOC, f"p % {N_LOC}")
+    lid = _sql_pick(CANON_ANAT, f"p % {N_ANAT}")
     g2 = _sql_pick(CANON_TGT, "(p + 7) % 15")
     return f"""
 WITH base AS (
@@ -1937,8 +1978,8 @@ SELECT DISTINCT subj, pred, obj FROM (
 def q_kg_anat_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anatomy up/down-regulate gene (the UPREGULATES_AuG /
     DOWNREGULATES_AdG relations of the reference's anatomy→gene family,
-    extract_target.py:612-658): subject resolves through the locus surface
-    map, object through the gene gazetteer CC — published as plain
+    extract_target.py:612-658): both endpoints CC-canonicalized (anatomy
+    TMAT gazetteer subject, gene gazetteer object) — published as plain
     distinct pairs alongside anatomy_express_gene."""
     t = _triples(spark, sf_dir)
     return t.filter(
@@ -1947,7 +1988,7 @@ def q_kg_anat_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_kg_anat_updown() -> str:
-    lid = _sql_pick(ID_LOC, f"p % {N_LOC}")
+    lid = _sql_pick(CANON_ANAT, f"p % {N_ANAT}")
     g3 = _sql_pick(CANON_TGT, "(p + 11) % 15")
     return f"""
 WITH base AS (
@@ -1960,6 +2001,28 @@ SELECT DISTINCT {lid} AS subj,
        ELSE 'anatomy_downregulate_gene' END AS pred,
   {g3} AS obj
 FROM base WHERE p % 2 = 1
+"""
+
+
+def q_kg_ts_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tcm_symptom_map_mm_symptom (merge_tcm_symptom.py:213-239): the
+    reference merges TWO statement directions — symmap tcm→mm files plus
+    cpmcp mm→tcm files REVERSED — into one set-deduped relation. Both
+    endpoints are CC-canonicalized gazetteer entities (TMTS × TMMS); the
+    T25 wheel's tm3=2 residue plants both directions of one pair, so the
+    union dedup is value-verified (two statements → ONE edge)."""
+    t = _triples(spark, sf_dir)
+    return t.filter(F.col("pred") == "tcm_symptom_map_mm_symptom").select(
+        "subj", "obj"
+    )
+
+
+def _sql_kg_ts_mm() -> str:
+    mmS = _sql_pick(CANON_SYM, _SQL_MM_S)
+    mmM = _sql_pick(CANON_MMS, _SQL_MM_M)
+    return f"""
+SELECT DISTINCT {mmS} AS subj, {mmM} AS obj
+FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 4)
 """
 
 
@@ -2265,6 +2328,7 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 KG_QUERIES = {
+    "kg_ts_mm": q_kg_ts_mm,
     "kg_treat2": q_kg_treat2,
     "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
@@ -2303,6 +2367,7 @@ KG_QUERIES = {
 }
 
 KG_ORACLES = {
+    "kg_ts_mm": _sql_kg_ts_mm(),
     "kg_treat2": _sql_kg_treat2(),
     "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),

@@ -175,6 +175,40 @@ TARGET_ALIASES: dict[str, list[str]] = {
     "ptgs2": ["cox2"],
 }
 
+# -------------------------------------------------------------- anatomy ----
+# Anatomic-site entities (reference: extract_other_entities.py:276-324
+# merges PrimeKG + PharMeBINet anatomy tables by shared UBERON id groups
+# and assigns TMAT%05d ids). A CC-canonicalized gazetteer family — records
+# merge via shared external ids exactly like the reference's
+# merge_database_by_id_group — DISTINCT from the fixed locus table
+# (merge_tcm_symptom.py:92-98), which stays the symptom-name-containment
+# vocabulary. Modern anatomical structures, substring-free vs every other
+# gazetteer name (asserted by tests).
+ANATOMY_NAMES: list[str] = [
+    "海马体", "垂体", "甲状腺", "肾上腺", "胸腺", "骨髓", "脊髓",
+    "淋巴结", "主动脉", "支气管", "视网膜", "角膜", "膈肌", "胰岛",
+]
+ANATOMY_ALIASES: dict[str, list[str]] = {
+    "海马体": ["海马回"],
+    "主动脉": ["大动脉"],
+    "视网膜": ["眼底膜"],
+}
+
+# ----------------------------------------------------------- mm symptoms ---
+# Modern-medicine symptom entities (reference: extract_mm_symmptom.py
+# merges SymMap/CPMCP/PharMeBINet phenotype rows by MeSH_id then HPO_id
+# groups and assigns TMMS%05d ids). Western clinical terms, disjoint from
+# the tcm_symptom vocabulary.
+MM_SYMPTOM_NAMES: list[str] = [
+    "发绀", "晕厥", "谵妄", "构音障碍", "吞咽困难", "心动过速",
+    "低血压", "恶病质", "共济失调", "震颤", "瞳孔散大", "呼吸急促",
+]
+MM_SYMPTOM_ALIASES: dict[str, list[str]] = {
+    "发绀": ["紫绀"],
+    "晕厥": ["昏厥"],
+    "震颤": ["颤抖"],
+}
+
 
 def _synth(pool_a: list[str], pool_b: list[str], n: int) -> list[str]:
     """Deterministic synthetic names: cross product walk, no randomness."""
@@ -218,12 +252,15 @@ class Gazetteers:
     disease: list[GazetteerRecord] = field(default_factory=list)
     ingredient: list[GazetteerRecord] = field(default_factory=list)
     target: list[GazetteerRecord] = field(default_factory=list)
+    anatomy: list[GazetteerRecord] = field(default_factory=list)
+    mm_symptom: list[GazetteerRecord] = field(default_factory=list)
 
     def tables(self) -> dict[str, list[GazetteerRecord]]:
         return {
             "herb": self.herb, "formula": self.formula, "symptom": self.symptom,
             "syndrome": self.syndrome, "disease": self.disease,
             "ingredient": self.ingredient, "target": self.target,
+            "anatomy": self.anatomy, "mm_symptom": self.mm_symptom,
         }
 
 
@@ -274,17 +311,22 @@ def build_gazetteers() -> Gazetteers:
         disease=_build_records("DI", DISEASE_NAMES, DISEASE_ALIASES),
         ingredient=_build_records("IN", INGREDIENT_NAMES, INGREDIENT_ALIASES),
         target=_build_records("GE", TARGET_NAMES, TARGET_ALIASES),
+        anatomy=_build_records("AT", ANATOMY_NAMES, ANATOMY_ALIASES),
+        mm_symptom=_build_records("MS", MM_SYMPTOM_NAMES, MM_SYMPTOM_ALIASES),
     )
 
 
 # canonical-ID prefixes per entity type (reference scheme §1.3:
 # extract_herb.py:447-449 TMHB, extract_prescription.py:113-115 TMPRE,
 # merge_tcm_symptom.py:83-85 TMTS, extract_syndrome.py:24 TMSY,
-# extract_ingredient.py:217-218 TMIN, extract_target.py:203-204 TMGE)
+# extract_ingredient.py:217-218 TMIN, extract_target.py:203-204 TMGE,
+# extract_other_entities.py:321-323 TMAT, extract_mm_symmptom.py:129-131
+# TMMS)
 CANON_PREFIX = {
     "herb": "TMHB", "formula": "TMPRE", "symptom": "TMTS",
     "syndrome": "TMSY", "disease": "TMDIS",
     "ingredient": "TMIN", "target": "TMGE",
+    "anatomy": "TMAT", "mm_symptom": "TMMS",
 }
 
 

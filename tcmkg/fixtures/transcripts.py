@@ -49,8 +49,14 @@ Turn-text templates (the extraction rules live in pipeline/ and oracle/):
       multi-source union predicates
   T13 "<disease>升高/降低/关联<gene>。"        -> disease_{up,down}regulate_
       gene / disease_associate_gene (assoc − up − down)
-  T14 "<locus>表达<gene>。"                   -> anatomy_express_gene
-  T14b "<locus>富集/缺失<gene>。"             -> anatomy_{up,down}regulate_gene
+  T14 "<anatomy>表达<gene>。"                 -> anatomy_express_gene
+  T14b "<anatomy>富集/缺失<gene>。"           -> anatomy_{up,down}regulate_gene
+       (anatomy = CC-canonicalized TMAT gazetteer entities,
+        extract_other_entities.py:276-324)
+  T25 "<tcm_symptom>对应<mm_symptom>。" /
+      "<mm_symptom>溯源<tcm_symptom>。"        -> tcm_symptom_map_mm_symptom
+      (both statement directions set-merged, merge_tcm_symptom.py:213-239;
+       mutual-direction plants verify the union dedup)
   T15 "<ingredient>绑定<gene>。"              -> ingredient_bind_gene (also
       subtracts from ingredient_associate_gene, with a planted
       assoc∩bind priority case)
@@ -82,12 +88,13 @@ from .dimensions import (
     TOXICITY_VOCAB,
     TROPISM_VOCAB,
 )
-from .locus import LOCUS_VOCAB
 from .gazetteers import (
+    ANATOMY_NAMES,
     DISEASE_NAMES,
     HERB_NAMES,
     HOT_HERB,
     INGREDIENT_NAMES,
+    MM_SYMPTOM_NAMES,
     SYNDROME_NAMES,
     TARGET_NAMES,
     all_formula_names,
@@ -132,8 +139,11 @@ _PWS = [zh for zh, _ in PATHWAY_VOCAB]
 _BPS = [zh for zh, _ in BIOPROC_VOCAB]
 _CCS = [zh for zh, _ in CELLCOMP_VOCAB]
 _MFS = [zh for zh, _ in MOLFUNC_VOCAB]
-_LOCI = [zh for zh, _ in LOCUS_VOCAB]
 _SES = [zh for zh, _ in SIDEEFFECT_VOCAB]
+# anatomy/mm-symptom mention pools: primaries plus alias surfaces (resolve
+# to the same canonical entity through their gazetteer CC — like _ING_POOL)
+_ANAT_POOL = ANATOMY_NAMES + ["海马回", "大动脉", "眼底膜"]
+_MMS_POOL = MM_SYMPTOM_NAMES + ["紫绀", "昏厥", "颤抖"]
 
 
 def _dim_clause(c: int, k: int) -> str:
@@ -329,6 +339,19 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                 if (c // 12 + k) % 2 == 0:
                     sm = symptoms[(c * 13 + k) % len(symptoms)]
                     yield row(f"{s}呈现{sm}。", role, tool)
+                # T25 tcm↔mm symptom mapping, both statement directions
+                # (merge_tcm_symptom.py:213-239); w9==2 plants BOTH
+                # directions of one pair -> the union dedup yields ONE edge
+                w9 = (c // 12 + k) % 3
+                smx = symptoms[(c * 19 + k) % len(symptoms)]
+                mm = _MMS_POOL[(c * 5 + k) % len(_MMS_POOL)]
+                if w9 == 0:
+                    yield row(f"{smx}对应{mm}。", role, tool)
+                elif w9 == 1:
+                    yield row(f"{mm}溯源{smx}。", role, tool)
+                else:
+                    yield row(f"{smx}对应{mm}。", role, tool)
+                    yield row(f"{mm}溯源{smx}。", "assistant")
             elif kind == 6:
                 h = herbs[(c * 3 + k + 1) % len(herbs)]
                 d = diseases[(c * 5 + k + 1) % len(diseases)]
@@ -393,7 +416,7 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     # mutual associate -> ONE canonical (subj<obj) edge
                     yield row(f"{ga}相互作用{gb}。", role, tool)
                     yield row(f"{gb}相互作用{ga}。", "assistant")
-                loc = _LOCI[(c * 3 + k) % len(_LOCI)]
+                loc = _ANAT_POOL[(c * 3 + k) % len(_ANAT_POOL)]
                 yield row(f"{loc}表达{ga}。", role, tool)
                 # T14b anatomy up/down-regulate wheel. kind==9 pins
                 # c ≡ 9-2k (mod 12), which makes any (a·c+b·k) % 3 wheel

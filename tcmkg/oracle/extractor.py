@@ -113,6 +113,7 @@ PRED_I_PATHWAY = "ingredient_associate_pathway"
 PRED_I_BIOPROC = "ingredient_associate_biological_process"
 PRED_I_CELLCOMP = "ingredient_associate_cellular_component"
 PRED_I_MOLFUNC = "ingredient_associate_molecular_function"
+PRED_TS_MM = "tcm_symptom_map_mm_symptom"
 
 DEGREE_CAP = 50
 
@@ -183,7 +184,7 @@ class OracleExtractor:
         self.ac = {
             etype: AhoCorasick(self.maps[etype].keys())
             for etype in ("symptom", "syndrome", "disease", "herb",
-                          "ingredient", "target")
+                          "ingredient", "target", "anatomy", "mm_symptom")
         }
 
     # ------------------------------------------------------------------
@@ -219,20 +220,19 @@ class OracleExtractor:
         pclass: set[tuple[str, str]] = set()
 
         from ..fixtures.dimensions import dim_maps
-        from ..fixtures.locus import locus_surface_rows
         from ..kernels.matcher import clause_window
 
         dm = dim_maps()
         pc_map = dm["pharm_class"]
         ac_pc = AhoCorasick(pc_map.keys())
-        loc_map = {r["surface"]: r["locus_id"] for r in locus_surface_rows()}
         side = {
             name: (AhoCorasick(dm[name].keys()), dm[name])
             for name in (
                 "pathway", "bioprocess", "cellcomp", "molfunction", "sideeffect"
             )
         }
-        side["locus"] = (AhoCorasick(loc_map.keys()), loc_map)
+        side["anatomy"] = (self.ac["anatomy"], self.maps["anatomy"])
+        side["mm_symptom"] = (self.ac["mm_symptom"], self.maps["mm_symptom"])
         side["target"] = (self.ac["target"], self.maps["target"])
         side["disease"] = (self.ac["disease"], self.maps["disease"])
         side["ingredient"] = (self.ac["ingredient"], self.maps["ingredient"])
@@ -252,7 +252,7 @@ class OracleExtractor:
                 "anat_up", "anat_down", "dis_resemble", "ing_resemble",
                 "ing_interact", "h_symptom", "h_syndrome", "dis_present",
                 "syn_present", "pw_disease", "i_pathway", "i_bioproc",
-                "i_cellcomp", "i_molfunc",
+                "i_cellcomp", "i_molfunc", "ts_mm",
             )
         }
         sent_handlers = [
@@ -268,11 +268,13 @@ class OracleExtractor:
             ("定位于", "target", "cellcomp", "g_cellcomp"),
             ("活跃于", "target", "cellcomp", "g_cellcomp"),
             ("介导", "target", "molfunction", "g_molfunc"),
-            ("表达", "locus", "target", "anat_express"),
+            # anatomy: CC-canonicalized gazetteer entities
+            # (extract_other_entities.py:276-324 TMAT)
+            ("表达", "anatomy", "target", "anat_express"),
             ("必致", "ingredient", "sideeffect", "i_cause_se"),
             ("或致", "ingredient", "sideeffect", "i_might_se"),
-            ("富集", "locus", "target", "anat_up"),
-            ("缺失", "locus", "target", "anat_down"),
+            ("富集", "anatomy", "target", "anat_up"),
+            ("缺失", "anatomy", "target", "anat_down"),
             ("相类", "disease", "disease", "dis_resemble"),
             ("相类", "ingredient", "ingredient", "ing_resemble"),
             ("协同", "ingredient", "ingredient", "ing_interact"),
@@ -298,6 +300,10 @@ class OracleExtractor:
             ("介导", "ingredient", "molfunction", "i_molfunc"),
             ("增进", "ingredient", "molfunction", "i_molfunc"),
             ("削减", "ingredient", "molfunction", "i_molfunc"),
+            # tcm-first direction of the tcm↔mm symptom mapping
+            # (merge_tcm_symptom.py:213-224); the mm-first 溯源 direction
+            # is handled below with a swapped emit
+            ("对应", "symptom", "mm_symptom", "ts_mm"),
         ]
 
         fmap = self.maps["formula"]
@@ -390,6 +396,15 @@ class OracleExtractor:
                                 cs, co = map_s[s], map_o[o]
                                 if cs != co:
                                     sent_sinks[kind].add((cs, co))
+                if "溯源" in t:
+                    # mm-first direction, swapped emit -> (tcm, mm)
+                    ls, rs = clause_window(t, "溯源")
+                    for mm in self.ac["mm_symptom"].find_set(ls):
+                        for s in self.ac["symptom"].find_set(rs):
+                            sent_sinks["ts_mm"].add(
+                                (self.maps["symptom"][s],
+                                 self.maps["mm_symptom"][mm])
+                            )
                 if "其性" in t:
                     head, _, seg = t.partition("其性")
                     for h in self.ac["herb"].find_set(head):
@@ -566,6 +581,7 @@ class OracleExtractor:
             ("i_bioproc", PRED_I_BIOPROC),
             ("i_cellcomp", PRED_I_CELLCOMP),
             ("i_molfunc", PRED_I_MOLFUNC),
+            ("ts_mm", PRED_TS_MM),
         ):
             for s, o in sent_sinks[kind]:
                 triples.add((s, pred, o, None))

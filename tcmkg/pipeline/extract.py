@@ -154,6 +154,9 @@ RULE_MARKERS = (
     # BP/CC/MF predicates are each a 3-kind union (ASSOCIATES ∪ INCREASES
     # ∪ DECREASES relabelled to one type)
     "善治", "善解", "呈现", "引动", "增进", "削减",
+    # tcm_symptom ↔ mm_symptom mapping, both statement directions
+    # (merge_tcm_symptom.py:213-239)
+    "对应", "溯源",
 )
 
 
@@ -236,20 +239,18 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
         ac_herb = get_automaton(key + "herb", m["herb"].keys())
         ac_ing = get_automaton(key + "ingredient", m["ingredient"].keys())
         ac_tgt = get_automaton(key + "target", m["target"].keys())
+        ac_mms = get_automaton(key + "mm_symptom", m["mm_symptom"].keys())
         from ..fixtures.dimensions import dim_maps
-        from ..fixtures.locus import locus_surface_rows
 
         pc_map = dim_maps()["pharm_class"]  # static constant, no broadcast
         ac_pc = get_automaton("static:pharm_class", pc_map.keys())
         dm = dim_maps()
-        loc_map = {r["surface"]: r["locus_id"] for r in locus_surface_rows()}
         _statics = {
             dim: (get_automaton(f"static:{dim}", dm[dim].keys()), dm[dim])
             for dim in (
                 "pathway", "bioprocess", "cellcomp", "molfunction", "sideeffect"
             )
         }
-        _statics["locus"] = (get_automaton("static:locus", loc_map.keys()), loc_map)
         _gaz = {
             "target": (ac_tgt, m["target"]),
             "disease": (ac_dis, m["disease"]),
@@ -257,6 +258,11 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
             "herb": (ac_herb, hmap),
             "symptom": (ac_sym, m["symptom"]),
             "syndrome": (ac_syn, m["syndrome"]),
+            "anatomy": (
+                get_automaton(key + "anatomy", m["anatomy"].keys()),
+                m["anatomy"],
+            ),
+            "mm_symptom": (ac_mms, m["mm_symptom"]),
         }
 
         def _side(name):
@@ -286,15 +292,18 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                 ("定位于", "target", "cellcomp", "g_cellcomp"),
                 ("活跃于", "target", "cellcomp", "g_cellcomp"),
                 ("介导", "target", "molfunction", "g_molfunc"),
-                ("表达", "locus", "target", "anat_express"),
+                # anatomy entity family (extract_other_entities.py:276-324
+                # TMAT): a CC-canonicalized gazetteer — both endpoints of
+                # the anat_* edges are derived entities
+                ("表达", "anatomy", "target", "anat_express"),
                 # ingredient→side-effect certainty pair (CAUSES_CHcSE /
                 # MIGHT_CAUSES_CHmcSE, extract_ingredient.py:684-735 —
                 # both sets published, no de-conflict)
                 ("必致", "ingredient", "sideeffect", "i_cause_se"),
                 ("或致", "ingredient", "sideeffect", "i_might_se"),
                 # anatomy up/down-regulate (extract_target.py:612-658)
-                ("富集", "locus", "target", "anat_up"),
-                ("缺失", "locus", "target", "anat_down"),
+                ("富集", "anatomy", "target", "anat_up"),
+                ("缺失", "anatomy", "target", "anat_down"),
                 # resemble: ONE marker resolved against two entity-type
                 # pairs (extract_disease.py:303-317 RESEMBLES_DrD,
                 # extract_ingredient.py:354-372 RESEMBLES_CrC) — the
@@ -336,6 +345,14 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                 ("介导", "ingredient", "molfunction", "i_molfunc"),
                 ("增进", "ingredient", "molfunction", "i_molfunc"),
                 ("削减", "ingredient", "molfunction", "i_molfunc"),
+                # tcm_symptom ↔ mm_symptom mapping (merge_tcm_symptom.py:
+                # 213-239 tcm_symptom_map_mm_symptom): the reference merges
+                # TWO statement directions (symmap tcm→mm files + cpmcp
+                # mm→tcm files reversed) into one set. 对应 states it
+                # tcm-first; the 溯源 direction is handled below (swapped
+                # emit) — both sink into the ONE ts_mm kind, so the shared
+                # dedup IS the two-direction union.
+                ("对应", "symptom", "mm_symptom", "ts_mm"),
             )
         ]
 
@@ -463,6 +480,20 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                                     if cs != co:
                                         k = (kindname, cs, co, None)
                                         pair_n[k] = pair_n.get(k, 0) + 1
+                if "溯源" in t:
+                    # reversed statement direction of the tcm↔mm mapping
+                    # (cpmcp mm→tcm files, merge_tcm_symptom.py:226-233):
+                    # subject window holds the MM symptom, object window the
+                    # tcm symptom; the pair is emitted (tcm, mm) so both
+                    # directions land in the one ts_mm set
+                    ls, rs = clause_window(t, "溯源")
+                    mms = ac_mms.find_set(ls)
+                    if mms:
+                        for s in ac_sym.find_set(rs):
+                            for mm in mms:
+                                k = ("ts_mm", m["symptom"][s],
+                                     m["mm_symptom"][mm], None)
+                                pair_n[k] = pair_n.get(k, 0) + 1
                 if "其性" in t:
                     # dimension clause (herb property/flavour/tropism/
                     # toxicity — reference extract_herb.py:587-651): the

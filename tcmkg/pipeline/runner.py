@@ -76,7 +76,7 @@ def _gaz_fingerprint(gaz: Gazetteers) -> str:
 class KGPipeline:
     """Holds canonicalized gazetteers; `run` builds triples for a corpus.
 
-    Gazetteer canonicalization (5 entity types x CC + ranking) is the only
+    Gazetteer canonicalization (9 entity types x CC + ranking) is the only
     expensive fixed cost per fresh session; with `canon_dir` (default: the
     repo data dir) the per-type alias map and folded node table persist as
     CheckpointStore stage tables and later sessions resume by reading them.

@@ -109,6 +109,10 @@ PRED_OF_KIND = {
     "i_bioproc": "ingredient_associate_biological_process",
     "i_cellcomp": "ingredient_associate_cellular_component",
     "i_molfunc": "ingredient_associate_molecular_function",
+    # tcm_symptom ↔ mm_symptom mapping (merge_tcm_symptom.py:213-239
+    # tcm_symptom_map_mm_symptom): both statement directions land in the
+    # one kind at extraction, so the shared dedup is the set union
+    "ts_mm": "tcm_symptom_map_mm_symptom",
 }
 
 
@@ -304,7 +308,7 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
 
     Plan shape: the raw mention stream is consumed exactly twice — once by
     the dose-weighting aggregation (contains) and once by the shared
-    distinct-pairs dedup; all 45 non-weighted predicate branches (incl.
+    distinct-pairs dedup; all 46 non-weighted predicate branches (incl.
     the de-conflict algebras) run off the deduped (tiny) frame, so their
     filters/anti-joins/caps never touch the full stream again. The previous call's pair cache is released
     (same one-resident-copy rule as KGPipeline.triples' mention cache)."""
@@ -387,6 +391,7 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_pairs(pairs, "i_bioproc"), PRED_OF_KIND["i_bioproc"]),
         lab(_pairs(pairs, "i_cellcomp"), PRED_OF_KIND["i_cellcomp"]),
         lab(_pairs(pairs, "i_molfunc"), PRED_OF_KIND["i_molfunc"]),
+        lab(_pairs(pairs, "ts_mm"), PRED_OF_KIND["ts_mm"]),
     ]
     # is_a feeds both its own predicate and the disease-resemble kill set
     isa_f = is_a_edges(pairs)

@@ -121,6 +121,10 @@ def test_nodes_table(pipeline):
         "pathway", "bioprocess", "cellcomp", "molfunction",
         # side-effect family (TMSE, extract_other_entities.py:436-496)
         "sideeffect",
+        # 20/20 entity parity (r5 session 3): anatomy TMAT gazetteer
+        # (extract_other_entities.py:276-324) + mm_symptom TMMS
+        # (extract_mm_symmptom.py)
+        "anatomy", "mm_symptom",
     }
     # dimension nodes carry [zh, en] names with reference-scheme ids
     assert (pdf.entity_type == "tropism").sum() == 12

@@ -114,4 +114,5 @@ def test_predicate_coverage(spark_triples):
         "ingredient_associate_biological_process",
         "ingredient_associate_cellular_component",
         "ingredient_associate_molecular_function",
+        "tcm_symptom_map_mm_symptom",
     }

@@ -435,7 +435,7 @@ def test_gene_side_statement_extraction(spark, pipeline):
         "tp53调控egfr。",
         "vegfa共变akt1。",
         "stat3相互作用jak2。",
-        "bcl2调控mtor，且相互作用mtor。腰部表达nos2。",
+        "bcl2调控mtor，且相互作用mtor。骨髓表达nos2。",
         "感冒升高tp53。消渴关联egfr，且降低egfr。",
         # NOTE: one clause per marker per turn — clause_window (and the
         # oracle) bind each marker's FIRST occurrence only
@@ -462,8 +462,8 @@ def test_gene_side_statement_extraction(spark, pipeline):
     tgt = pipeline.maps["target"]
     dis = pipeline.maps["disease"]
     from tcmkg.fixtures.dimensions import dim_maps
-    from tcmkg.fixtures.locus import locus_id_map
 
+    anat = pipeline.maps["anatomy"]
     dm = dim_maps()
     want = {
         (tgt["tp53"], "gene_regulate_gene", tgt["egfr"]),
@@ -471,7 +471,7 @@ def test_gene_side_statement_extraction(spark, pipeline):
         (tgt["vegfa"], "gene_covary_gene", tgt["akt1"]),
         (tgt["stat3"], "gene_associate_gene", tgt["jak2"]),
         # bcl2~mtor assoc killed by the regulate claim in the same turn
-        (locus_id_map()["腰部"], "anatomy_express_gene", tgt["nos2"]),
+        (anat["骨髓"], "anatomy_express_gene", tgt["nos2"]),
         (dis["感冒"], "disease_upregulate_gene", tgt["tp53"]),
         (dis["消渴"], "disease_downregulate_gene", tgt["egfr"]),
         # 消渴~egfr assoc killed by the down claim in the same turn
@@ -528,8 +528,8 @@ def test_sideeffect_and_anat_updown_extraction(spark, pipeline):
         "木犀草素必致药疹反应。",
         "绿原酸或致晕沉反应。",
         "芦丁必致倦乏反应。芦丁或致倦乏反应。",  # both certainty sets publish
-        "腰部富集nos2。",
-        "关节缺失casp3。",
+        "骨髓富集nos2。",
+        "海马回缺失casp3。",  # alias surface -> 海马体's canonical id
     ]
     pdf = pd.DataFrame(
         {
@@ -549,8 +549,8 @@ def test_sideeffect_and_anat_updown_extraction(spark, pipeline):
     ing = pipeline.maps["ingredient"]
     tgt = pipeline.maps["target"]
     from tcmkg.fixtures.dimensions import dim_maps
-    from tcmkg.fixtures.locus import locus_id_map
 
+    anat = pipeline.maps["anatomy"]
     se = dim_maps()["sideeffect"]
     want = {
         (ing["栎精"], "ingredient_bind_gene", tgt["egfr"]),
@@ -559,8 +559,9 @@ def test_sideeffect_and_anat_updown_extraction(spark, pipeline):
         (ing["绿原酸"], "ingredient_might_cause_sideeffect", se["晕沉反应"]),
         (ing["芦丁"], "ingredient_cause_sideeffect", se["倦乏反应"]),
         (ing["芦丁"], "ingredient_might_cause_sideeffect", se["倦乏反应"]),
-        (locus_id_map()["腰部"], "anatomy_upregulate_gene", tgt["nos2"]),
-        (locus_id_map()["关节"], "anatomy_downregulate_gene", tgt["casp3"]),
+        (anat["骨髓"], "anatomy_upregulate_gene", tgt["nos2"]),
+        # alias surface resolves through the anatomy CC to 海马体's id
+        (anat["海马体"], "anatomy_downregulate_gene", tgt["casp3"]),
     }
     preds = {w[1] for w in want} | {"ingredient_associate_gene"}
     got_f = {t for t in got if t[1] in preds}
