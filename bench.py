@@ -179,10 +179,11 @@ def main() -> None:
                 "load_gate": load_gate,
                 "comparable_r02_subset_sec": comparable_r02,
                 "comparable_r02_ops_only_sec": ops_only,
-                # v7 = final-family T20-T24 blocks (r5 final): corpus
-                # leg does MORE per-turn extraction work than v6/v5/v3/v2
-                # — see NOISE.md before reading a cross-round corpus delta
-                "corpus_fixture": "v7",
+                # v8 = anatomy-gazetteer T14 subjects + the T25 tcm↔mm
+                # mapping block (20/20 entity parity): corpus leg does MORE
+                # per-turn extraction work than v7/v6/v5/v3/v2 — see
+                # NOISE.md before reading a cross-round corpus delta
+                "corpus_fixture": "v8",
                 "corpus_turns": n_corpus,
                 "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
                 "detail": extras,

@@ -595,10 +595,17 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             se_ing, F.lit("或致"), se_obj, F.lit("。")))
     )
 
-    text = (
-        F.when(m5 == 0, F.concat(f, F.lit("："), h1, d1, F.lit("、"), h2, d2, F.lit("。")))
-        .when(
-            m5 == 1,
+    # One projection PER m5 residue, unioned — not a single 5-way CASE.
+    # The single-expression form grew past the JVM's 64KB generated-method
+    # limit when the T25 clause landed ("Failed to compile the generated
+    # Java code" → whole-PROJECTION interpreted fallback, ~5× slower on
+    # the bench's events leg). Splitting by residue keeps every generated
+    # method small enough for codegen; each branch scans the (tiny
+    # relative to 100 TB) events parquet with the residue filter pushed
+    # down, and the row set is identical by construction.
+    branch_texts = {
+        0: F.concat(f, F.lit("："), h1, d1, F.lit("、"), h2, d2, F.lit("。")),
+        1: (
             F.concat(
                 # every 7th indication line is a carry-forward ("亦主治…"):
                 # no formula prefix — the pipeline must attach it to the last
@@ -609,10 +616,9 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("eid") % 31 == 0, F.lit("，口不渴")).otherwise(F.lit("")),
                 F.lit("。"),
                 dg_clause,  # T13: disease→gene statement
-            ),
-        )
-        .when(
-            m5 == 2,
+            )
+        ),
+        2: (
             F.concat(
                 h1, F.lit("可治"), dis,
                 # the treats pair set cycles with eid mod 600 (lcm of the
@@ -658,34 +664,37 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # T20-T23 social-clause wheel (herb/disease slots reuse
                 # h1/dis — see the wheel's construction note)
                 social_clause,
-            ),
-        )
+            )
+        ),
         # m5 == 3: syndrome-symptom line + T17 (disease resemble — must
         # precede the 能治 marker, see disr_clause note) + T9
         # (ingredient→disease wheel) + T12 (gene→pathway/GO wheel)
-        .when(m5 == 3, F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2,
-                                F.lit("。"), disr_clause, dis_clause,
-                                go_clause))
+        3: F.concat(syn, F.lit("常见"), s1, F.lit("，"), s2,
+                    F.lit("。"), disr_clause, dis_clause, go_clause),
         # m5 == 4: disease taxonomy line -> disease_is_a_disease with the
-        # antisymmetry rule (both directions present corpus-wide -> both die)
-        # + T8: an ingredient→gene statement (up/down/associate wheel with
-        # planted conflict and priority residues)
-        .otherwise(
-            # T16 side-effect + T18/T19 interact/resemble statements
-            # + T24 ingredient→pathway/GO quad (its ingredient must stay
-            # right of every unbounded marker — the T25 mm clause after it
-            # introduces no ingredients/targets/diseases, so the quad's
-            # invariant holds) + T25 tcm↔mm mapping
-            F.concat(dis2, F.lit("属于"), dis3, F.lit("。"), gene_clause,
-                     se_clause, ii_clause, ing_go_clause, mm_clause)
-        )
-    )
+        # antisymmetry rule (both directions present corpus-wide -> both
+        # die) + T8 (ingredient→gene wheel with planted conflict and
+        # priority residues) + T16 side-effect + T18/T19 interact/resemble
+        # + T24 ingredient→pathway/GO quad (its ingredient must stay right
+        # of every unbounded marker — the T25 mm clause after it introduces
+        # no ingredients/targets/diseases, so the quad's invariant holds)
+        # + T25 tcm↔mm mapping
+        4: F.concat(dis2, F.lit("属于"), dis3, F.lit("。"), gene_clause,
+                    se_clause, ii_clause, ing_go_clause, mm_clause),
+    }
+    parts = [
+        df.filter(m5 == k).withColumn("text", t)
+        for k, t in branch_texts.items()
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
     w = Window.partitionBy("conv_id").orderBy("ts", "eid")
-    return df.select(
+    return un.select(
         "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("assistant").alias("role"),
-        text.alias("text"),
+        F.col("text"),
         F.lit(None).cast("string").alias("tool"),
         "ts",
     )

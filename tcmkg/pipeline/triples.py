@@ -303,15 +303,42 @@ def disease_resemble_edges(pairs: DataFrame, isa_final: DataFrame) -> DataFrame:
     return res.join(kill, ["subj", "obj"], "left_anti")
 
 
+# kinds that publish as PLAIN set-deduped pairs — no weighting, cap, or
+# conflict algebra (the reference writes each as pd.DataFrame(set(pairs))).
+# This includes the pass-through halves of the algebra families: bind
+# (published unfiltered, extract_target.py:303-308), gene↔gene regulate/
+# covary and disease→gene up/down (the directional sets are emitted as-is;
+# only their associate siblings are filtered). The multi-marker unions
+# (参与∪驱动, the GO 3-kind unions, both pclass and ts_mm statement
+# directions) already collapsed into one kind at extraction, so the shared
+# dedup IS the set union.
+_PLAIN_KINDS = (
+    "p_syndrome", "indicates",
+    "has_flavour", "has_property", "tropism_of", "toxicity_of",
+    "consistof", "pclass", "bind_gene",
+    "gg_reg", "gg_cov", "dg_up", "dg_down",
+    "g_pathway", "g_bioproc", "g_cellcomp", "g_molfunc", "anat_express",
+    "i_cause_se", "i_might_se", "anat_up", "anat_down",
+    "h_symptom", "h_syndrome", "dis_present", "syn_present", "pw_disease",
+    "i_pathway", "i_bioproc", "i_cellcomp", "i_molfunc", "ts_mm",
+)
+
+
 def assemble_triples(mentions: DataFrame) -> DataFrame:
     """-> (subj, pred, obj, weight double).
 
     Plan shape: the raw mention stream is consumed exactly twice — once by
     the dose-weighting aggregation (contains) and once by the shared
-    distinct-pairs dedup; all 46 non-weighted predicate branches (incl.
-    the de-conflict algebras) run off the deduped (tiny) frame, so their
-    filters/anti-joins/caps never touch the full stream again. The previous call's pair cache is released
-    (same one-resident-copy rule as KGPipeline.triples' mention cache)."""
+    distinct-pairs dedup. All 46 non-weighted predicates run off the
+    deduped (tiny) frame; the 32 PLAIN kinds ship as ONE filter +
+    kind→predicate map lookup (one union arm and one pass over the pair
+    frame — not 32 branches), and only the weighted/capped/de-conflicted
+    families keep their own arms (~15 total). Keeping the union narrow
+    matters twice: driver-side plan analysis of a left-deep union is
+    quadratic in arms (46 arms cost ~28s of pure planning at HEAD-1), and
+    every arm is another task wave at execution. The previous call's pair
+    cache is released (same one-resident-copy rule as KGPipeline.triples'
+    mention cache)."""
     global _prev_pairs
     if _prev_pairs is not None:
         try:
@@ -327,71 +354,38 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
             "subj", F.lit(pred).alias("pred"), "obj", w.alias("weight")
         )
 
+    pred_map = F.create_map(
+        *[F.lit(x) for k in _PLAIN_KINDS for x in (k, PRED_OF_KIND[k])]
+    )
+    plain = pairs.filter(F.col("kind").isin(*_PLAIN_KINDS)).select(
+        "subj",
+        pred_map[F.col("kind")].alias("pred"),
+        "obj",
+        F.lit(None).cast("double").alias("weight"),
+    )
+
     parts = [
         lab(contains_edges(mentions), PRED_OF_KIND["contains"], weight=True),
         lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]),
-        lab(_pairs(pairs, "p_syndrome"), PRED_OF_KIND["p_syndrome"]),
         lab(treats_edges(pairs), PRED_OF_KIND["treats"]),
-        lab(_pairs(pairs, "indicates"), PRED_OF_KIND["indicates"]),
-        # dimension families: plain distinct pairs off the shared dedup —
-        # no caps/conflicts apply (the reference emits them set-deduped)
-        lab(_pairs(pairs, "has_flavour"), PRED_OF_KIND["has_flavour"]),
-        lab(_pairs(pairs, "has_property"), PRED_OF_KIND["has_property"]),
-        lab(_pairs(pairs, "tropism_of"), PRED_OF_KIND["tropism_of"]),
-        lab(_pairs(pairs, "toxicity_of"), PRED_OF_KIND["toxicity_of"]),
-        lab(_pairs(pairs, "consistof"), PRED_OF_KIND["consistof"]),
-        lab(_pairs(pairs, "pclass"), PRED_OF_KIND["pclass"]),
+        plain,
     ]
-    up_f, down_f, assoc_f, bind_f = gene_edges(pairs)
+    # algebra families: only the FILTERED/derived outputs get arms; their
+    # plain pass-through siblings (bind, gg_reg/gg_cov, dg_up/dg_down)
+    # already shipped in the bulk arm above
+    up_f, down_f, assoc_f, _bind = gene_edges(pairs)
+    it_f, ii_f, ic_f = ingredient_disease_edges(pairs)
+    _gr, _gc, ga_f = gene_gene_edges(pairs)
+    _du, _dd, da_f = disease_gene_edges(pairs)
     parts += [
         lab(up_f, PRED_OF_KIND["up_gene"]),
         lab(down_f, PRED_OF_KIND["down_gene"]),
         lab(assoc_f, PRED_OF_KIND["assoc_gene"]),
-        lab(bind_f, PRED_OF_KIND["bind_gene"]),
-    ]
-    it_f, ii_f, ic_f = ingredient_disease_edges(pairs)
-    parts += [
         lab(it_f, PRED_OF_KIND["i_treat"]),
         lab(ii_f, PRED_OF_KIND["i_induce"]),
         lab(ic_f, PRED_OF_KIND["i_contra"]),
-    ]
-    gr_f, gc_f, ga_f = gene_gene_edges(pairs)
-    du_f, dd_f, da_f = disease_gene_edges(pairs)
-    parts += [
-        lab(gr_f, PRED_OF_KIND["gg_reg"]),
-        lab(gc_f, PRED_OF_KIND["gg_cov"]),
         lab(ga_f, PRED_OF_KIND["gg_assoc"]),
-        lab(du_f, PRED_OF_KIND["dg_up"]),
-        lab(dd_f, PRED_OF_KIND["dg_down"]),
         lab(da_f, PRED_OF_KIND["dg_assoc"]),
-        # gene→pathway/GO + anatomy-express: plain distinct pairs (the
-        # multi-marker union already happened at extraction — both markers
-        # of a predicate emit the same mention kind)
-        lab(_pairs(pairs, "g_pathway"), PRED_OF_KIND["g_pathway"]),
-        lab(_pairs(pairs, "g_bioproc"), PRED_OF_KIND["g_bioproc"]),
-        lab(_pairs(pairs, "g_cellcomp"), PRED_OF_KIND["g_cellcomp"]),
-        lab(_pairs(pairs, "g_molfunc"), PRED_OF_KIND["g_molfunc"]),
-        lab(_pairs(pairs, "anat_express"), PRED_OF_KIND["anat_express"]),
-        # side-effect certainty pair + anatomy up/down: plain distinct
-        # pairs (the reference publishes all four sets un-de-conflicted)
-        lab(_pairs(pairs, "i_cause_se"), PRED_OF_KIND["i_cause_se"]),
-        lab(_pairs(pairs, "i_might_se"), PRED_OF_KIND["i_might_se"]),
-        lab(_pairs(pairs, "anat_up"), PRED_OF_KIND["anat_up"]),
-        lab(_pairs(pairs, "anat_down"), PRED_OF_KIND["anat_down"]),
-        # final reference-inventory families: all published set-deduped
-        # with no conflict algebra (the reference writes each as
-        # pd.DataFrame(set(pairs))); the BP/CC/MF 3-kind unions already
-        # collapsed into one kind at the kernel, so dedup = set union
-        lab(_pairs(pairs, "h_symptom"), PRED_OF_KIND["h_symptom"]),
-        lab(_pairs(pairs, "h_syndrome"), PRED_OF_KIND["h_syndrome"]),
-        lab(_pairs(pairs, "dis_present"), PRED_OF_KIND["dis_present"]),
-        lab(_pairs(pairs, "syn_present"), PRED_OF_KIND["syn_present"]),
-        lab(_pairs(pairs, "pw_disease"), PRED_OF_KIND["pw_disease"]),
-        lab(_pairs(pairs, "i_pathway"), PRED_OF_KIND["i_pathway"]),
-        lab(_pairs(pairs, "i_bioproc"), PRED_OF_KIND["i_bioproc"]),
-        lab(_pairs(pairs, "i_cellcomp"), PRED_OF_KIND["i_cellcomp"]),
-        lab(_pairs(pairs, "i_molfunc"), PRED_OF_KIND["i_molfunc"]),
-        lab(_pairs(pairs, "ts_mm"), PRED_OF_KIND["ts_mm"]),
     ]
     # is_a feeds both its own predicate and the disease-resemble kill set
     isa_f = is_a_edges(pairs)
@@ -403,7 +397,11 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         lab(_collapse_mutual(_pairs(pairs, "ing_interact")),
             PRED_OF_KIND["ing_interact"]),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # balanced union tree: analyzer cost grows with tree DEPTH × size, so
+    # pairing arms (depth log n) beats the left-deep chain (depth n)
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
