@@ -36,14 +36,15 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "be
 def bench_corpus_path(n_conversations: int = BENCH_CORPUS_CONVS) -> str:
     """Generate (once) and cache the synthetic multi-turn corpus."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    # v8 (r5, 20/20 entity parity): T14/T14b subjects moved from the locus
-    # vocabulary to the CC-canonicalized anatomy gazetteer, and the T25
-    # tcm↔mm symptom mapping block (对应/溯源, both statement directions)
-    # landed — on top of v7's T20-T24 blocks, v6's gene-side T11-T14 and
-    # the bind/side-effect/resemble statements. Corpus content and per-turn
-    # extraction work changed vs v7/v6/v5 (r5), v3 (r4), v2 (r2/r3);
-    # corpus legs are only comparable within one fixture version (NOISE.md).
-    path = os.path.join(BENCH_DIR, f"transcripts_v8_{n_conversations}.parquet")
+    # v9 (r5): the T22 disease-呈现 object moved from the TCM symptom pool
+    # to the mm_symptom pool — disease_present_symptom now targets TMMS
+    # ids like the reference's disease2mm_symptom.csv. On top of v8's
+    # anatomy-gazetteer T14 subjects + T25 tcm↔mm block, v7's T20-T24,
+    # v6's gene-side T11-T14 and the bind/side-effect/resemble statements.
+    # Corpus content and per-turn extraction work changed vs v8/v7/v6/v5
+    # (r5), v3 (r4), v2 (r2/r3); corpus legs are only comparable within
+    # one fixture version (NOISE.md).
+    path = os.path.join(BENCH_DIR, f"transcripts_v9_{n_conversations}.parquet")
     if not os.path.exists(path):
         from tcmkg.fixtures.transcripts import write_parquet
 
@@ -179,11 +180,11 @@ def main() -> None:
                 "load_gate": load_gate,
                 "comparable_r02_subset_sec": comparable_r02,
                 "comparable_r02_ops_only_sec": ops_only,
-                # v8 = anatomy-gazetteer T14 subjects + the T25 tcm↔mm
-                # mapping block (20/20 entity parity): corpus leg does MORE
-                # per-turn extraction work than v7/v6/v5/v3/v2 — see
-                # NOISE.md before reading a cross-round corpus delta
-                "corpus_fixture": "v8",
+                # v9 = T22 disease-呈现 targets mm_symptom surfaces
+                # (reference disease2mm_symptom parity), on top of v8's
+                # anatomy-gazetteer subjects + T25 block: see NOISE.md
+                # before reading a cross-round corpus delta
+                "corpus_fixture": "v9",
                 "corpus_turns": n_corpus,
                 "corpus_turns_per_sec": round(n_corpus / timings["kg_triples_corpus"], 1),
                 "detail": extras,

@@ -25,6 +25,13 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
+    # round-5 session 4: disease_present_symptom retargeted to mm_symptom
+    # entities (the reference's disease2mm_symptom.csv is disease→MODERN
+    # symptom) and the reference-layout export landed — kg_treat2 and the
+    # roundtrip derivation changed with it
+    "kg_export",
+    "kg_treat2",
+    "kg_text_roundtrip",
     # round-5 session 3: the 20/20 entity-parity batch — anatomy became a
     # CC-canonicalized TMAT gazetteer (anat_* edge subjects changed ids),
     # mm_symptom (TMMS) + the two-direction tcm_symptom_map_mm_symptom

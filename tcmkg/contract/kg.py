@@ -527,13 +527,17 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new herb×disease pairs.
     sc = v3 % 5
     scS = _pick(POOL_SYM, (v3 + 7) % N_SYM)
+    # the disease-subject 呈现 targets an mm_symptom surface (the
+    # reference's disease2mm_symptom.csv is disease→MODERN symptom);
+    # the syndrome-subject direction keeps the TCM symptom pool
+    scMm = _pick(POOL_MMS, (v3 + 7) % N_MMS)
     scSyn = _pick(POOL_SYN, (v3 + 3) % N_SYN)
     scSyn2 = _pick(POOL_SYN, (v3 + 9) % N_SYN)
     scPw = _pick(POOL_PW, v3 % N_PW)
     social_clause = (
         F.when(sc == 0, F.concat(h1, F.lit("善治"), scS, F.lit("。")))
         .when(sc == 1, F.concat(h1, F.lit("善解"), scSyn, F.lit("。")))
-        .when(sc == 2, F.concat(dis, F.lit("呈现"), scS, F.lit("。")))
+        .when(sc == 2, F.concat(dis, F.lit("呈现"), scMm, F.lit("。")))
         .when(sc == 3, F.concat(scPw, F.lit("引动"), dis, F.lit("。")))
         .otherwise(F.concat(scSyn2, F.lit("呈现"), scS, F.lit("。")))
     )
@@ -1322,6 +1326,7 @@ def _sql_text_derivation() -> str:
     mf = _sql_pick(POOL_MFUNC, f"({_SQL_U6}) % {N_MFUNC}")
     # T20-T23 social clause + T24 ingredient→GO quad twins
     scS = _sql_pick(POOL_SYM, _SQL_SC_S)
+    scMm = _sql_pick(POOL_MMS, _SQL_SC_MM)
     scSyn = _sql_pick(POOL_SYN, _SQL_SC_SYN)
     scSyn2 = _sql_pick(POOL_SYN, _SQL_SC_SYN2)
     scPw = _sql_pick(POOL_PW, _SQL_SC_PW)
@@ -1374,7 +1379,7 @@ def _sql_text_derivation() -> str:
          || (CASE {_SQL_SC}
                WHEN 0 THEN {h1} || '善治' || {scS} || '。'
                WHEN 1 THEN {h1} || '善解' || {scSyn} || '。'
-               WHEN 2 THEN {dis} || '呈现' || {scS} || '。'
+               WHEN 2 THEN {dis} || '呈现' || {scMm} || '。'
                WHEN 3 THEN {scPw} || '引动' || {dis} || '。'
                ELSE {scSyn2} || '呈现' || {scS} || '。'
              END)
@@ -1491,6 +1496,7 @@ _SQL_IRD1 = f"((({_SQL_IRC1}) + 1 + ((({_SQL_VM1}) // 9) % {N_ING - 1})) % {N_IN
 # T20-T23 social-clause wheel and T24 ingredient→GO quad twins
 _SQL_SC = f"(({_SQL_V}) % 5)"
 _SQL_SC_S = f"((({_SQL_V}) + 7) % {N_SYM})"
+_SQL_SC_MM = f"((({_SQL_V}) + 7) % {N_MMS})"
 _SQL_SC_SYN = f"((({_SQL_V}) + 3) % {N_SYN})"
 _SQL_SC_SYN2 = f"((({_SQL_V}) + 9) % {N_SYN})"
 _SQL_SC_PW = f"(({_SQL_V}) % {N_PW})"
@@ -2260,6 +2266,7 @@ def _sql_kg_treat2() -> str:
     h1 = _sql_pick(CANON_HERB1, f"eid % {N_H1}")
     dis = _sql_pick(CANON_DIS, f"eid % {N_DIS}")
     scS = _sql_pick(CANON_SYM, _SQL_SC_S)
+    scMm = _sql_pick(CANON_MMS, _SQL_SC_MM)
     scSyn = _sql_pick(CANON_SYN, _SQL_SC_SYN)
     scSyn2 = _sql_pick(CANON_SYN, _SQL_SC_SYN2)
     scPw = _sql_pick(ID_PW, _SQL_SC_PW)
@@ -2273,12 +2280,65 @@ SELECT DISTINCT subj, pred, obj FROM (
   UNION ALL
   SELECT {h1}, 'herb_treat_syndrome', {scSyn} FROM base WHERE sc = 1
   UNION ALL
-  SELECT {dis}, 'disease_present_symptom', {scS} FROM base WHERE sc = 2
+  SELECT {dis}, 'disease_present_symptom', {scMm} FROM base WHERE sc = 2
   UNION ALL
   SELECT {scPw}, 'pathway_lead_to_disease', {dis} FROM base WHERE sc = 3
   UNION ALL
   SELECT {scSyn2}, 'syndrome_present_symptom', {scS} FROM base WHERE sc = 4
 )
+"""
+
+
+def q_kg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-layout export round-trip through DISK (pipeline/export.py;
+    the reference's merge scripts write merge_result_dir/relation/<stem>.csv
+    with source_id,target_id,Relation_type — e.g. merge_tcm_symptom.py:
+    126-131, extract_disease.py:263-267): the pipeline's triples are
+    exported as that directory, read BACK from the partitioned CSV tree,
+    and six files are value-verified against independent derivations — the
+    five treat2 families under their reference stems (disease2mm_symptom,
+    syndrome2tcm_symptom, herb2symptom, herb2syndrome, pathway2disease;
+    stems differ from predicate names, so a mis-mapped stem or mis-routed
+    partition hash-mismatches) plus the corpus-independent
+    tcm_symptom2locus file."""
+    import tempfile
+
+    from ..pipeline.export import read_relation
+
+    p = _pipeline(spark)
+    tmp = tempfile.mkdtemp(prefix="tcmkg_export_contract_")
+    p.export_reference_layout(_triples(spark, sf_dir), tmp)
+    stems = (
+        "herb2symptom", "herb2syndrome", "disease2mm_symptom",
+        "syndrome2tcm_symptom", "pathway2disease", "tcm_symptom2locus",
+    )
+    out = (
+        read_relation(spark, tmp)
+        .filter(F.col("rel_file").isin(*stems))
+        .select(
+            "rel_file",
+            "source_id",
+            "target_id",
+            F.col("Relation_type").alias("relation_type"),
+        )
+    )
+    return _materialize_then_cleanup(spark, out, tmp)
+
+
+def _sql_kg_export() -> str:
+    stem_case = """CASE pred
+        WHEN 'herb_treat_symptom' THEN 'herb2symptom'
+        WHEN 'herb_treat_syndrome' THEN 'herb2syndrome'
+        WHEN 'disease_present_symptom' THEN 'disease2mm_symptom'
+        WHEN 'syndrome_present_symptom' THEN 'syndrome2tcm_symptom'
+        ELSE 'pathway2disease' END"""
+    return f"""
+SELECT {stem_case} AS rel_file, subj AS source_id, obj AS target_id,
+       pred AS relation_type
+FROM ({_sql_kg_treat2()})
+UNION ALL
+SELECT 'tcm_symptom2locus', subj, obj, 'symptom_locus'
+FROM ({_sql_kg_symptom_locus()})
 """
 
 
@@ -2339,6 +2399,7 @@ SELECT DISTINCT subj, pred, obj FROM (
 KG_QUERIES = {
     "kg_ts_mm": q_kg_ts_mm,
     "kg_treat2": q_kg_treat2,
+    "kg_export": q_kg_export,
     "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
     "kg_anat_updown": q_kg_anat_updown,
@@ -2378,6 +2439,7 @@ KG_QUERIES = {
 KG_ORACLES = {
     "kg_ts_mm": _sql_kg_ts_mm(),
     "kg_treat2": _sql_kg_treat2(),
+    "kg_export": _sql_kg_export(),
     "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),
     "kg_anat_updown": _sql_kg_anat_updown(),

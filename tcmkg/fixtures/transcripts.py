@@ -375,11 +375,13 @@ def generate_turns(n_conversations: int = 200, conv_offset: int = 0):
                     if dA != dB:
                         yield row(f"{dA}相类{dB}。", role, tool)  # plain
                 # T22 disease→symptom present + T23 pathway→disease
-                # (extract_disease.py:240-267, :335-347)
+                # (extract_disease.py:240-267, :335-347). The disease
+                # side presents a MODERN-medicine symptom — the
+                # reference's disease2mm_symptom.csv targets TMMS ids
                 w6 = (c // 12 + k) % 3
                 if w6 == 0:
-                    sm = symptoms[(c * 17 + k) % len(symptoms)]
-                    yield row(f"{d1}呈现{sm}。", role, tool)
+                    mm6 = _MMS_POOL[(c * 17 + k) % len(_MMS_POOL)]
+                    yield row(f"{d1}呈现{mm6}。", role, tool)
                 elif w6 == 1:
                     pw = _PWS[(c * 3 + k) % len(_PWS)]
                     yield row(f"{pw}引动{d2}。", role, tool)

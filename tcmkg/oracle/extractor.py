@@ -283,8 +283,9 @@ class OracleExtractor:
             ("善治", "herb", "symptom", "h_symptom"),
             ("善解", "herb", "syndrome", "h_syndrome"),
             # disease/syndrome present symptom (extract_disease.py:240-267,
-            # merge_tcm_symptom.py:243-261)
-            ("呈现", "disease", "symptom", "dis_present"),
+            # merge_tcm_symptom.py:243-261); the disease side targets
+            # mm_symptom entities (the reference's disease2mm_symptom.csv)
+            ("呈现", "disease", "mm_symptom", "dis_present"),
             ("呈现", "syndrome", "symptom", "syn_present"),
             # pathway→disease (extract_disease.py:335-347)
             ("引动", "pathway", "disease", "pw_disease"),

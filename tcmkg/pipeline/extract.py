@@ -321,8 +321,11 @@ def extract_mentions(spark, prefiltered: DataFrame, maps: dict[str, dict[str, st
                 # disease/syndrome present symptom: ONE marker against two
                 # subject maps (extract_disease.py:240-267 two-source union
                 # → disease_present_symptom; merge_tcm_symptom.py:243-261
-                # syndrome_present_symptom)
-                ("呈现", "disease", "symptom", "dis_present"),
+                # syndrome_present_symptom). The reference's disease side
+                # targets MODERN-medicine symptoms (disease2mm_symptom.csv,
+                # TMMS ids) while the syndrome side targets TCM symptoms
+                # (syndrome2tcm_symptom.csv) — the object maps differ.
+                ("呈现", "disease", "mm_symptom", "dis_present"),
                 ("呈现", "syndrome", "symptom", "syn_present"),
                 # pathway→disease (extract_disease.py:335-347
                 # pathway_lead_to_disease, ASSOCIATES_PWatD)

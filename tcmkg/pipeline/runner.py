@@ -211,6 +211,28 @@ class KGPipeline:
         self._mentions_handle = mentions
         return assemble_triples(mentions)
 
+    def export_reference_layout(
+        self,
+        triples: DataFrame,
+        out_dir: str,
+        fmt: str = "csv",
+        files_per_relation: int | None = None,
+    ) -> dict[str, str]:
+        """Write the reference's output directory (entity/<type> +
+        relation/<name>, reference file stems and Relation_type labels)
+        from this pipeline's node table, the given triple frame, and the
+        derived symptom→locus edges. See pipeline/export.py."""
+        from .export import export_reference_layout
+
+        return export_reference_layout(
+            self.nodes_table(),
+            triples,
+            out_dir,
+            symptom_locus=self.symptom_locus(),
+            fmt=fmt,
+            files_per_relation=files_per_relation,
+        )
+
     # ------------------------------------------------------------------
     def run(
         self,

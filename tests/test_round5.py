@@ -659,7 +659,7 @@ def test_final_family_extraction(spark, pipeline):
     texts = [
         "甘草善治头痛。",
         "甘草善解气虚证。",
-        "感冒呈现发热。",
+        "感冒呈现心动过速。",  # disease presents a MODERN symptom (TMMS)
         "气虚证呈现头痛。",
         "凋亡通路引动消渴。",
         "栎精参与凋亡通路。",
@@ -696,7 +696,7 @@ def test_final_family_extraction(spark, pipeline):
     want = {
         (m["herb"]["甘草"], "herb_treat_symptom", m["symptom"]["头痛"]),
         (m["herb"]["甘草"], "herb_treat_syndrome", m["syndrome"]["气虚证"]),
-        (m["disease"]["感冒"], "disease_present_symptom", m["symptom"]["发热"]),
+        (m["disease"]["感冒"], "disease_present_symptom", m["mm_symptom"]["心动过速"]),
         (m["syndrome"]["气虚证"], "syndrome_present_symptom", m["symptom"]["头痛"]),
         (dm["pathway"]["凋亡通路"], "pathway_lead_to_disease", m["disease"]["消渴"]),
         (m["ingredient"]["栎精"], "ingredient_associate_pathway", dm["pathway"]["凋亡通路"]),
