@@ -213,7 +213,12 @@ def read_relation(spark, out_dir: str, fmt: str = "csv") -> DataFrame:
     """Read the exported relation directory back as one frame (rel_file
     recovered from the partition column, plain + dose files unioned —
     the dose-bearing contains file has one extra column, and a CSV read
-    does not merge schemas across files)."""
+    does not merge schemas across files).
+
+    Local-verification convenience: it lists partition directories with
+    os.listdir, so it assumes a local filesystem. Production consumers of
+    the export read per-file, exactly like users of the reference's
+    merge_result_dir — the per-file schemas genuinely differ there too."""
     path = os.path.join(out_dir, "relation")
     dose_dir = f"{path}/rel_file={DOSE_PRED_FILE}"
     plain_dirs = [
