@@ -201,7 +201,16 @@ def _write(
     mode: str = "overwrite",
 ) -> None:
     if files_per_relation:
-        df = df.repartition(files_per_relation, part_col)
+        # repartition on (file, deterministic row-hash salt): each file
+        # lands in AT MOST files_per_relation partitions, and a huge
+        # relation still splits across that many tasks. Hashing the file
+        # column alone would pin every relation to one task — the thing
+        # that cannot hold at 100 TB.
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns if c != part_col]),
+            F.lit(files_per_relation),
+        )
+        df = df.repartition(F.col(part_col), salt)
     w = df.write.partitionBy(part_col).mode(mode)
     if fmt == "csv":
         w.option("header", True).csv(path)

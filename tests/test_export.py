@@ -117,3 +117,39 @@ def test_entity_files_cover_all_20_families(spark, exported):
         for r in nodes.filter(F.col("entity_type") == "herb").collect()
     }
     assert got_ids == want_ids
+
+
+def test_files_per_relation_bounds_small_files(spark, exported):
+    """files_per_relation must bound the file count per relation dir while
+    leaving the exported row set identical."""
+    from tcmkg.pipeline.export import export_reference_layout, read_relation
+    from tcmkg.fixtures.gazetteers import build_gazetteers
+    from tcmkg.pipeline.runner import KGPipeline
+
+    triples, _ = exported
+    out2 = OUT + "_fpr"
+    shutil.rmtree(out2, ignore_errors=True)
+    try:
+        p = KGPipeline(spark, build_gazetteers())
+        export_reference_layout(
+            p.nodes_table(), triples, out2,
+            symptom_locus=p.symptom_locus(), files_per_relation=2,
+        )
+        rel_root = os.path.join(out2, "relation")
+        for d in os.listdir(rel_root):
+            if not d.startswith("rel_file="):
+                continue
+            parts = [
+                f for f in os.listdir(os.path.join(rel_root, d))
+                if f.endswith(".csv")
+            ]
+            assert 1 <= len(parts) <= 2, (d, parts)
+        a = read_relation(spark, OUT).select(
+            "rel_file", "source_id", "target_id"
+        )
+        b = read_relation(spark, out2).select(
+            "rel_file", "source_id", "target_id"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
