@@ -30,6 +30,7 @@ _CHECK_FIRST = [
     # symptom) and the reference-layout export landed — kg_treat2 and the
     # roundtrip derivation changed with it
     "kg_export",
+    "kg_three_hop",
     "kg_treat2",
     "kg_text_roundtrip",
     # round-5 session 3: the 20/20 entity-parity batch — anatomy became a

@@ -2289,6 +2289,61 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_kg_three_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-hop chain herb→ingredient→gene→pathway across three derived
+    edge families (consistof ⨝ the four ingredient→gene sets ⨝
+    gene_associate_pathway) — the KGPipeline.k_hop(3) semantics verified
+    end-to-end: every hop's edge derivation AND the two joins hash
+    together. The middle hop unions the published algebra outputs, whose
+    union equals the raw statement sets (de-conflict moves pairs BETWEEN
+    the four sets, never out of their union). At scale this is the
+    frontier plan: the bucketed edge tables are never re-shuffled; only
+    the path frame re-keys per added hop (see runner.k_hop)."""
+    t = _triples(spark, sf_dir)
+    hi = t.filter(F.col("pred") == "herb_consistof_ingredient").select(
+        F.col("subj").alias("herb"), F.col("obj").alias("ingr")
+    )
+    ig = t.filter(
+        F.col("pred").isin(
+            "ingredient_upregulate_gene",
+            "ingredient_downregulate_gene",
+            "ingredient_associate_gene",
+            "ingredient_bind_gene",
+        )
+    ).select(F.col("subj").alias("ingr"), F.col("obj").alias("gene"))
+    gp = t.filter(F.col("pred") == "gene_associate_pathway").select(
+        F.col("subj").alias("gene"), F.col("obj").alias("pw")
+    )
+    return (
+        hi.join(ig, "ingr").join(gp, "gene")
+        .select("herb", "ingr", "gene", "pw")
+        .distinct()
+    )
+
+
+def _sql_kg_three_hop() -> str:
+    ing = _sql_pick(CANON_INGR, f"p % {N_ING}")
+    tgt = _sql_pick(CANON_TGT, f"p % {N_TGT}")
+    g = _sql_pick(CANON_TGT, "u % 15")
+    pw = _sql_pick(ID_PW, f"u % {N_PW}")
+    return f"""
+WITH hi AS ({_sql_kg_consistof()}),
+ig AS (
+  SELECT DISTINCT {ing} AS ingr, {tgt} AS gene
+  FROM (SELECT ({_SQL_P60}) AS p
+        FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 4))
+),
+gp AS (
+  SELECT DISTINCT {g} AS gene, {pw} AS pw
+  FROM (SELECT {_SQL_W6} AS w, {_SQL_U6} AS u
+        FROM (SELECT event_id AS eid FROM events WHERE event_id % 5 = 3))
+  WHERE w = 0
+)
+SELECT DISTINCT hi.subj AS herb, hi.obj AS ingr, ig.gene AS gene, gp.pw AS pw
+FROM hi JOIN ig ON hi.obj = ig.ingr JOIN gp ON ig.gene = gp.gene
+"""
+
+
 def q_kg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-layout export round-trip through DISK (pipeline/export.py;
     the reference's merge scripts write merge_result_dir/relation/<stem>.csv
@@ -2400,6 +2455,7 @@ KG_QUERIES = {
     "kg_ts_mm": q_kg_ts_mm,
     "kg_treat2": q_kg_treat2,
     "kg_export": q_kg_export,
+    "kg_three_hop": q_kg_three_hop,
     "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
     "kg_anat_updown": q_kg_anat_updown,
@@ -2440,6 +2496,7 @@ KG_ORACLES = {
     "kg_ts_mm": _sql_kg_ts_mm(),
     "kg_treat2": _sql_kg_treat2(),
     "kg_export": _sql_kg_export(),
+    "kg_three_hop": _sql_kg_three_hop(),
     "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),
     "kg_anat_updown": _sql_kg_anat_updown(),

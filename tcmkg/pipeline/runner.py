@@ -428,6 +428,50 @@ class KGPipeline:
         )
         return e1.join(e2, "via").select("a", "via", "b", "pred1", "pred2")
 
+    def k_hop(
+        self,
+        k: int,
+        preds: list[list[str] | None] | None = None,
+        edges_table: str = "tcmkg_edges",
+        edges_obj_table: str = "tcmkg_edges_obj",
+    ) -> DataFrame:
+        """k-hop traversal over the materialized graph: -> (n0, pred1, n1,
+        pred2, n2, …, predk, nk), distinct paths. `preds[i]` optionally
+        restricts hop i+1 to a predicate list (None = all).
+
+        Scale shape (the frontier pattern): hop 1 joins the OBJ-bucketed
+        copy against the SUBJ-bucketed copy — bucket key on BOTH sides,
+        zero exchanges (the two_hop plan). Each FURTHER hop joins the
+        accumulated path frame against the subj-bucketed table again: the
+        TABLE side stays bucket-local on its bucket key every time (never
+        re-shuffled, the part that is 100 TB), and only the path frame —
+        whose size is the query's answer, not the corpus — re-shuffles on
+        its current end column. k=2 is exactly two_hop."""
+        if k < 2:
+            raise ValueError("k_hop needs k >= 2; use the edge table for k=1")
+
+        def _hop(i: int, table: str, src: str) -> DataFrame:
+            e = self.spark.table(table)
+            if preds is not None and preds[i] is not None:
+                e = e.filter(F.col("pred").isin(*preds[i]))
+            return e.select(
+                F.col("subj").alias(src),
+                F.col("pred").alias(f"pred{i + 1}"),
+                F.col("obj").alias(f"n{i + 1}"),
+            )
+
+        paths = _hop(0, edges_obj_table, "n0")
+        for i in range(1, k):
+            paths = paths.join(_hop(i, edges_table, f"n{i}"), f"n{i}")
+        cols = ["n0"]
+        for i in range(1, k + 1):
+            cols += [f"pred{i}", f"n{i}"]
+        # no distinct needed: the edge tables are distinct triples and the
+        # output tuple contains every join key and predicate, so each
+        # combination occurs exactly once — adding one would cost a full
+        # extra shuffle of the result
+        return paths.select(*cols)
+
     def _metrics(self, mentions: DataFrame, triples: DataFrame) -> DataFrame:
         """Per-partition lineage + triple-count metrics (north-rule item)."""
         m = (

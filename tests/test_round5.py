@@ -706,3 +706,88 @@ def test_final_family_extraction(spark, pipeline):
         (m["ingredient"]["绿原酸"], "ingredient_associate_molecular_function", dm["molfunction"]["激酶活性"]),
     }
     assert got == want, f"spurious={got - want} missing={want - got}"
+
+
+def test_k_hop_generalizes_two_hop(spark, pipeline, transcripts_df):
+    """k_hop(2) must equal two_hop exactly (same plan family), and
+    k_hop(3) must equal a direct triple three-self-join — with the edge
+    TABLE sides bucket-local: with broadcast disabled, k=2 plans ZERO
+    data exchanges and k=3 exactly ONE (the path frame re-keying on its
+    end column; the bucketed tables are never re-shuffled)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    triples = pipeline.triples(transcripts_df)
+    pipeline.materialize_graph(triples)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        k2 = pipeline.k_hop(2)
+        two = pipeline.two_hop()
+        got2 = {tuple(r) for r in k2.collect()}
+        want2 = {
+            (r["a"], r["pred1"], r["via"], r["pred2"], r["b"])
+            for r in two.collect()
+        }
+        assert got2 == want2 and got2
+        # executed AdaptiveSparkPlans print the final AND the initial
+        # plan — count over the final section only (the r4 ADVICE pitfall)
+        plan2 = (
+            k2._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan2)) == 0
+
+        k3 = pipeline.k_hop(3)
+        got3 = {tuple(r) for r in k3.collect()}
+        e = [
+            triples.select(
+                F.col("subj").alias(f"n{i}"),
+                F.col("pred").alias(f"pred{i + 1}"),
+                F.col("obj").alias(f"n{i + 1}"),
+            )
+            for i in range(3)
+        ]
+        direct = e[0].join(e[1], "n1").join(e[2], "n2").select(
+            "n0", "pred1", "n1", "pred2", "n2", "pred3", "n3"
+        )
+        want3 = {tuple(r) for r in direct.collect()}
+        assert got3 == want3 and got3
+        plan3 = (
+            k3._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan3)) == 1, plan3
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_k_hop_pred_filters(spark, pipeline, transcripts_df):
+    """Per-hop predicate filters must push into each hop's scan and
+    reproduce the dedicated chain query semantics."""
+    triples = pipeline.triples(transcripts_df)
+    pipeline.materialize_graph(triples)
+    ig_preds = [
+        "ingredient_upregulate_gene", "ingredient_downregulate_gene",
+        "ingredient_associate_gene", "ingredient_bind_gene",
+    ]
+    k3 = pipeline.k_hop(
+        3,
+        preds=[["herb_consistof_ingredient"], ig_preds,
+               ["gene_associate_pathway"]],
+    )
+    got = {(r["n0"], r["n1"], r["n2"], r["n3"]) for r in k3.collect()}
+    from pyspark.sql import functions as F
+
+    hi = triples.filter(F.col("pred") == "herb_consistof_ingredient")
+    ig = triples.filter(F.col("pred").isin(*ig_preds))
+    gp = triples.filter(F.col("pred") == "gene_associate_pathway")
+    want = {
+        (r["h"], r["i"], r["g"], r["p"])
+        for r in hi.select(F.col("subj").alias("h"), F.col("obj").alias("i"))
+        .join(ig.select(F.col("subj").alias("i"), F.col("obj").alias("g")), "i")
+        .join(gp.select(F.col("subj").alias("g"), F.col("obj").alias("p")), "g")
+        .collect()
+    }
+    assert got == want and got
