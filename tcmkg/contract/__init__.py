@@ -30,6 +30,8 @@ _CHECK_FIRST = [
     # symptom) and the reference-layout export landed — kg_treat2 and the
     # roundtrip derivation changed with it
     "kg_export",
+    "kg_all_edges",
+    "kg_degree",
     "kg_three_hop",
     "kg_treat2",
     "kg_text_roundtrip",

@@ -2344,6 +2344,85 @@ FROM hi JOIN ig ON hi.obj = ig.ingr JOIN gp ON ig.gene = gp.gene
 """
 
 
+def _sql_kg_all_edges() -> str:
+    """The FULL published edge set (subj, pred, obj) as ONE SQL union of
+    every per-family derivation — the single strongest differential for
+    assemble_triples: any mis-mapped predicate, lost family arm, or
+    cross-family dedup/conflict regression in the 47-branch union changes
+    this hash. Composed from the same per-family oracles the driver
+    already verifies individually (weight dropped: the contains edge
+    exists whether or not its dose parses)."""
+    singles = [
+        (SQL_KG_TREATS, "herb_treats_disease"),
+        (SQL_KG_IS_A, "disease_is_a_disease"),
+        (SQL_KG_P_SYMPTOM, "prescription_treat_symptom"),
+        (SQL_KG_P_SYNDROME, "prescription_treat_syndrome"),
+        (SQL_KG_INDICATES, "symptom_indicates_syndrome"),
+        (_sql_kg_consistof(), "herb_consistof_ingredient"),
+        (_sql_kg_pclass(), "ingredient_belong_to_pharmacologic_class"),
+        (_sql_kg_anat_gene(), "anatomy_express_gene"),
+        (_sql_kg_ts_mm(), "tcm_symptom_map_mm_symptom"),
+        (_sql_kg_resemble(), "disease_resemble_disease"),
+    ]
+    multis = [
+        _sql_kg_herb_dims(), _sql_kg_gene_edges(), _sql_kg_ingr_disease(),
+        _sql_kg_gene_gene(), _sql_kg_dis_gene(), _sql_kg_gene_go(),
+        _sql_kg_sideeffect(), _sql_kg_anat_updown(), _sql_kg_ing_pairs(),
+        _sql_kg_treat2(), _sql_kg_ing_go(),
+    ]
+    arms = [f"SELECT subj, pred, obj FROM ({m})" for m in multis]
+    arms += [
+        f"SELECT subj, '{p}' AS pred, obj FROM ({s})" for s, p in singles
+    ]
+    arms.append(
+        f"SELECT subj, 'formula_contains_herb' AS pred, obj "
+        f"FROM ({SQL_KG_CONTAINS})"
+    )
+    return "\nUNION ALL\n".join(arms)
+
+
+def q_kg_all_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assemble_triples' ENTIRE output — all 47 predicates in one frame —
+    against the composed all-families oracle (_sql_kg_all_edges)."""
+    return _triples(spark, sf_dir).select("subj", "pred", "obj")
+
+
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics surface: per-node degree over the FULL published
+    edge set (out-degree, in-degree, total) — the hub-detection
+    aggregation a KG consumer runs first, and the quantity the pipeline's
+    own degree cap and skew handling reason about. One pass over the
+    O(edges) triple frame: explode each edge into two (node, role) rows,
+    then a single map-side-combinable groupBy — no join, no per-predicate
+    branching."""
+    t = _triples(spark, sf_dir)
+    roles = t.select(
+        F.col("subj").alias("node"), F.lit(1).alias("outd"), F.lit(0).alias("ind")
+    ).unionAll(
+        t.select(F.col("obj").alias("node"), F.lit(0), F.lit(1))
+    )
+    return roles.groupBy("node").agg(
+        F.sum("outd").cast("long").alias("out_degree"),
+        F.sum("ind").cast("long").alias("in_degree"),
+        (F.sum("outd") + F.sum("ind")).cast("long").alias("degree"),
+    )
+
+
+def _sql_kg_degree() -> str:
+    return f"""
+WITH edges AS ({_sql_kg_all_edges()}),
+roles AS (
+  SELECT subj AS node, 1 AS outd, 0 AS ind FROM edges
+  UNION ALL
+  SELECT obj, 0, 1 FROM edges
+)
+SELECT node, CAST(SUM(outd) AS BIGINT) AS out_degree,
+       CAST(SUM(ind) AS BIGINT) AS in_degree,
+       CAST(SUM(outd) + SUM(ind) AS BIGINT) AS degree
+FROM roles GROUP BY node
+"""
+
+
 def q_kg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-layout export round-trip through DISK (pipeline/export.py;
     the reference's merge scripts write merge_result_dir/relation/<stem>.csv
@@ -2456,6 +2535,8 @@ KG_QUERIES = {
     "kg_treat2": q_kg_treat2,
     "kg_export": q_kg_export,
     "kg_three_hop": q_kg_three_hop,
+    "kg_all_edges": q_kg_all_edges,
+    "kg_degree": q_kg_degree,
     "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
     "kg_anat_updown": q_kg_anat_updown,
@@ -2497,6 +2578,8 @@ KG_ORACLES = {
     "kg_treat2": _sql_kg_treat2(),
     "kg_export": _sql_kg_export(),
     "kg_three_hop": _sql_kg_three_hop(),
+    "kg_all_edges": _sql_kg_all_edges(),
+    "kg_degree": _sql_kg_degree(),
     "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),
     "kg_anat_updown": _sql_kg_anat_updown(),
