@@ -32,6 +32,7 @@ _CHECK_FIRST = [
     "kg_export",
     "kg_all_edges",
     "kg_degree",
+    "kg_components",
     "kg_three_hop",
     "kg_treat2",
     "kg_text_roundtrip",

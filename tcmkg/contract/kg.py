@@ -2387,6 +2387,43 @@ def q_kg_all_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triples(spark, sf_dir).select("subj", "pred", "obj")
 
 
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the PUBLISHED graph (undirected): the
+    same checkpointed label-propagation operator that canonicalizes
+    entities (pipeline/cc.py, SURVEY A3) applied to the KG it built —
+    (node, component), component = min node id reachable. Incidence keys
+    are the edge STRUCTS (the collision-free key shape from the r3 fix).
+    The oracle computes min-reachable-id through a recursive transitive
+    closure over the same full-edge derivation — so the iterative Spark
+    plan is hash-checked against an independent fixpoint."""
+    from ..pipeline.cc import connected_components
+
+    t = _triples(spark, sf_dir)
+    key = F.struct(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    inc = t.select(F.col("subj").alias("node"), key.alias("key")).unionByName(
+        t.select(F.col("obj").alias("node"), key.alias("key"))
+    )
+    return connected_components(inc)
+
+
+def _sql_kg_components() -> str:
+    return f"""
+WITH RECURSIVE all_e AS ({_sql_kg_all_edges()}),
+und AS (
+  SELECT subj AS x, obj AS y FROM all_e
+  UNION
+  SELECT obj, subj FROM all_e
+),
+nodes AS (SELECT DISTINCT x AS n FROM und),
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, u.y FROM reach r JOIN und u ON r.dst = u.x
+)
+SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-analytics surface: per-node degree over the FULL published
     edge set (out-degree, in-degree, total) — the hub-detection
@@ -2537,6 +2574,7 @@ KG_QUERIES = {
     "kg_three_hop": q_kg_three_hop,
     "kg_all_edges": q_kg_all_edges,
     "kg_degree": q_kg_degree,
+    "kg_components": q_kg_components,
     "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
     "kg_anat_updown": q_kg_anat_updown,
@@ -2580,6 +2618,7 @@ KG_ORACLES = {
     "kg_three_hop": _sql_kg_three_hop(),
     "kg_all_edges": _sql_kg_all_edges(),
     "kg_degree": _sql_kg_degree(),
+    "kg_components": _sql_kg_components(),
     "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),
     "kg_anat_updown": _sql_kg_anat_updown(),
