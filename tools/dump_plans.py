@@ -180,6 +180,7 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         two_hop_rendered = render(pipe.two_hop())
+        k3_rendered = render(pipe.k_hop(3))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     sections.append(
@@ -190,6 +191,18 @@ def main() -> None:
             "2-hop traversal plans ZERO data exchanges (broadcast disabled "
             "during THIS capture only, to keep the strategy honest).",
             *two_hop_rendered,
+        )
+    )
+    sections.append(
+        (
+            "k_hop(3) — the frontier pattern (r5)",
+            "Hop 1 is the bucket-local two_hop join (zero exchanges); the "
+            "third hop re-keys ONLY the accumulated path frame on its end "
+            "column (the single Exchange below) while the subj-bucketed "
+            "edge table is read bucket-local again — the table that is "
+            "large at 100 TB is never re-shuffled, per added hop "
+            "(broadcast disabled during this capture).",
+            *k3_rendered,
         )
     )
 
