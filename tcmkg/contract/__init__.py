@@ -25,6 +25,11 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
+    # round-5 session 5: PageRank over the published KG (fixed-iteration
+    # checkpointed iterative join) and benchmark decontamination (eval
+    # n-gram broadcast probe) are new
+    "kg_pagerank",
+    "q_decontaminate",
     # round-5 session 4: disease_present_symptom retargeted to mm_symptom
     # entities (the reference's disease2mm_symptom.csv is disease→MODERN
     # symptom) and the reference-layout export landed — kg_treat2 and the

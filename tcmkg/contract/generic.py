@@ -1810,6 +1810,43 @@ FROM (
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/decontaminate.py): the doc_id%17==0
+    slice of documents plays the eval benchmark; every remaining corpus doc
+    reports how many of its distinct whitespace-token 8-grams appear
+    verbatim anywhere in the eval set (GPT-3 appendix-C shape). Zero-hit
+    rows are emitted too, so a false positive hash-fails just like a miss.
+    Scale shape: eval n-grams broadcast, corpus = one scan; the only
+    shuffle is the per-doc count of MATCHED rows."""
+    from ..ops.decontaminate import contamination_hits
+
+    d = _read(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    return contamination_hits(corpus, ev, "doc_id", "text", n=8)
+
+
+SQL_DECONTAMINATE = r"""
+WITH corp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 17 <> 0),
+ev AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+       FROM documents WHERE doc_id % 17 = 0),
+evng AS (
+  SELECT DISTINCT unnest([array_to_string(toks[i:i+7], ' ')
+                          FOR i IN range(1, greatest(len(toks)-8+2, 1))]) AS ng
+  FROM ev
+),
+cng AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                          FOR i IN range(1, greatest(len(toks)-8+2, 1))])) AS ng
+  FROM corp
+),
+hits AS (SELECT doc_id, count(*) AS n FROM cng JOIN evng USING (ng) GROUP BY doc_id)
+SELECT c.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+FROM (SELECT DISTINCT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)
+"""
+
+
 GENERIC_QUERIES = {
     "q_tpch_q1": q_tpch_q1,
     "q_group_merge_fold": q_group_merge_fold,
@@ -1860,6 +1897,7 @@ GENERIC_QUERIES = {
     "q_ann_ivf2h": q_ann_ivf2h,
     "q_simhash": q_simhash,
     "q_embed_centroids": q_embed_centroids,
+    "q_decontaminate": q_decontaminate,
 }
 
 GENERIC_ORACLES = {
@@ -1912,4 +1950,5 @@ GENERIC_ORACLES = {
     "q_ann_ivf2h": SQL_ANN_TOPK,  # hierarchical probe, full coverage ≡ exact
     "q_simhash": SQL_SIMHASH,
     "q_embed_centroids": SQL_EMBED_CENTROIDS,
+    "q_decontaminate": SQL_DECONTAMINATE,
 }

@@ -2460,6 +2460,50 @@ FROM roles GROUP BY node
 """
 
 
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the FULL published edge set — the fixed-iteration
+    power-method analytics shape (pipeline/pagerank.py: checkpointed
+    iterative join, the O(E) side shuffled once before the loop). The
+    oracle unrolls the exact recurrence r_{t+1} = 0.15 + 0.85*sum(r_t/deg)
+    as chained SQL CTEs, so every iteration's join+aggregate is inside the
+    hash (final ranks rounded to 6dp on both sides; the double drift
+    between independent sum orders is ~1e-15, nine orders below the
+    rounding quantum)."""
+    from ..pipeline.pagerank import pagerank
+
+    t = _triples(spark, sf_dir)
+    return pagerank(
+        t.select("subj", "obj"), damping=_PR_DAMPING, iters=_PR_ITERS
+    )
+
+
+def _sql_kg_pagerank(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    parts = [
+        f"""WITH all_e AS ({_sql_kg_all_edges()}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM all_e),
+nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+r0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT nodes.n, {1.0 - d!r} + {d!r} * COALESCE(c.s, 0) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS n, SUM(r{i - 1}.r / od.deg) AS s
+    FROM e JOIN r{i - 1} ON e.src = r{i - 1}.n JOIN od ON od.src = e.src
+    GROUP BY e.dst) c ON nodes.n = c.n
+)"""
+        )
+    parts.append(f"\nSELECT n AS node, ROUND(r, 6) AS pagerank FROM r{iters}")
+    return "".join(parts)
+
+
 def q_kg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-layout export round-trip through DISK (pipeline/export.py;
     the reference's merge scripts write merge_result_dir/relation/<stem>.csv
@@ -2575,6 +2619,7 @@ KG_QUERIES = {
     "kg_all_edges": q_kg_all_edges,
     "kg_degree": q_kg_degree,
     "kg_components": q_kg_components,
+    "kg_pagerank": q_kg_pagerank,
     "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
     "kg_anat_updown": q_kg_anat_updown,
@@ -2619,6 +2664,7 @@ KG_ORACLES = {
     "kg_all_edges": _sql_kg_all_edges(),
     "kg_degree": _sql_kg_degree(),
     "kg_components": _sql_kg_components(),
+    "kg_pagerank": _sql_kg_pagerank(),
     "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),
     "kg_anat_updown": _sql_kg_anat_updown(),

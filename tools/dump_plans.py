@@ -219,6 +219,43 @@ def main() -> None:
         )
     )
 
+    from tcmkg.pipeline.pagerank import pagerank
+
+    pr_edges = pipe.triples(tr300).select("subj", "obj")
+    sections.append(
+        (
+            "pagerank single iteration body (r5)",
+            "The O(E) contribution side was joined to its out-degree, "
+            "hash-repartitioned by src and localCheckpointed BEFORE the "
+            "loop (it appears below as a bare checkpoint scan, no exchange "
+            "of its own); each iteration shuffles only the O(V) rank frame "
+            "to meet it plus one map-side-combinable SUM groupBy dst — the "
+            "hub-in-degree argument from pipeline/cc.py. Lineage is "
+            "truncated every checkpoint_every iterations so the plan depth "
+            "is O(1) in the iteration count.",
+            *render(pagerank(pr_edges, iters=1, checkpoint_every=0)),
+        )
+    )
+
+    from tcmkg.ops.decontaminate import contamination_hits
+
+    dec = contamination_hits(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        n=8,
+    )
+    sections.append(
+        (
+            "decontamination probe (eval n-gram broadcast) (r5)",
+            "The benchmark side's distinct n-grams are BROADCAST "
+            "(benchmarks are MBs; the corpus is the 100 TB side): the "
+            "corpus is one scan + explode + broadcast hash probe, and the "
+            "only data exchange is the per-doc count over MATCHED rows "
+            "(rare by construction) plus the join back to the id spine.",
+            *render(dec),
+        )
+    )
+
     from tcmkg.ops.prepare import prepare_corpus
 
     prep = prepare_corpus(
