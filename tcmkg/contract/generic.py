@@ -33,6 +33,8 @@ Coverage map (operator ids from SURVEY.md §2):
   q_prepare_corpus     capstone: quality → near-dedup → split → pack,
                        full four-stage pipeline vs one replayed oracle
   q_quality_filter     composed corpus-hygiene filter (reason precedence)
+  q_repetition         Gopher repetition signals (13 fracs) + first-rule
+                       removal reason, planted per doc_id%7
   q_stratified_sample  deterministic per-stratum hash sampling
   q_pack_bins          sequence packing into token-budget bins
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
@@ -1847,6 +1849,144 @@ FROM (SELECT DISTINCT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)
 """
 
 
+# planted repetition texts, shared verbatim between the Spark CASE and the
+# DuckDB CASE (python-level constants so neither side can drift)
+_REP_T0 = "dup line alpha\ndup line alpha\nsome unique third line tail"
+_REP_T1 = "same para once\n\nsame para once\n\nu1\nu2\nu3\nu4\nu5\nu6\nu7\nu8"
+_REP_T3 = (
+    " ".join(f"p{i}" for i in range(1, 23)) + " v w x y z v w x y z q1 q2 q3"
+)
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals + filter (ops/repetition.py):
+    documents are doctored per doc_id%7 so each signal family fires as the
+    removal reason deterministically — duplicated lines (%7=0), duplicated
+    paragraphs with unique lines (%7=1, para outranks line-char in the
+    Gopher precedence), a dominating 2-gram (%7=2), and a repeated 5-gram
+    sized so no top-n-gram threshold trips first (%7=3); the untouched
+    word-soup rows exercise natural n-gram repetition. All 13 per-doc
+    fractions AND the first-failing-rule reason are hash-verified. Scale
+    shape: one text scan builds every (kind, unit) occurrence, one
+    map-side-combinable groupBy(id, kind, unit), one groupBy(id) — no
+    joins, no all-pairs term."""
+    from ..ops.repetition import repetition_flags
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = (
+        F.when(did % 7 == 0, F.lit(_REP_T0))
+        .when(did % 7 == 1, F.lit(_REP_T1))
+        .when(did % 7 == 2, F.rtrim(F.repeat(F.lit("ha ho "), 30)))
+        .when(did % 7 == 3, F.lit(_REP_T3))
+        .otherwise(F.col("text"))
+    )
+    flags = repetition_flags(d.select("doc_id", s.alias("text")), "doc_id", "text")
+    return flags.drop("keep")
+
+
+def _sql_repetition() -> str:
+    from ..ops.repetition import DUP_NS, GOPHER_THRESHOLDS, TOP_NS
+
+    def esc(t: str) -> str:
+        return "E'" + t.replace("\n", "\\n") + "'"
+
+    ng_arms = []
+    for n in sorted(set(TOP_NS) | set(DUP_NS)):
+        ng_arms.append(
+            f"""  SELECT doc_id, 'tok{n}' AS kind,
+         unnest([array_to_string(t[i:i+{n - 1}], ' ')
+                 FOR i IN range(1, greatest(len(t)-{n}+2, 1))]) AS unit
+  FROM toks WHERE len(t) >= {n}"""
+        )
+    aggs = []
+    for kind in ("line", "para"):
+        k = f"kind = '{kind}'"
+        aggs += [
+            f"sum(CASE WHEN {k} THEN c-1 END) AS {kind}_dn",
+            f"sum(CASE WHEN {k} THEN c END) AS {kind}_dd",
+            f"sum(CASE WHEN {k} THEN (c-1)*length(unit) END) AS {kind}_cn",
+            f"sum(CASE WHEN {k} THEN c*length(unit) END) AS {kind}_cd",
+        ]
+    for n in TOP_NS:
+        aggs.append(
+            f"max(CASE WHEN kind = 'tok{n}' AND c > 1"
+            f" THEN c*length(unit) END) AS top{n}"
+        )
+    for n in DUP_NS:
+        aggs.append(
+            f"sum(CASE WHEN kind = 'tok{n}' AND c > 1"
+            f" THEN c*length(unit) END) AS dup{n}"
+        )
+
+    def frac(num: str, den: str) -> str:
+        # DuckDB's least() skips NULLs (same as Spark's) — the missing-
+        # numerator / zero-denominator case must short-circuit to 0.0
+        # before least() or every absent signal would read 1.0
+        return (
+            f"CASE WHEN {num} IS NULL OR {den} IS NULL OR {den} = 0"
+            f" THEN 0.0"
+            f" ELSE least(round({num}::DOUBLE / {den}, 6), 1.0) END"
+        )
+
+    cols = {
+        "dup_line_frac": frac("line_dn", "line_dd"),
+        "dup_line_char_frac": frac("line_cn", "line_cd"),
+        "dup_para_frac": frac("para_dn", "para_dd"),
+        "dup_para_char_frac": frac("para_cn", "para_cd"),
+    }
+    for n in TOP_NS:
+        cols[f"top_{n}gram_char_frac"] = frac(f"top{n}", "doc_chars")
+    for n in DUP_NS:
+        cols[f"dup_{n}gram_char_frac"] = frac(f"dup{n}", "doc_chars")
+    col_sql = ",\n       ".join(f"{v} AS {k}" for k, v in cols.items())
+    reason = "CASE " + " ".join(
+        f"WHEN {cols[name]} > {thr} THEN '{name}'"
+        for name, thr in GOPHER_THRESHOLDS.items()
+    ) + " END"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN {esc(_REP_T0)}
+           WHEN doc_id % 7 = 1 THEN {esc(_REP_T1)}
+           WHEN doc_id % 7 = 2 THEN rtrim(repeat('ha ho ', 30))
+           WHEN doc_id % 7 = 3 THEN '{_REP_T3}'
+           ELSE text
+         END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, length(text) AS doc_chars, text FROM d),
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> length(x) > 0) AS t
+         FROM base),
+units AS (
+  SELECT doc_id, 'line' AS kind,
+         unnest(list_filter(regexp_split_to_array(text, '\\n'),
+                            x -> length(x) > 0)) AS unit
+  FROM base
+  UNION ALL
+  SELECT doc_id, 'para',
+         unnest(list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                            x -> length(x) > 0))
+  FROM base
+  UNION ALL
+{chr(10).join(a + chr(10) + '  UNION ALL' for a in ng_arms[:-1])}
+{ng_arms[-1]}
+),
+pu AS (SELECT doc_id, kind, unit, count(*) AS c FROM units GROUP BY ALL),
+agg AS (SELECT doc_id, {", ".join(aggs)} FROM pu GROUP BY doc_id)
+SELECT base.doc_id,
+       {col_sql},
+       {reason} AS reason
+FROM base LEFT JOIN agg USING (doc_id)
+"""
+
+
+SQL_REPETITION = _sql_repetition()
+
+
 GENERIC_QUERIES = {
     "q_tpch_q1": q_tpch_q1,
     "q_group_merge_fold": q_group_merge_fold,
@@ -1898,6 +2038,7 @@ GENERIC_QUERIES = {
     "q_simhash": q_simhash,
     "q_embed_centroids": q_embed_centroids,
     "q_decontaminate": q_decontaminate,
+    "q_repetition": q_repetition,
 }
 
 GENERIC_ORACLES = {
@@ -1951,4 +2092,5 @@ GENERIC_ORACLES = {
     "q_simhash": SQL_SIMHASH,
     "q_embed_centroids": SQL_EMBED_CENTROIDS,
     "q_decontaminate": SQL_DECONTAMINATE,
+    "q_repetition": SQL_REPETITION,
 }
