@@ -35,6 +35,7 @@ Coverage map (operator ids from SURVEY.md §2):
   q_quality_filter     composed corpus-hygiene filter (reason precedence)
   q_repetition         Gopher repetition signals (13 fracs) + first-rule
                        removal reason, planted per doc_id%7
+  q_pii                PII counts + redaction (md5-pinned), Java∩RE2 regex
   q_stratified_sample  deterministic per-stratum hash sampling
   q_pack_bins          sequence packing into token-budget bins
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
@@ -1849,6 +1850,74 @@ FROM (SELECT DISTINCT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)
 """
 
 
+# planted PII suffixes, shared between the Spark and DuckDB CASEs
+_PII_PLANTS = {
+    0: " contact alice.bob+spam@example.co.uk or bob@test.io",
+    1: " server at 192.168.0.1 and 10.0.0.255 up",
+    2: " call +86 138-0013-8000 or 021 6427 8000 now",
+    3: " ssn 123456789 card 4111111111111111",
+}
+
+
+def q_pii(spark, sf_dir):
+    """PII detection + redaction (ops/pii.py): per doc_id%5, a suffix
+    planting two of one PII class is appended (emails / IPv4s / phones in
+    both international and separator forms / long ID-like digit runs);
+    %5=4 rows stay untouched as negatives. Per-doc class counts (over the
+    RAW text), the total, and the redacted text — pinned by length AND
+    md5, so a single mis-replaced byte hash-fails — are all verified
+    against a DuckDB replay of the same regex classes (patterns restricted
+    to the Java∩RE2 subset). Scale shape: pure map, zero shuffles."""
+    from ..ops.pii import pii_redact, pii_signals
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = F.col("text")
+    for k, suffix in _PII_PLANTS.items():
+        s = F.when(did % 5 == k, F.concat(F.col("text"), F.lit(suffix))).otherwise(s)
+    sig = pii_signals(d.select("doc_id", s.alias("text")), "doc_id", "text")
+    red = pii_redact(sig, "text", "red")
+    return red.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_idnum", "n_pii",
+        F.length("red").cast("long").alias("red_len"),
+        F.md5("red").alias("red_md5"),
+    )
+
+
+def _sql_pii() -> str:
+    from ..ops.pii import PII_PATTERNS, PII_PLACEHOLDERS
+
+    plant = " ".join(
+        f"WHEN doc_id % 5 = {k} THEN text || '{sfx}'"
+        for k, sfx in _PII_PLANTS.items()
+    )
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '{PII_PLACEHOLDERS[name]}', 'g')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, CASE {plant} ELSE text END AS text FROM documents
+),
+c AS (
+  SELECT doc_id,
+       {counts},
+       {red} AS red
+  FROM d
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, n_idnum,
+       (n_email + n_ipv4 + n_phone + n_idnum)::BIGINT AS n_pii,
+       length(red)::BIGINT AS red_len, md5(red) AS red_md5
+FROM c
+"""
+
+
+SQL_PII = _sql_pii()
+
+
 # planted repetition texts, shared verbatim between the Spark CASE and the
 # DuckDB CASE (python-level constants so neither side can drift)
 _REP_T0 = "dup line alpha\ndup line alpha\nsome unique third line tail"
@@ -2039,6 +2108,7 @@ GENERIC_QUERIES = {
     "q_embed_centroids": q_embed_centroids,
     "q_decontaminate": q_decontaminate,
     "q_repetition": q_repetition,
+    "q_pii": q_pii,
 }
 
 GENERIC_ORACLES = {
@@ -2093,4 +2163,5 @@ GENERIC_ORACLES = {
     "q_embed_centroids": SQL_EMBED_CENTROIDS,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_repetition": SQL_REPETITION,
+    "q_pii": SQL_PII,
 }

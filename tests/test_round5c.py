@@ -109,3 +109,68 @@ def test_repetition_filter_reasons_and_split(spark):
     assert parts["kept"].columns == df.columns
     metrics = {r["reason"]: r["n"] for r in parts["metrics"].collect()}
     assert sum(metrics.values()) == len(removed)
+
+
+# ------------------------------------------------------------------- PII
+
+PII_TEXTS = [
+    "mail me at alice.bob+spam@example.co.uk or bob@test.io thanks",
+    "hosts 192.168.0.1 and 10.0.0.255, but 1234.5.6.7 has no boundary",
+    "call +86 138-0013-8000 or 021 6427 8000 now",
+    "ssn 123456789 card 4111111111111111 short 12345678 stays",
+    "no pii here at all, just words and a few 123 digits",
+    "v4-ish 999.999.999.999 still matches the syntactic class",
+    "edge@x.io.",  # trailing dot stays outside the match
+    "",
+]
+
+
+def _py_pii(text):
+    from tcmkg.ops.pii import PII_PATTERNS, PII_PLACEHOLDERS
+
+    counts = {
+        f"n_{k}": len(re.findall(p, text)) for k, p in PII_PATTERNS.items()
+    }
+    red = text
+    for k, p in PII_PATTERNS.items():
+        red = re.sub(p, PII_PLACEHOLDERS[k], red)
+    return counts, red
+
+
+def test_pii_differential_vs_python_re(spark):
+    """Java regex (Spark) vs Python re — a third engine beside the DuckDB
+    RE2 oracle; all three must agree on the restricted pattern subset."""
+    from tcmkg.ops.pii import pii_redact, pii_signals
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_TEXTS)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pii_redact(pii_signals(df), "text", "red").collect()
+    }
+    for i, text in enumerate(PII_TEXTS):
+        counts, red = _py_pii(text)
+        for k, v in counts.items():
+            assert rows[i][k] == v, (i, k, rows[i][k], v)
+        assert rows[i]["red"] == red, (i, rows[i]["red"], red)
+        assert rows[i]["n_pii"] == sum(counts.values())
+
+
+def test_pii_scrub_metrics_and_idempotency(spark):
+    from tcmkg.ops.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_TEXTS)], "doc_id long, text string"
+    )
+    out = pii_scrub(df)
+    m = out["metrics"].collect()[0]
+    want = [_py_pii(t)[0] for t in PII_TEXTS]
+    assert m["docs"] == len(PII_TEXTS)
+    assert m["n_email"] == sum(w["n_email"] for w in want)
+    assert m["n_pii"] == sum(sum(w.values()) for w in want)
+    assert m["docs_with_pii"] == sum(1 for w in want if sum(w.values()))
+    # scrubbing already-scrubbed text is a no-op (placeholders carry no
+    # digits or '@', so no pattern can fire inside them)
+    again = pii_scrub(out["scrubbed"].select("doc_id", "text"))
+    assert again["metrics"].collect()[0]["n_pii"] == 0
