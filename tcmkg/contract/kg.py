@@ -2504,6 +2504,54 @@ r{i} AS (
     return "".join(parts)
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the FULL
+    published edge set (pipeline/triangles.py) — the degree-orientation
+    plan (each edge directed low→high (degree, id), so oriented
+    out-degrees are O(sqrt(E)) and the wedge join survives hub skew). The
+    oracle enumerates triangles by id-ordered a<b<c closure over the same
+    composed all-families edge derivation — an independent formulation,
+    so an orientation bug that drops or double-counts a motif
+    hash-mismatches per node."""
+    from ..pipeline.triangles import triangle_counts
+
+    t = _triples(spark, sf_dir)
+    return triangle_counts(t.select("subj", "obj"))
+
+
+def _sql_kg_triangles() -> str:
+    return f"""
+WITH all_e AS ({_sql_kg_all_edges()}),
+und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM all_e WHERE subj <> obj
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS n FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY n
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tc AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY n
+)
+SELECT deg.n AS node, deg.deg AS degree,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.deg < 2 THEN 0.0
+            ELSE round(2.0 * COALESCE(tc.t, 0) / (deg.deg * (deg.deg - 1)), 6)
+       END AS lcc
+FROM deg LEFT JOIN tc USING (n)
+"""
+
+
 def q_kg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-layout export round-trip through DISK (pipeline/export.py;
     the reference's merge scripts write merge_result_dir/relation/<stem>.csv
@@ -2612,6 +2660,7 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 KG_QUERIES = {
+    "kg_triangles": q_kg_triangles,
     "kg_ts_mm": q_kg_ts_mm,
     "kg_treat2": q_kg_treat2,
     "kg_export": q_kg_export,
@@ -2657,6 +2706,7 @@ KG_QUERIES = {
 }
 
 KG_ORACLES = {
+    "kg_triangles": _sql_kg_triangles(),
     "kg_ts_mm": _sql_kg_ts_mm(),
     "kg_treat2": _sql_kg_treat2(),
     "kg_export": _sql_kg_export(),
