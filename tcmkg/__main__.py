@@ -138,13 +138,29 @@ def cmd_prepare(args) -> None:
                          fractions=fractions, budget=args.budget,
                          n_bands=args.n_bands, rows_per_band=args.rows_per_band,
                          max_bucket=args.max_bucket, threshold=args.threshold,
-                         quality_kwargs=quality_kwargs)
+                         quality_kwargs=quality_kwargs,
+                         repetition=args.gopher_repetition, pii=args.pii)
     root = args.output.rstrip("/")
     out["corpus"].write.mode("overwrite").partitionBy("split").parquet(root + "/corpus")
     out["holdout"].write.mode("overwrite").parquet(root + "/holdout")
     out["quality_removed"].write.mode("overwrite").parquet(root + "/quality_removed")
     out["dedup_removals"].write.mode("overwrite").parquet(root + "/dedup_removals")
+    if args.gopher_repetition:
+        out["repetition_removed"].write.mode("overwrite").parquet(
+            root + "/repetition_removed")
     metrics = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+    print(json.dumps({"status": "ok", "metrics": metrics, "output": args.output}))
+
+
+def cmd_scrub(args) -> None:
+    from .ops.pii import pii_scrub
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-scrub", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    out = pii_scrub(docs, args.id_col, args.text_col)
+    out["scrubbed"].write.mode("overwrite").parquet(args.output)
+    metrics = out["metrics"].collect()[0].asDict()
     print(json.dumps({"status": "ok", "metrics": metrics, "output": args.output}))
 
 
@@ -305,8 +321,23 @@ def main(argv=None) -> int:
     pp.add_argument("--punct-class", dest="punct_class", default=None,
                     help=r"regex char class counted as punctuation "
                          r"(default: [\p{P}\p{S}])")
+    pp.add_argument("--gopher-repetition", dest="gopher_repetition",
+                    action="store_true",
+                    help="add the Gopher repetition filter between the "
+                         "quality and dedup stages")
+    pp.add_argument("--pii", action="store_true",
+                    help="redact PII (email/ip/phone/id-number) after "
+                         "dedup, before token counting")
     pp.add_argument("--cores", default=None)
     pp.set_defaults(fn=cmd_prepare)
+
+    sc = sub.add_parser("scrub", help="PII-redact a document corpus")
+    sc.add_argument("--input", required=True, help="documents parquet path")
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--id-col", dest="id_col", default="doc_id")
+    sc.add_argument("--text-col", dest="text_col", default="text")
+    sc.add_argument("--cores", default=None)
+    sc.set_defaults(fn=cmd_scrub)
 
     sd = sub.add_parser(
         "stream-dedup",

@@ -25,10 +25,12 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
-    # round-5 session 6: Gopher repetition signals/filter and PII
-    # detection/redaction are new
+    # round-5 session 6: Gopher repetition signals/filter, PII
+    # detection/redaction, and triangle counting are new
     "q_repetition",
     "q_pii",
+    "kg_triangles",
+    "q_prepare_full",
     # round-5 session 5: PageRank over the published KG (fixed-iteration
     # checkpointed iterative join) and benchmark decontamination (eval
     # n-gram broadcast probe) are new

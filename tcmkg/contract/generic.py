@@ -1850,6 +1850,150 @@ FROM (SELECT DISTINCT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)
 """
 
 
+# full-pipeline plants: repetition classes must PASS the quality stage
+# (stopword present, distinct-token ratio >= 0.3) so they reach — and are
+# removed by — the repetition stage, not quality
+_PF_T2 = "the dup line alpha\nthe dup line alpha\nsome unique third line here"
+_PF_T3 = "the ha ho ha ho ha ho ha ho u1 u2 u3 u4"
+
+
+def q_prepare_full(spark, sf_dir):
+    """The FULL training-data pipeline: quality → Gopher repetition → LSH
+    near-dedup → PII scrub → hash split → sharded packing, one operator
+    call (ops/prepare.py, repetition=True, pii=True), hash-verified as a
+    COMPOSITION against a DuckDB replay of all six stages. Doctoring per
+    doc_id%11 plants one class per stage: quality kills %11=0 (short) and
+    %11=1 (punct wall); repetition kills %11=2 (dup lines) and %11=3
+    (dominant 2-gram) — both carry a stopword and enough distinct tokens
+    to PASS quality, and both are corpus-wide identical, so a broken
+    repetition stage would leak exactly one survivor per class through
+    dedup and shift the rollup; PII plants on %11=4/5 change
+    sum(length(text)) under redaction (placeholder shorter than the
+    match), so a missed or mangled replacement hash-fails."""
+    from ..ops.prepare import prepare_corpus
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = (
+        F.when(did % 11 == 0, F.substring("text", 1, 10))
+        .when(did % 11 == 1, F.repeat(F.lit("!?"), 40))
+        .when(did % 11 == 2, F.lit(_PF_T2))
+        .when(did % 11 == 3, F.lit(_PF_T3))
+        .when(did % 11 == 4, F.concat(F.col("text"), F.lit(_PII_PLANTS[0])))
+        .when(did % 11 == 5, F.concat(F.col("text"), F.lit(_PII_PLANTS[3])))
+        .otherwise(F.col("text"))
+    )
+    out = prepare_corpus(
+        d.select("doc_id", s.alias("text")), "doc_id", "text",
+        fractions={"train": 0.9, "val": 0.1}, budget=500,
+        max_bucket=LSH_MAX_BUCKET, threshold=0.5,
+        repetition=True, pii=True,
+    )
+    return out["corpus"].groupBy("shard", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+
+
+def _sql_prepare_full() -> str:
+    def esc(t: str) -> str:
+        return "E'" + t.replace("\n", "\\n") + "'"
+
+    doctor = f"""SELECT doc_id,
+         CASE
+           WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
+           WHEN doc_id % 11 = 1 THEN repeat('!?', 40)
+           WHEN doc_id % 11 = 2 THEN {esc(_PF_T2)}
+           WHEN doc_id % 11 = 3 THEN {esc(_PF_T3)}
+           WHEN doc_id % 11 = 4 THEN text || '{_PII_PLANTS[0]}'
+           WHEN doc_id % 11 = 5 THEN text || '{_PII_PLANTS[3]}'
+           ELSE text
+         END AS text
+  FROM documents"""
+    return f"""
+WITH RECURSIVE doc0 AS ({doctor}),
+q_kept AS (
+  SELECT doc_id, text FROM doc0
+  WHERE NOT (length(text) < 20)
+    AND NOT ({_Q_PUNCT_SQL})
+    AND NOT ({_Q_NOSTOP_SQL})
+    AND NOT (round(len(list_distinct(string_split(text,' ')))::DOUBLE
+             / len(string_split(text,' ')), 6) < 0.3)
+),
+{_sql_repetition_ctes("q_kept")},
+kept0 AS MATERIALIZED (
+  -- MATERIALIZED: kept0 is referenced by sigs/dtok/hx/final; DuckDB
+  -- inlines CTEs inside WITH RECURSIVE, which would re-execute the
+  -- whole quality+repetition subtree (9 n-gram unnests) per reference
+  SELECT k.doc_id, k.text FROM q_kept k JOIN rep_sig USING (doc_id)
+  WHERE rep_sig.reason IS NULL
+),
+{_sql_minhash_sigs_cte_r(6, 2, src="kept0")},
+hot AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) > {LSH_MAX_BUCKET}),
+keptsig AS (SELECT * FROM sigs ANTI JOIN hot USING (band, sig)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM keptsig a JOIN keptsig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+dtok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM kept0),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN dtok ta ON ta.doc_id = c.a
+  JOIN dtok tb ON tb.doc_id = c.b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) >= 0.5
+),
+hotdocs AS (SELECT DISTINCT doc_id FROM sigs SEMI JOIN hot USING (band, sig)),
+hx AS (SELECT k.doc_id, md5(k.text) AS th FROM kept0 k SEMI JOIN hotdocs USING (doc_id)),
+ekeep AS (SELECT th, min(doc_id) AS keep FROM hx GROUP BY th),
+eedges AS (
+  SELECT k.keep AS a, h.doc_id AS b FROM hx h JOIN ekeep k USING (th)
+  WHERE h.doc_id <> k.keep
+),
+edges AS (SELECT a, b FROM ver UNION SELECT a, b FROM eedges),
+und AS (SELECT a AS x, b AS y FROM edges UNION SELECT b AS x, a AS y FROM edges),
+nodes AS (SELECT DISTINCT x AS n FROM und),
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, u.y FROM reach r JOIN und u ON r.dst = u.x
+),
+removed AS (
+  SELECT src AS node FROM reach GROUP BY src HAVING src <> min(dst)
+),
+scrubbed AS (
+  SELECT k.doc_id, {_sql_pii_redact("k.text")} AS text
+  FROM kept0 k ANTI JOIN removed r ON k.doc_id = r.node
+),
+final AS (
+  SELECT doc_id, text, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM scrubbed
+),
+sp AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT % 10000 < 9000
+              THEN 'train' ELSE 'val' END AS split
+  FROM final
+),
+packed AS (
+  SELECT split || '|' || (('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT % 4)::VARCHAR AS shard,
+         n_tokens, length(text) AS n_chars,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY split || '|' || (('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT % 4)::VARCHAR
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sp
+)
+SELECT shard, (cum_before // 500)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM packed GROUP BY 1, 2
+"""
+
+
+
 # planted PII suffixes, shared between the Spark and DuckDB CASEs
 _PII_PLANTS = {
     0: " contact alice.bob+spam@example.co.uk or bob@test.io",
@@ -1884,8 +2028,19 @@ def q_pii(spark, sf_dir):
     )
 
 
-def _sql_pii() -> str:
+def _sql_pii_redact(col: str) -> str:
+    """The chained-replacement redaction expression, shared by q_pii and
+    the full-pipeline oracle."""
     from ..ops.pii import PII_PATTERNS, PII_PLACEHOLDERS
+
+    red = col
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '{PII_PLACEHOLDERS[name]}', 'g')"
+    return red
+
+
+def _sql_pii() -> str:
+    from ..ops.pii import PII_PATTERNS
 
     plant = " ".join(
         f"WHEN doc_id % 5 = {k} THEN text || '{sfx}'"
@@ -1895,9 +2050,7 @@ def _sql_pii() -> str:
         f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
         for name, pat in PII_PATTERNS.items()
     )
-    red = "text"
-    for name, pat in PII_PATTERNS.items():
-        red = f"regexp_replace({red}, '{pat}', '{PII_PLACEHOLDERS[name]}', 'g')"
+    red = _sql_pii_redact("text")
     return f"""
 WITH d AS (
   SELECT doc_id, CASE {plant} ELSE text END AS text FROM documents
@@ -1954,11 +2107,13 @@ def q_repetition(spark, sf_dir):
     return flags.drop("keep")
 
 
-def _sql_repetition() -> str:
+def _sql_repetition_ctes(src: str, p: str = "rep_") -> str:
+    """CTE fragment computing the 13 Gopher signals + first-failing-rule
+    reason per document of CTE `src`(doc_id, text) — splice after a WITH
+    clause; defines `{p}sig`(doc_id, <13 signal columns>, reason). CTE
+    names are prefixed with `p` so the block can nest inside larger
+    composed oracles (q_prepare_full) without collisions."""
     from ..ops.repetition import DUP_NS, GOPHER_THRESHOLDS, TOP_NS
-
-    def esc(t: str) -> str:
-        return "E'" + t.replace("\n", "\\n") + "'"
 
     ng_arms = []
     for n in sorted(set(TOP_NS) | set(DUP_NS)):
@@ -1966,7 +2121,7 @@ def _sql_repetition() -> str:
             f"""  SELECT doc_id, 'tok{n}' AS kind,
          unnest([array_to_string(t[i:i+{n - 1}], ' ')
                  FOR i IN range(1, greatest(len(t)-{n}+2, 1))]) AS unit
-  FROM toks WHERE len(t) >= {n}"""
+  FROM {p}toks WHERE len(t) >= {n}"""
         )
     aggs = []
     for kind in ("line", "para"):
@@ -2013,9 +2168,42 @@ def _sql_repetition() -> str:
         f"WHEN {cols[name]} > {thr} THEN '{name}'"
         for name, thr in GOPHER_THRESHOLDS.items()
     ) + " END"
-    return f"""
-WITH d AS (
-  SELECT doc_id,
+    nl = chr(10)
+    arms = nl.join(a + nl + "  UNION ALL" for a in ng_arms[:-1])
+    return f"""{p}base AS (SELECT doc_id, length(text) AS doc_chars, text FROM {src}),
+{p}toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> length(x) > 0) AS t
+         FROM {p}base),
+{p}units AS (
+  SELECT doc_id, 'line' AS kind,
+         unnest(list_filter(regexp_split_to_array(text, '\\n'),
+                            x -> length(x) > 0)) AS unit
+  FROM {p}base
+  UNION ALL
+  SELECT doc_id, 'para',
+         unnest(list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                            x -> length(x) > 0))
+  FROM {p}base
+  UNION ALL
+{arms}
+{ng_arms[-1]}
+),
+{p}pu AS (SELECT doc_id, kind, unit, count(*) AS c FROM {p}units GROUP BY ALL),
+{p}agg AS (SELECT doc_id, {", ".join(aggs)} FROM {p}pu GROUP BY doc_id),
+{p}sig AS (
+  SELECT {p}base.doc_id,
+       {col_sql},
+       {reason} AS reason
+  FROM {p}base LEFT JOIN {p}agg USING (doc_id)
+)"""
+
+
+def _sql_rep_doctor(src: str = "documents") -> str:
+    def esc(t: str) -> str:
+        return "E'" + t.replace("\n", "\\n") + "'"
+
+    return f"""SELECT doc_id,
          CASE
            WHEN doc_id % 7 = 0 THEN {esc(_REP_T0)}
            WHEN doc_id % 7 = 1 THEN {esc(_REP_T1)}
@@ -2023,37 +2211,22 @@ WITH d AS (
            WHEN doc_id % 7 = 3 THEN '{_REP_T3}'
            ELSE text
          END AS text
-  FROM documents
+  FROM {src}"""
+
+
+def _sql_repetition() -> str:
+    return f"""
+WITH d AS (
+  {_sql_rep_doctor()}
 ),
-base AS (SELECT doc_id, length(text) AS doc_chars, text FROM d),
-toks AS (SELECT doc_id,
-                list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                            x -> length(x) > 0) AS t
-         FROM base),
-units AS (
-  SELECT doc_id, 'line' AS kind,
-         unnest(list_filter(regexp_split_to_array(text, '\\n'),
-                            x -> length(x) > 0)) AS unit
-  FROM base
-  UNION ALL
-  SELECT doc_id, 'para',
-         unnest(list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
-                            x -> length(x) > 0))
-  FROM base
-  UNION ALL
-{chr(10).join(a + chr(10) + '  UNION ALL' for a in ng_arms[:-1])}
-{ng_arms[-1]}
-),
-pu AS (SELECT doc_id, kind, unit, count(*) AS c FROM units GROUP BY ALL),
-agg AS (SELECT doc_id, {", ".join(aggs)} FROM pu GROUP BY doc_id)
-SELECT base.doc_id,
-       {col_sql},
-       {reason} AS reason
-FROM base LEFT JOIN agg USING (doc_id)
+{_sql_repetition_ctes("d")}
+SELECT * FROM rep_sig
 """
 
 
 SQL_REPETITION = _sql_repetition()
+# deferred: needs _PII_PLANTS and _sql_repetition_ctes above
+SQL_PREPARE_FULL = _sql_prepare_full()
 
 
 GENERIC_QUERIES = {
@@ -2109,6 +2282,7 @@ GENERIC_QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_repetition": q_repetition,
     "q_pii": q_pii,
+    "q_prepare_full": q_prepare_full,
 }
 
 GENERIC_ORACLES = {
@@ -2164,4 +2338,5 @@ GENERIC_ORACLES = {
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_repetition": SQL_REPETITION,
     "q_pii": SQL_PII,
+    "q_prepare_full": SQL_PREPARE_FULL,
 }

@@ -92,7 +92,11 @@ def pii_scrub(
     totals + docs touched (map-side-combinable sums — the only shuffle)."""
     sig = pii_signals(df, id_col, text_col, patterns)
     scrubbed = pii_redact(sig, text_col, None, patterns, placeholders)
-    count_cols = [c for c in scrubbed.columns if c.startswith("n_")]
+    # exact names derived from the patterns — NOT a startswith("n_") scan,
+    # which would swallow unrelated pre-existing columns (e.g. n_chars)
+    count_cols = [
+        f"n_{name}" for name in (patterns or PII_PATTERNS)
+    ] + ["n_pii"]
     metrics = scrubbed.agg(
         *[F.sum(c).cast("long").alias(c) for c in count_cols],
         F.sum((F.col("n_pii") > 0).cast("long")).cast("long").alias(

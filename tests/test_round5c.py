@@ -174,3 +174,122 @@ def test_pii_scrub_metrics_and_idempotency(spark):
     # digits or '@', so no pattern can fire inside them)
     again = pii_scrub(out["scrubbed"].select("doc_id", "text"))
     assert again["metrics"].collect()[0]["n_pii"] == 0
+
+
+# -------------------------------------------------------------- triangles
+
+def _py_triangles(pairs):
+    """Independent per-node triangle count over an undirected simple graph
+    given as (possibly duplicated/reversed/self-looped) directed pairs."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = Counter()
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            tri[u] += 1  # each triangle visits this loop via 3 edges; each
+            tri[v] += 1  # edge credits its 2 endpoints once per closing w,
+            tri[w] += 1  # so every corner is credited 3 times total
+    deg = {n: len(s) for n, s in adj.items()}
+    return {
+        n: (deg[n], tri.get(n, 0) // 3) for n in adj
+    }
+
+
+def test_triangle_counts_differential(spark):
+    from tcmkg.pipeline.triangles import triangle_counts
+
+    # K4 on a-d (4 triangles), a 5-cycle with one chord (1 triangle), a
+    # degree-6 hub star (0 triangles), parallel + reversed duplicates and
+    # a self-loop that must all collapse/drop
+    pairs = (
+        [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1 :]]
+        + [("p", "q"), ("q", "r"), ("r", "s"), ("s", "t"), ("t", "p"), ("p", "r")]
+        + [("hub", f"leaf{i}") for i in range(6)]
+        + [("b", "a"), ("a", "b"), ("p", "p")]
+    )
+    df = spark.createDataFrame(pairs, "subj string, obj string")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    want = _py_triangles(pairs)
+    assert set(got) == set(want)
+    total_spark = sum(r["triangles"] for r in got.values())
+    assert total_spark == sum(t for _, t in want.values()) == (4 + 1) * 3
+    for n, (d, t) in want.items():
+        assert (got[n]["degree"], got[n]["triangles"]) == (d, t), (n, got[n])
+        lcc = round(2 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[n]["lcc"] == pytest.approx(lcc, abs=1e-9), (n,)
+    # spot anchors: K4 corners have lcc 1.0; the hub has 0.0
+    assert got["a"]["lcc"] == 1.0 and got["hub"]["triangles"] == 0
+
+
+def test_triangle_counts_partitioning_invariance(spark):
+    from tcmkg.pipeline.triangles import triangle_counts
+
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(150)
+    ]
+    df = spark.createDataFrame(pairs, "subj string, obj string")
+    a = sorted(map(tuple, triangle_counts(df).collect()))
+    b = sorted(map(tuple, triangle_counts(df.repartition(13)).collect()))
+    assert a == b
+    want = _py_triangles(pairs)
+    assert {(r[0], r[1], r[2]) for r in a} == {
+        (n, d, t) for n, (d, t) in want.items()
+    }
+
+
+# ---------------------------------------------------------- prepare stages
+
+def test_prepare_corpus_repetition_and_pii_stages(spark):
+    """The opt-in stages: repetition removals happen AFTER quality (and
+    are attributed to repetition, not dedup), PII redaction lands in the
+    packed text, and the metrics gain the new rows. Defaults keep the
+    legacy five-stage behavior (repetition_removed empty, text raw)."""
+    from tcmkg.ops.prepare import prepare_corpus
+
+    rows = [
+        # quality kill (too short)
+        (1, "tiny"),
+        # repetition kill: passes quality (stopword, distinct tokens) but
+        # duplicates a line
+        (2, "the dup line alpha\nthe dup line alpha\nsome unique tail"),
+        # near-dup pair: one must be removed by dedup
+        (3, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (4, "the quick brown fox jumps over the lazy dog again and again yes"),
+        # PII carrier, otherwise clean
+        (5, "the server of note lives at 192.168.0.1 and answers to admin"),
+        # plain keeper
+        (6, "a wholly unremarkable document about the weather and the sea"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(
+        df, "doc_id", "text", fractions={"train": 1.0}, budget=64,
+        repetition=True, pii=True,
+    )
+    qr = {r["doc_id"]: r["reason"] for r in out["quality_removed"].collect()}
+    rr = {r["doc_id"]: r["reason"] for r in out["repetition_removed"].collect()}
+    assert set(qr) == {1} and qr[1] == "too_short"
+    assert set(rr) == {2} and rr[2] == "dup_line_frac"
+    corpus = {r["doc_id"]: r for r in out["corpus"].collect()}
+    assert set(corpus) == {3, 5, 6}  # doc 4 lost to dedup, 1/2 to filters
+    assert "<IP>" in corpus[5]["text"] and "192.168" not in corpus[5]["text"]
+    m = {r["metric"]: r["value"] for r in out["metrics"].collect()}
+    assert m["repetition_removed_dup_line_frac"] == 1
+    assert m["pii_matches"] == 1 and m["pii_docs"] == 1
+    # n_tokens counted on the SCRUBBED text (same token count here)
+    assert corpus[5]["n_tokens"] == len(rows[4][1].split(" "))
+
+    # defaults: stage off, empty removal frame, raw text, no new metrics
+    legacy = prepare_corpus(df, "doc_id", "text",
+                            fractions={"train": 1.0}, budget=64)
+    assert legacy["repetition_removed"].count() == 0
+    lm = {r["metric"] for r in legacy["metrics"].collect()}
+    assert not any(x.startswith(("repetition_", "pii_")) for x in lm)
+    lcorpus = {r["doc_id"]: r for r in legacy["corpus"].collect()}
+    assert "192.168.0.1" in lcorpus[5]["text"]
+    assert set(lcorpus) == {2, 3, 5, 6}  # doc 2 survives without the stage

@@ -256,6 +256,46 @@ def main() -> None:
         )
     )
 
+    from tcmkg.ops.repetition import repetition_signals
+
+    sections.append(
+        (
+            "Gopher repetition signals (r5 s6)",
+            "One text scan builds every (kind, unit) occurrence — lines, "
+            "paragraphs, all nine n-gram sizes — as an in-row struct "
+            "array; the two Exchanges below are the doc-keyed combinable "
+            "groupBys (per-unit counts, then the 13-signal fold). No "
+            "joins; hot keys bounded by document size, not corpus size.",
+            *render(repetition_signals(docs)),
+        )
+    )
+
+    from tcmkg.ops.pii import pii_redact, pii_signals
+
+    sections.append(
+        (
+            "PII count + redact (r5 s6)",
+            "Pure map: count columns and the chained regexp_replace all "
+            "live in one projection over the scan — zero Exchanges, full "
+            "WholeStageCodegen span.",
+            *render(pii_redact(pii_signals(docs), "text", "red")),
+        )
+    )
+
+    from tcmkg.pipeline.triangles import triangle_counts
+
+    sections.append(
+        (
+            "triangle counting, degree-oriented (r5 s6)",
+            "Edges are oriented low→high (degree, id) before the wedge "
+            "self-join, bounding every node's oriented out-degree by "
+            "O(sqrt(E)) — the skew guard that keeps hub entities from "
+            "exploding the join; the per-node count is a map-side-"
+            "combinable sum over exploded triangle corners.",
+            *render(triangle_counts(pipe.triples(tr300).select("subj", "obj"))),
+        )
+    )
+
     from tcmkg.ops.prepare import prepare_corpus
 
     prep = prepare_corpus(
