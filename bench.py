@@ -90,12 +90,15 @@ def main() -> None:
     spark = get_spark("tcmkg-bench", cores=CPUS)
 
     from tcmkg.contract.generic import (
+        q_ann_pq,
         q_ann_topk,
         q_dedup_exact,
         q_dim_join_revenue,
         q_lsh_pairs,
         q_minhash_sigs,
         q_near_dedup,
+        q_pii,
+        q_repetition,
         q_sessionize,
         q_simhash_pairs,
         q_tpch_q1,
@@ -124,6 +127,10 @@ def main() -> None:
         ("q_lsh_pairs", lambda: q_lsh_pairs(spark, SF_DIR).count()),
         ("q_simhash_pairs", lambda: q_simhash_pairs(spark, SF_DIR).count()),
         ("q_near_dedup", lambda: q_near_dedup(spark, SF_DIR).count()),
+        # round-5 session-6 appends (positions above stay comparable)
+        ("q_repetition", lambda: q_repetition(spark, SF_DIR).count()),
+        ("q_pii", lambda: q_pii(spark, SF_DIR).count()),
+        ("q_ann_pq", lambda: q_ann_pq(spark, SF_DIR).count()),
     ]
 
     samples: dict[str, list[float]] = {name: [] for name, _ in bench_queries}

@@ -31,6 +31,8 @@ _CHECK_FIRST = [
     "q_pii",
     "kg_triangles",
     "q_prepare_full",
+    "q_ann_pq",
+    "q_ann_ivfpq",
     # round-5 session 5: PageRank over the published KG (fixed-iteration
     # checkpointed iterative join) and benchmark decontamination (eval
     # n-gram broadcast probe) are new

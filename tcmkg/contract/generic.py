@@ -36,6 +36,10 @@ Coverage map (operator ids from SURVEY.md §2):
   q_repetition         Gopher repetition signals (13 fracs) + first-rule
                        removal reason, planted per doc_id%7
   q_pii                PII counts + redaction (md5-pinned), Java∩RE2 regex
+  q_prepare_full       six-stage capstone incl. repetition + PII scrub
+  q_ann_pq             product quantization train/encode/ADC-search vs an
+                       unrolled-Lloyd oracle (training inside the hash)
+  q_ann_ivfpq          IVF-PQ full-probe == pure PQ (routing no-op gate)
   q_stratified_sample  deterministic per-stratum hash sampling
   q_pack_bins          sequence packing into token-budget bins
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
@@ -1850,6 +1854,146 @@ FROM (SELECT DISTINCT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)
 """
 
 
+_PQ_M, _PQ_K, _PQ_ITER, _PQ_TOPK = 4, 4, 2, 3
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product quantization end-to-end (ops/pq.py): train m=4 sub-
+    codebooks (k=4, 2 Lloyd rounds, deterministic seeds + 6dp-rounded
+    means), encode the corpus to code arrays, ADC-search the held-out
+    queries. The oracle unrolls BOTH Lloyd rounds as chained CTEs (the
+    pagerank pattern), so the training dynamics — assignment argmin with
+    lowest-code ties, per-dim rounded means, empty-code carry-forward —
+    are inside the hash, not just the final distances. Scale shape:
+    per-round corpus work is one argmin projection + one combinable
+    groupBy; the codebook (m*k vectors) is the only driver round-trip;
+    search is a broadcast-LUT probe + combinable sum."""
+    from ..ops.pq import pq_encode, pq_search, train_pq
+
+    e = _read(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    books = train_pq(corpus, "vec_id", "embedding",
+                     m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+    codes = pq_encode(corpus, books, "vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return pq_search(queries, codes, books, topk=_PQ_TOPK)
+
+
+def _sql_ann_pq(m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, topk=_PQ_TOPK,
+                dim=64) -> str:
+    dsub = dim // m
+
+    def sqd(av, bv) -> str:
+        return (
+            f"list_sum([({av}[i] - {bv}[i]) * ({av}[i] - {bv}[i])"
+            f" FOR i IN range(1, {dsub + 1})])"
+        )
+
+    def round_ctes(r: int, prev: str) -> str:
+        return f""",
+a{r} AS (
+  SELECT sub.id, sub.s, c.code, {sqd("sub.sv", "c.cvec")} AS d
+  FROM sub JOIN {prev} c USING (s)
+),
+m{r} AS (SELECT id, s, min(d) AS md FROM a{r} GROUP BY id, s),
+g{r} AS (
+  SELECT a.id, a.s, min(a.code) AS code
+  FROM a{r} a JOIN m{r} USING (id, s) WHERE a.d = md GROUP BY a.id, a.s
+),
+u{r} AS (
+  SELECT s, code, list(mc ORDER BY pos) AS cvec FROM (
+    SELECT s, code, pos, round(avg(x), 6) AS mc FROM (
+      SELECT g.s, g.code, unnest(sub.sv) AS x,
+             unnest(generate_series(0, {dsub - 1})) AS pos
+      FROM g{r} g JOIN sub USING (id, s)
+    ) GROUP BY s, code, pos
+  ) GROUP BY s, code
+),
+c{r} AS (
+  SELECT p.s, p.code, coalesce(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN u{r} u USING (s, code)
+)"""
+
+    body = [
+        f"""WITH base AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id >= 5
+),
+ss AS (SELECT unnest(range(0, {m})) AS s),
+sub AS (
+  SELECT id, s, v[s*{dsub}+1 : s*{dsub}+{dsub}] AS sv FROM base, ss
+),
+c0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS code,
+         sv AS cvec
+  FROM sub QUALIFY row_number() OVER (PARTITION BY s ORDER BY id) <= {k}
+)"""
+    ]
+    prev = "c0"
+    for r in range(1, n_iter + 1):
+        body.append(round_ctes(r, prev))
+        prev = f"c{r}"
+    body.append(f""",
+af AS (
+  SELECT sub.id, sub.s, c.code, {sqd("sub.sv", "c.cvec")} AS d
+  FROM sub JOIN {prev} c USING (s)
+),
+mf AS (SELECT id, s, min(d) AS md FROM af GROUP BY id, s),
+codesf AS (
+  SELECT a.id, a.s, min(a.code) AS code
+  FROM af a JOIN mf USING (id, s) WHERE a.d = md GROUP BY a.id, a.s
+),
+q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+qsub AS (
+  SELECT qid, s, qv[s*{dsub}+1 : s*{dsub}+{dsub}] AS qsv FROM q, ss
+),
+lut AS (
+  SELECT qid, qsub.s, c.code, {sqd("qsub.qsv", "c.cvec")} AS pd
+  FROM qsub JOIN {prev} c USING (s)
+),
+ad AS (
+  SELECT l.qid, cf.id, round(sum(l.pd), 6) AS adist
+  FROM codesf cf JOIN lut l ON l.s = cf.s AND l.code = cf.code
+  GROUP BY l.qid, cf.id
+)
+SELECT qid, id, adist FROM ad
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, id) <= {topk}""")
+    return "".join(body)
+
+
+SQL_ANN_PQ = _sql_ann_pq()
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed serving layout (ops/pq.ivfpq_search): IVF cells
+    route, PQ codes score. Probing ALL cells makes routing a no-op, so
+    the result must equal pq_search exactly — hash-pinned against the
+    SAME unrolled-Lloyd oracle as q_ann_pq. The IVF build and the cell
+    prune (broadcast probe list, code table never hash-shuffled) are
+    inside the gate: a routing bug that drops or duplicates a cell's
+    candidates changes the top-k."""
+    from ..ops.ann import build_ivf
+    from ..ops.pq import ivfpq_search, pq_encode, train_pq
+
+    e = _read(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent, assign = build_ivf(corpus, "vec_id", "embedding",
+                             n_centroids=4, n_iter=2)
+    books = train_pq(corpus, "vec_id", "embedding",
+                     m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+    codes = pq_encode(corpus, books, "vec_id", "embedding").join(assign, "id")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivfpq_search(queries, cent, codes, books,
+                        nprobe=4, topk=_PQ_TOPK)
+
+
 # full-pipeline plants: repetition classes must PASS the quality stage
 # (stopword present, distinct-token ratio >= 0.3) so they reach — and are
 # removed by — the repetition stage, not quality
@@ -2283,6 +2427,8 @@ GENERIC_QUERIES = {
     "q_repetition": q_repetition,
     "q_pii": q_pii,
     "q_prepare_full": q_prepare_full,
+    "q_ann_pq": q_ann_pq,
+    "q_ann_ivfpq": q_ann_ivfpq,
 }
 
 GENERIC_ORACLES = {
@@ -2339,4 +2485,6 @@ GENERIC_ORACLES = {
     "q_repetition": SQL_REPETITION,
     "q_pii": SQL_PII,
     "q_prepare_full": SQL_PREPARE_FULL,
+    "q_ann_pq": SQL_ANN_PQ,
+    "q_ann_ivfpq": SQL_ANN_PQ,  # full probe: must equal pure PQ exactly
 }

@@ -1,0 +1,285 @@
+"""Product quantization (PQ) — the embedding-compression path for ANN at
+100 TB.
+
+IVF (ops/ann.py) prunes which vectors a query scans; PQ shrinks what a
+scanned vector COSTS: each d-dim float vector becomes m small codes (one
+per contiguous subspace), and query-time distance is the classic ADC
+(asymmetric distance computation) — the query builds an m x k lookup
+table of exact subspace distances once, and every corpus vector's
+approximate distance is a sum of m table entries. At float32/64-dim and
+m=8/k=256 that is 64x less memory bandwidth per candidate; composed with
+IVF routing it is the standard billion-scale serving layout (IVF-PQ).
+
+Deterministic training spec (hash-pinned by contract q_ann_pq, whose
+DuckDB oracle unrolls every Lloyd round as chained CTEs — the pagerank
+oracle pattern):
+  - subspace s covers dims [s*d/m, (s+1)*d/m); d must divide by m
+  - seeds: the subvectors of the k smallest ids
+  - each round: squared-L2 argmin assignment (ties -> lowest code;
+    the fold's strict < keeps the seed), per-dim mean update ROUNDED to
+    6dp (both engines' round() land on the same double, so cross-engine
+    sum-order drift ~1e-15 dies nine orders below the quantum), empty
+    codes keep their previous centroid (k never silently shrinks)
+  - encode: final-round assignment
+  - ADC: adist(q, x) = sum_s ||q_s - c[s][code_s]||^2, rounded 6dp and
+    ranked on the ROUNDED value (the m-term sum's order is partition-
+    dependent, so exact doubles can differ by 1 ulp), ties -> lowest id
+
+Scale shape: training round-trips only the m*k codebook through the
+driver per round (the same tiny payload a broadcast ships) — the corpus
+side is one argmin projection (pure map, no shuffle) plus one
+map-side-combinable groupBy per round. Encoding is a pure map. Search
+joins the exploded code column against a BROADCAST per-query LUT and
+reduces with one combinable groupBy — nothing is proportional to
+corpus x corpus, and the big side is never hash-shuffled except the
+final per-(query, doc) sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ann import _as_double
+
+
+def _sqdist_lit(col, vec: list[float]):
+    """Squared L2 between an array column and a literal vector, folded in
+    index order (matches the oracle's list-comprehension sum order)."""
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _argmin_code(col, cents: list[list[float]]):
+    """Code of the nearest centroid (strict < keeps the LOWEST code on
+    ties, matching the oracle's min(code) over min-distance rows)."""
+    acc = F.struct(F.lit(0).alias("code"), F.lit(float("inf")).alias("d"))
+    for code, vec in enumerate(cents):
+        d = _sqdist_lit(col, vec)
+        acc = F.when(
+            d < acc["d"], F.struct(F.lit(code).alias("code"), d.alias("d"))
+        ).otherwise(acc)
+    return acc["code"]
+
+
+def _subviews(v, m: int, dsub: int) -> list:
+    return [F.slice(v, s * dsub + 1, dsub) for s in range(m)]
+
+
+def train_pq(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> list[list[list[float]]]:
+    """-> codebooks[s][code] = centroid vector (python lists: m*k*dsub
+    floats — codebook-sized, the object a search job broadcasts)."""
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint()  # iterated; truncate lineage once
+    seeds = base.orderBy("id").limit(k).collect()  # k vectors: tiny
+    if len(seeds) < k:
+        raise ValueError(f"need >= k={k} vectors, got {len(seeds)}")
+    books = [
+        [list(r["v"])[s * dsub : (s + 1) * dsub] for r in seeds]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        assigned = base.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            sv.alias("sv"),
+                            _argmin_code(sv, books[s]).alias("code"),
+                        )
+                        for s, sv in enumerate(_subviews(F.col("v"), m, dsub))
+                    ]
+                )
+            ).alias("a"),
+        ).select("id", "a.s", "a.code", "a.sv")
+        upd = (
+            assigned.select("s", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mc"))
+            .groupBy("s", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mc"))).alias("pm")
+            )
+            .select(
+                "s", "code", F.transform("pm", lambda t: t["mc"]).alias("cvec")
+            )
+            .collect()  # m*k rows: codebook-sized
+        )
+        new = {(r["s"], r["code"]): list(r["cvec"]) for r in upd}
+        books = [
+            [new.get((s, c), books[s][c]) for c in range(k)] for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """-> (id, codes array<int>): the compressed corpus — a pure map."""
+    m = len(books)
+    dsub = len(books[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            _argmin_code(sv, books[s])
+            for s, sv in enumerate(_subviews(v, m, dsub))
+        ]
+    )
+    return emb.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    topk: int = 3,
+) -> DataFrame:
+    """-> (qid, id, adist): top-k per query by ADC distance, rounded 6dp
+    and ranked on the rounded value (ties -> lowest id).
+    The per-(query, subspace, code) LUT is built ONCE as a
+    DataFrame and BROADCAST; the corpus code table is exploded, probed,
+    and reduced by one map-side-combinable sum."""
+    m = len(books)
+    dsub = len(books[0][0])
+    spark = queries.sparkSession
+    book_rows = [
+        (s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))
+    ]
+    book_df = spark.createDataFrame(
+        book_rows, "s int, code int, cvec array<double>"
+    )
+    qv = _as_double(F.col(qvec_col))
+    qsub = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.posexplode(
+            F.array(*_subviews(qv, m, dsub))
+        ).alias("s", "qsv"),
+    )
+    lut = qsub.join(F.broadcast(book_df), "s").select(
+        "qid",
+        "s",
+        "code",
+        F.aggregate(
+            F.zip_with("qsv", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("pd"),
+    )
+    probe = codes.select(
+        "id", F.posexplode("codes").alias("s", "code")
+    ).join(F.broadcast(lut), ["s", "code"])
+    # rank on the ROUNDED distance (ties -> lowest id): the m-term sum's
+    # order is partition-dependent, so exact doubles can differ by 1 ulp
+    # across runs/engines — ranking on the 6dp value keeps the top-k set
+    # and order deterministic everywhere
+    dist = probe.groupBy("qid", "id").agg(
+        F.round(F.sum("pd"), 6).alias("adist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("id").asc())
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", "id", "adist")
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codes_with_cell: DataFrame,
+    books: list[list[list[float]]],
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale serving layout — IVF routing
+    prunes WHICH vectors a query considers, PQ codes shrink what each
+    considered vector COSTS (ADC lookups; the raw corpus vectors are
+    never read at query time).
+
+    `codes_with_cell`: (id, cid, codes) — pq_encode joined to the IVF
+    assignment once at INDEX time (in production it is stored partitioned
+    by cid, so the cell prune below is partition pruning, not a join).
+    -> (qid, id, adist) top-k per query over the probed cells, same
+    ranking spec as pq_search. With nprobe >= n_centroids every cell is
+    probed and the result equals pq_search exactly (contract q_ann_ivfpq
+    hash-pins this against the same oracle family as q_ann_pq).
+
+    Scale shape: routing = one window over queries x centroids (broadcast
+    centroid side); the probed (qid, cid) list and the per-query LUT are
+    both query-sized broadcasts, so the corpus-sized code table is never
+    hash-shuffled — its only reduction is the per-(query, id) combinable
+    sum over candidates, which is corpus/n_cells * nprobe per query."""
+    from .ann import _cos, _dot, _norm
+
+    m = len(books)
+    dsub = len(books[0][0])
+    spark = queries.sparkSession
+    q = queries.select(
+        F.col(qid_col).alias("qid"), _as_double(F.col(qvec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist",
+        -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")),
+              _norm(F.col("cvec"))),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("cid"))
+    probe = (
+        qc.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    book_df = spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))],
+        "s int, code int, cvec array<double>",
+    )
+    qsub = probe.select(
+        "qid", "cid",
+        F.posexplode(F.array(*_subviews(F.col("qv"), m, dsub))).alias(
+            "s", "qsv"
+        ),
+    )
+    lut = qsub.join(F.broadcast(book_df), "s").select(
+        "qid", "cid", "s", "code",
+        F.aggregate(
+            F.zip_with("qsv", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("pd"),
+    )
+    cand = codes_with_cell.select(
+        "id", "cid", F.posexplode("codes").alias("s", "code")
+    ).join(F.broadcast(lut), ["cid", "s", "code"])
+    dist = cand.groupBy("qid", "id").agg(
+        F.round(F.sum("pd"), 6).alias("adist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("id").asc())
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", "id", "adist")
+    )

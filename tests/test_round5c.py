@@ -293,3 +293,178 @@ def test_prepare_corpus_repetition_and_pii_stages(spark):
     lcorpus = {r["doc_id"]: r for r in legacy["corpus"].collect()}
     assert "192.168.0.1" in lcorpus[5]["text"]
     assert set(lcorpus) == {2, 3, 5, 6}  # doc 2 survives without the stage
+
+
+# --------------------------------------------------------------------- PQ
+
+def _py_pq(vecs, qvecs, m, k, n_iter, topk):
+    """Pure-Python replay of the deterministic PQ spec (train/encode/ADC)."""
+    ids = sorted(vecs)
+    dim = len(vecs[ids[0]])
+    dsub = dim // m
+
+    def sub(v, s):
+        return v[s * dsub : (s + 1) * dsub]
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    books = [[sub(vecs[i], s) for i in ids[:k]] for s in range(m)]
+    for _ in range(n_iter):
+        asg = {
+            (s, i): min(
+                range(k), key=lambda c: (sqd(sub(vecs[i], s), books[s][c]), c)
+            )
+            for s in range(m)
+            for i in ids
+        }
+        nb = []
+        for s in range(m):
+            row = []
+            for c in range(k):
+                members = [sub(vecs[i], s) for i in ids if asg[(s, i)] == c]
+                if members:
+                    row.append(
+                        [
+                            _round_half_up(
+                                sum(v[p] for v in members) / len(members), 6
+                            )
+                            for p in range(dsub)
+                        ]
+                    )
+                else:
+                    row.append(books[s][c])
+            nb.append(row)
+        books = nb
+    codes = {
+        i: [
+            min(range(k), key=lambda c: (sqd(sub(vecs[i], s), books[s][c]), c))
+            for s in range(m)
+        ]
+        for i in ids
+    }
+    out = {}
+    for qid, qv in qvecs.items():
+        dists = [
+            (
+                round(
+                    sum(sqd(sub(qv, s), books[s][codes[i][s]]) for s in range(m)),
+                    6,
+                ),
+                i,
+            )
+            for i in ids
+        ]
+        out[qid] = sorted(dists)[:topk]
+    return books, codes, out
+
+
+def _round_half_up(x, nd):
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1e-%d" % nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def test_pq_differential_and_exact_recovery(spark):
+    import random
+
+    from tcmkg.ops.pq import pq_encode, pq_search, train_pq
+
+    rng = random.Random(11)
+    dim, m, k = 8, 4, 4
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        for i in range(20)
+    }
+    qvecs = {100 + j: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+             for j in range(3)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in qvecs.items()], "qid long, qv array<double>"
+    )
+    books = train_pq(df, "vec_id", "embedding", m=m, k=k, n_iter=2)
+    pb, pcodes, ptop = _py_pq(vecs, qvecs, m, k, 2, 3)
+    for s in range(m):
+        for c in range(k):
+            assert books[s][c] == pytest.approx(pb[s][c], abs=1e-9), (s, c)
+    codes = {r["id"]: list(r["codes"])
+             for r in pq_encode(df, books, "vec_id", "embedding").collect()}
+    assert codes == pcodes
+    got = pq_search(qdf, pq_encode(df, books, "vec_id", "embedding"),
+                    books, topk=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["adist"], r["id"]))
+    for q, want in ptop.items():
+        assert [
+            (pytest.approx(d, abs=2e-6), i) for d, i in want
+        ] == by_q[q], q
+
+    # exact recovery: corpus of k distinct vectors (repeated) -> zero
+    # quantization error, ADC == exact squared L2
+    base = [vecs[i] for i in range(k)]
+    rep = {i: base[i % k] for i in range(12)}
+    rdf = spark.createDataFrame(
+        [(i, v) for i, v in rep.items()], "vec_id long, embedding array<double>"
+    )
+    b2 = train_pq(rdf, "vec_id", "embedding", m=m, k=k, n_iter=2)
+    top = pq_search(qdf, pq_encode(rdf, b2, "vec_id", "embedding"),
+                    b2, topk=1).collect()
+    for r in top:
+        qv = qvecs[r["qid"]]
+        exact = min(
+            round(sum((a - b) ** 2 for a, b in zip(qv, rep[i])), 6)
+            for i in rep
+        )
+        assert r["adist"] == pytest.approx(exact, abs=2e-6)
+
+
+def test_ivfpq_partial_probe_subset_and_full_probe_equality(spark):
+    import random
+
+    from tcmkg.ops.ann import build_ivf
+    from tcmkg.ops.pq import ivfpq_search, pq_encode, pq_search, train_pq
+
+    rng = random.Random(23)
+    dim, m, k = 8, 4, 4
+    vecs = {i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+            for i in range(40)}
+    qvecs = {100 + j: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+             for j in range(3)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in qvecs.items()], "qid long, qv array<double>"
+    )
+    cent, assign = build_ivf(df, "vec_id", "embedding", n_centroids=3, n_iter=2)
+    books = train_pq(df, "vec_id", "embedding", m=m, k=k, n_iter=2)
+    codes = pq_encode(df, books, "vec_id", "embedding").join(assign, "id")
+
+    full = sorted(map(tuple, ivfpq_search(
+        qdf, cent, codes, books, nprobe=3, topk=3).collect()))
+    pure = sorted(map(tuple, pq_search(
+        qdf, pq_encode(df, books, "vec_id", "embedding"), books,
+        topk=3).collect()))
+    assert full == pure  # full probe == routing no-op
+
+    part = ivfpq_search(qdf, cent, codes, books, nprobe=1, topk=3).collect()
+    # partial probe returns only candidates from probed cells, ranked by
+    # the same ADC distances the full search assigns them
+    full_d = {(r[0], r[1]): r[2] for r in map(tuple, ivfpq_search(
+        qdf, cent, codes, books, nprobe=3, topk=40).collect())}
+    per_q = {}
+    for r in part:
+        assert full_d[(r["qid"], r["id"])] == r["adist"]
+        per_q.setdefault(r["qid"], []).append(r["adist"])
+    for q, ds in per_q.items():
+        assert ds == sorted(ds) and len(ds) <= 3

@@ -296,6 +296,25 @@ def main() -> None:
         )
     )
 
+    from tcmkg.ops.pq import pq_encode, pq_search, train_pq
+
+    books = train_pq(emb, "vec_id", "embedding", m=4, k=4, n_iter=1)
+    pq_codes = pq_encode(emb, books, "vec_id", "embedding")
+    pq_queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 5
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    sections.append(
+        (
+            "PQ ADC search (r5 s6)",
+            "The per-query LUT (queries x m x k subspace distances) is "
+            "BROADCAST; the corpus code table is exploded, probed against "
+            "it, and reduced with one map-side-combinable sum — the "
+            "compressed corpus is never hash-shuffled except that final "
+            "per-(query, id) aggregation.",
+            *render(pq_search(pq_queries, pq_codes, books, topk=3)),
+        )
+    )
+
     from tcmkg.ops.prepare import prepare_corpus
 
     prep = prepare_corpus(
