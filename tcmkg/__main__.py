@@ -15,6 +15,9 @@ Subcommands:
     ivf-build   build + persist an IVF ANN index over an embedding corpus
     ivf-add     append new vectors to a persisted IVF index (no rebuild)
     ivf-search  cell-pruned top-k search against a persisted index
+    pq-build    train + persist a product-quantization codebook + codes
+    pq-search   ADC top-k search against a persisted PQ index
+    scrub       PII-redact a document corpus
 """
 
 from __future__ import annotations
@@ -229,6 +232,39 @@ def cmd_ivf_add(args) -> None:
                       "n_vectors": assign.count(), "store": args.store}))
 
 
+def cmd_pq_build(args) -> None:
+    from .ops.pq import pq_encode, save_pq, train_pq
+    from .pipeline.checkpoints import CheckpointStore
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-pq-build", cores=args.cores)
+    emb = spark.read.parquet(args.input)
+    books = train_pq(emb, args.id_col, args.vec_col,
+                     m=args.m, k=args.k, n_iter=args.n_iter)
+    codes = pq_encode(emb, books, args.id_col, args.vec_col)
+    save_pq(CheckpointStore(args.store), books, codes, args.prefix)
+    print(json.dumps({"status": "ok", "m": args.m, "k": args.k,
+                      "n_vectors": codes.count(), "store": args.store}))
+
+
+def cmd_pq_search(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .ops.pq import load_pq, pq_search
+    from .pipeline.checkpoints import CheckpointStore
+    from .session import get_spark
+
+    spark = get_spark("tcmkg-pq-search", cores=args.cores)
+    books, codes = load_pq(spark, CheckpointStore(args.store), args.prefix)
+    queries = spark.read.parquet(args.queries).select(
+        F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qv")
+    )
+    out = pq_search(queries, codes, books, topk=args.topk)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"status": "ok", "rows": out.count(),
+                      "output": args.output}))
+
+
 def cmd_ivf_search(args) -> None:
     from pyspark.sql import functions as F
 
@@ -402,6 +438,31 @@ def main(argv=None) -> int:
     isr.add_argument("--prefix", default="ivf")
     isr.add_argument("--cores", default=None)
     isr.set_defaults(fn=cmd_ivf_search)
+
+    pb = sub.add_parser("pq-build", help="train + persist a PQ codebook "
+                                         "and compressed corpus")
+    pb.add_argument("--input", required=True, help="embedding corpus parquet")
+    pb.add_argument("--store", required=True)
+    pb.add_argument("--id-col", dest="id_col", default="vec_id")
+    pb.add_argument("--vec-col", dest="vec_col", default="embedding")
+    pb.add_argument("-m", type=int, default=4, help="subspaces")
+    pb.add_argument("-k", type=int, default=16, help="codes per subspace")
+    pb.add_argument("--n-iter", dest="n_iter", type=int, default=2)
+    pb.add_argument("--prefix", default="pq")
+    pb.add_argument("--cores", default=None)
+    pb.set_defaults(fn=cmd_pq_build)
+
+    ps = sub.add_parser("pq-search", help="ADC top-k search against a "
+                                          "persisted PQ index")
+    ps.add_argument("--queries", required=True, help="query vectors parquet")
+    ps.add_argument("--store", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--id-col", dest="id_col", default="vec_id")
+    ps.add_argument("--vec-col", dest="vec_col", default="embedding")
+    ps.add_argument("--topk", type=int, default=10)
+    ps.add_argument("--prefix", default="pq")
+    ps.add_argument("--cores", default=None)
+    ps.set_defaults(fn=cmd_pq_search)
 
     args = ap.parse_args(argv)
     args.fn(args)

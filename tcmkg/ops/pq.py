@@ -283,3 +283,33 @@ def ivfpq_search(
         .filter(F.col("rk") <= topk)
         .select("qid", "id", "adist")
     )
+
+
+def save_pq(store, books: list[list[list[float]]], codes: DataFrame,
+            prefix: str = "pq") -> None:
+    """Persist a PQ index as CheckpointStore stage tables: the codebook as
+    (s, code, cvec) rows and the compressed corpus. Training is the
+    expensive part; a search session reads one tiny table and the code
+    column."""
+    spark = codes.sparkSession
+    book_df = spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(len(books))
+         for c in range(len(books[s]))],
+        "s int, code int, cvec array<double>",
+    )
+    store.write(book_df, f"{prefix}_books")
+    store.write(codes, f"{prefix}_codes")
+
+
+def load_pq(spark, store, prefix: str = "pq"):
+    """-> (books, codes) previously saved by save_pq; books come back as
+    the nested-list codebook (codebook-sized driver round-trip)."""
+    rows = store.read(spark, f"{prefix}_books").collect()
+    m = 1 + max(r["s"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    books = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["s"]][r["code"]] = list(r["cvec"])
+    if any(v is None for row in books for v in row):
+        raise ValueError("persisted PQ codebook has holes")
+    return books, store.read(spark, f"{prefix}_codes")

@@ -468,3 +468,29 @@ def test_ivfpq_partial_probe_subset_and_full_probe_equality(spark):
         per_q.setdefault(r["qid"], []).append(r["adist"])
     for q, ds in per_q.items():
         assert ds == sorted(ds) and len(ds) <= 3
+
+
+def test_pq_persistence_roundtrip(spark, tmp_path):
+    import random
+
+    from tcmkg.ops.pq import load_pq, pq_encode, pq_search, save_pq, train_pq
+    from tcmkg.pipeline.checkpoints import CheckpointStore
+
+    rng = random.Random(31)
+    df = spark.createDataFrame(
+        [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+         for i in range(15)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(9, [0.1] * 8)], "qid long, qv array<double>"
+    )
+    books = train_pq(df, "vec_id", "embedding", m=4, k=4, n_iter=1)
+    codes = pq_encode(df, books, "vec_id", "embedding")
+    store = CheckpointStore(str(tmp_path / "pq"))
+    save_pq(store, books, codes)
+    books2, codes2 = load_pq(spark, store)
+    assert books2 == books
+    a = sorted(map(tuple, pq_search(qdf, codes, books, topk=3).collect()))
+    b = sorted(map(tuple, pq_search(qdf, codes2, books2, topk=3).collect()))
+    assert a == b
