@@ -84,9 +84,15 @@ def train_pq(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    base = emb.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).localCheckpoint()  # iterated; truncate lineage once
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        # CPU-bound argmin rounds below: key parallelism to cores, not to
+        # the source's file count (the mention-kernel respread argument)
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint()  # iterated; truncate lineage once
+    )
     seeds = base.orderBy("id").limit(k).collect()  # k vectors: tiny
     if len(seeds) < k:
         raise ValueError(f"need >= k={k} vectors, got {len(seeds)}")
@@ -136,9 +142,12 @@ def pq_encode(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """-> (id, codes array<int>): the compressed corpus — a pure map."""
+    """-> (id, codes array<int>): the compressed corpus — a pure map
+    (respread across cores first: the per-row argmin folds are CPU-bound,
+    so parallelism must not inherit a small source file count)."""
     m = len(books)
     dsub = len(books[0][0])
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     v = _as_double(F.col(vec_col))
     codes = F.array(
         *[
