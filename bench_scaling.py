@@ -70,13 +70,28 @@ def _burn_global(work: int) -> int:
 
 def main() -> None:
     corpus = bench_corpus_path(SCALE_CONVS)
-    ceil_lo = cpu_probe(N_CORES)
-    ceil_hi = cpu_probe(N4_CORES)
-    hw_ceiling = (ceil_hi / ceil_lo) / (N4_CORES / N_CORES)
+    # sample the hardware ceiling AROUND each level, not once at start:
+    # the box's own 4->16 scaling drifts minute-to-minute on this shared
+    # host (observed 0.83-0.98 within one hour), and a probe taken
+    # minutes before a 15-minute run window mis-normalizes the reading
+    ceil_lo_a = cpu_probe(N_CORES)
+    ceil_hi_a = cpu_probe(N4_CORES)
     # the faster (4N) level shows the most host-noise variance on this
     # shared box; sample it harder and keep the best (noise only slows runs)
     lo = run_level(N_CORES, corpus, RUNS)
+    ceil_lo_b = cpu_probe(N_CORES)
+    ceil_hi_b = cpu_probe(N4_CORES)
     hi = run_level(N4_CORES, corpus, RUNS * 2)
+    ceil_lo_c = cpu_probe(N_CORES)
+    ceil_hi_c = cpu_probe(N4_CORES)
+    ceil_lo = (ceil_lo_a + ceil_lo_b + ceil_lo_c) / 3
+    ceil_hi = (ceil_hi_a + ceil_hi_b + ceil_hi_c) / 3
+    hw_ceiling = (ceil_hi / ceil_lo) / (N4_CORES / N_CORES)
+    hw_samples = [
+        round((h / l) / (N4_CORES / N_CORES), 3)
+        for l, h in ((ceil_lo_a, ceil_hi_a), (ceil_lo_b, ceil_hi_b),
+                     (ceil_lo_c, ceil_hi_c))
+    ]
     assert lo["n_triples"] == hi["n_triples"] and lo["checksum"] == hi["checksum"], (
         f"nondeterministic across parallelism: {lo} vs {hi}"
     )
@@ -96,6 +111,7 @@ def main() -> None:
         "n_triples": lo["n_triples"],
         "identical_output": True,
         "hw_ceiling": round(hw_ceiling, 3),
+        "hw_ceiling_samples": hw_samples,
         "eff_vs_hw_ceiling": round(eff / hw_ceiling, 3),
         "target": 0.8,
         "pass": eff >= 0.8,

@@ -263,8 +263,9 @@ def main() -> None:
             "Gopher repetition signals (r5 s6)",
             "One text scan builds every (kind, unit) occurrence — lines, "
             "paragraphs, all nine n-gram sizes — as an in-row struct "
-            "array; the two Exchanges below are the doc-keyed combinable "
-            "groupBys (per-unit counts, then the 13-signal fold). No "
+            "array; the Exchanges below are the explicit round-robin "
+            "respread (CPU-bound projection keyed to cores, not file count) "
+            "plus the two doc-keyed combinable groupBys (per-unit counts, then the 13-signal fold). No "
             "joins; hot keys bounded by document size, not corpus size.",
             *render(repetition_signals(docs)),
         )
