@@ -33,6 +33,7 @@ _CHECK_FIRST = [
     "q_prepare_full",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_pack_sequences",
     # round-5 session 5: PageRank over the published KG (fixed-iteration
     # checkpointed iterative join) and benchmark decontamination (eval
     # n-gram broadcast probe) are new

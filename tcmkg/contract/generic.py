@@ -40,6 +40,7 @@ Coverage map (operator ids from SURVEY.md §2):
   q_ann_pq             product quantization train/encode/ADC-search vs an
                        unrolled-Lloyd oracle (training inside the hash)
   q_ann_ivfpq          IVF-PQ full-probe == pure PQ (routing no-op gate)
+  q_pack_sequences     bins -> EOS-joined training sequences (md5-pinned)
   q_stratified_sample  deterministic per-stratum hash sampling
   q_pack_bins          sequence packing into token-budget bins
   q_shingle_jaccard    char n-gram (shingle) Jaccard near-dup pairs
@@ -1448,6 +1449,56 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """The concat-with-EOS step a pretraining loader consumes
+    (ops/sampling.materialize_sequences): pack_greedy's bins become one
+    training sequence each — member texts joined in id order by the
+    separator. The sequence BYTES are md5-pinned, so a wrong member, a
+    wrong order, or a mangled separator hash-fails. Scale shape: one
+    groupBy on the bin key whose fan-in is bounded by the token budget
+    (hot bins cannot exist by construction); order is established
+    WITHIN each row by array_sort, not by a sort shuffle."""
+    from ..ops.sampling import materialize_sequences, pack_greedy
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_greedy(
+        d, "doc_id", F.col("n_tokens"), budget=500,
+        shard_col=(F.col("doc_id") % 4),
+    )
+    seqs = materialize_sequences(packed, "doc_id", "text")
+    return seqs.select(
+        "shard", "bin", "n_docs", "n_tokens",
+        F.length("seq_text").cast("long").alias("seq_len"),
+        F.md5("seq_text").alias("seq_md5"),
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id, text, doc_id % 4 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+),
+s AS (
+  SELECT shard, (cum_before // 500)::BIGINT AS bin,
+         string_agg(text, '<|eos|>' ORDER BY doc_id) AS seq_text,
+         count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+  FROM c GROUP BY 1, 2
+)
+SELECT shard, bin, n_docs, n_tokens,
+       length(seq_text)::BIGINT AS seq_len, md5(seq_text) AS seq_md5
+FROM s
+"""
+
+
 def q_literal_dict(spark, sf_dir):
     """P6: Python-literal dict strings -> typed columns. The literal is
     synthesized from event_id (so DuckDB can predict the outcome without a
@@ -2429,6 +2480,7 @@ GENERIC_QUERIES = {
     "q_prepare_full": q_prepare_full,
     "q_ann_pq": q_ann_pq,
     "q_ann_ivfpq": q_ann_ivfpq,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 GENERIC_ORACLES = {
@@ -2487,4 +2539,5 @@ GENERIC_ORACLES = {
     "q_prepare_full": SQL_PREPARE_FULL,
     "q_ann_pq": SQL_ANN_PQ,
     "q_ann_ivfpq": SQL_ANN_PQ,  # full probe: must equal pure PQ exactly
+    "q_pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -134,3 +134,39 @@ def pack_greedy(
         F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     return df.withColumn("bin", F.floor(cum_before / budget).cast("long"))
+
+
+def materialize_sequences(
+    packed: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "<|eos|>",
+    bin_cols: tuple[str, ...] = ("shard", "bin"),
+) -> DataFrame:
+    """Turn pack_greedy's bin assignments into the actual training
+    sequences: one row per bin with the member documents joined in id
+    order by `sep` — the concat-with-EOS step a pretraining loader
+    consumes. -> (*bin_cols, seq_text, n_docs, n_tokens<when present>).
+
+    Deterministic without a sort shuffle: members collect into an array
+    of (id, text) structs per bin (map-side combinable collect_list),
+    array_sort orders WITHIN the row by id, then one array_join — so the
+    only exchange is the groupBy on the bin key, whose fan-in is bounded
+    by the token budget (a bin holds ~budget tokens no matter how big
+    the corpus is; hot keys cannot exist by construction)."""
+    aggs = [
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                            F.col(text_col).alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            sep,
+        ).alias("seq_text"),
+        F.count("*").cast("long").alias("n_docs"),
+    ]
+    if "n_tokens" in packed.columns:
+        aggs.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    return packed.groupBy(*bin_cols).agg(*aggs)

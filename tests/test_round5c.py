@@ -494,3 +494,34 @@ def test_pq_persistence_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, pq_search(qdf, codes, books, topk=3).collect()))
     b = sorted(map(tuple, pq_search(qdf, codes2, books2, topk=3).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------- sequences
+
+def test_materialize_sequences_order_and_partitioning(spark):
+    from tcmkg.ops.sampling import materialize_sequences, pack_greedy
+
+    rows = [(i, f"doc{i} body", 3) for i in range(17)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+    packed = pack_greedy(df, "doc_id", F.col("n_tokens"), budget=7,
+                         shard_col=(F.col("doc_id") % 2))
+    seqs = {(r["shard"], r["bin"]): r
+            for r in materialize_sequences(packed, "doc_id", "text").collect()}
+    # replay: per shard, ids ascending, bins of floor(cum/7)
+    import collections
+    want = collections.defaultdict(list)
+    cum = {0: 0, 1: 0}
+    for i in range(17):
+        s = i % 2
+        want[(s, cum[s] // 7)].append(f"doc{i} body")
+        cum[s] += 3
+    for k, texts in want.items():
+        assert seqs[k]["seq_text"] == "<|eos|>".join(texts), k
+        assert seqs[k]["n_docs"] == len(texts)
+        assert seqs[k]["n_tokens"] == 3 * len(texts)
+    assert set(seqs) == set(want)
+    # identical under different input partitioning (array_sort in-row)
+    again = {(r["shard"], r["bin"]): r["seq_text"]
+             for r in materialize_sequences(
+                 packed.repartition(7), "doc_id", "text").collect()}
+    assert again == {k: v["seq_text"] for k, v in seqs.items()}
