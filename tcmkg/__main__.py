@@ -161,7 +161,7 @@ def cmd_scrub(args) -> None:
 
     spark = get_spark("tcmkg-scrub", cores=args.cores)
     docs = spark.read.parquet(args.input)
-    out = pii_scrub(docs, args.id_col, args.text_col)
+    out = pii_scrub(docs, args.text_col)
     out["scrubbed"].write.mode("overwrite").parquet(args.output)
     metrics = out["metrics"].collect()[0].asDict()
     print(json.dumps({"status": "ok", "metrics": metrics, "output": args.output}))
@@ -242,9 +242,13 @@ def cmd_pq_build(args) -> None:
     books = train_pq(emb, args.id_col, args.vec_col,
                      m=args.m, k=args.k, n_iter=args.n_iter)
     codes = pq_encode(emb, books, args.id_col, args.vec_col)
-    save_pq(CheckpointStore(args.store), books, codes, args.prefix)
+    store = CheckpointStore(args.store)
+    save_pq(store, books, codes, args.prefix)
+    # count the PERSISTED table: codes is an unmaterialized plan, and
+    # codes.count() would re-run the whole encode the write just executed
+    n = store.read(spark, f"{args.prefix}_codes").count()
     print(json.dumps({"status": "ok", "m": args.m, "k": args.k,
-                      "n_vectors": codes.count(), "store": args.store}))
+                      "n_vectors": n, "store": args.store}))
 
 
 def cmd_pq_search(args) -> None:
@@ -261,8 +265,9 @@ def cmd_pq_search(args) -> None:
     )
     out = pq_search(queries, codes, books, topk=args.topk)
     out.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"status": "ok", "rows": out.count(),
-                      "output": args.output}))
+    # count the WRITTEN parquet, not the plan (which would re-search)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"status": "ok", "rows": n, "output": args.output}))
 
 
 def cmd_ivf_search(args) -> None:
@@ -370,7 +375,6 @@ def main(argv=None) -> int:
     sc = sub.add_parser("scrub", help="PII-redact a document corpus")
     sc.add_argument("--input", required=True, help="documents parquet path")
     sc.add_argument("--output", required=True)
-    sc.add_argument("--id-col", dest="id_col", default="doc_id")
     sc.add_argument("--text-col", dest="text_col", default="text")
     sc.add_argument("--cores", default=None)
     sc.set_defaults(fn=cmd_scrub)

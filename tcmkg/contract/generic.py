@@ -2214,7 +2214,7 @@ def q_pii(spark, sf_dir):
     s = F.col("text")
     for k, suffix in _PII_PLANTS.items():
         s = F.when(did % 5 == k, F.concat(F.col("text"), F.lit(suffix))).otherwise(s)
-    sig = pii_signals(d.select("doc_id", s.alias("text")), "doc_id", "text")
+    sig = pii_signals(d.select("doc_id", s.alias("text")), "text")
     red = pii_redact(sig, "text", "red")
     return red.select(
         "doc_id", "n_email", "n_ipv4", "n_phone", "n_idnum", "n_pii",

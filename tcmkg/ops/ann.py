@@ -333,7 +333,8 @@ def ivf2_search(
         "cdist",
         -_cos(_dot(F.col("qv"), F.col("ccvec")), _norm(F.col("qv")), _norm(F.col("ccvec"))),
     )
-    wq = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cid"))
+    # asc_nulls_last on both probe windows: NULL (zero-norm) loses
+    wq = Window.partitionBy("qid").orderBy(F.col("cdist").asc_nulls_last(), F.col("cid"))
     probe_c = (
         qc.withColumn("crk", F.row_number().over(wq))
         .filter(F.col("crk") <= n_coarse_probe)
@@ -343,7 +344,7 @@ def ivf2_search(
         "sdist",
         -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")), _norm(F.col("cvec"))),
     )
-    ws = Window.partitionBy("qid").orderBy(F.col("sdist"), F.col("gid"))
+    ws = Window.partitionBy("qid").orderBy(F.col("sdist").asc_nulls_last(), F.col("gid"))
     probe = (
         qs.withColumn("srk", F.row_number().over(ws))
         .filter(F.col("srk") <= nprobe)
@@ -399,7 +400,12 @@ def ivf_search(
     qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
         "dist", -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")), _norm(F.col("cvec")))
     )
-    wq = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("cid"))
+    # asc_nulls_LAST: zero-norm vectors yield NULL cosine and must LOSE
+    # (module convention above); Spark's ascending default is NULLS FIRST,
+    # which would rank a degenerate centroid as every query's #1 probe
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("cid")
+    )
     probe = (
         qc.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= nprobe)

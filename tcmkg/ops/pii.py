@@ -42,7 +42,6 @@ PII_PLACEHOLDERS: dict[str, str] = {
 
 def pii_signals(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     patterns: dict[str, str] | None = None,
 ) -> DataFrame:
@@ -82,7 +81,6 @@ def pii_redact(
 
 def pii_scrub(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     patterns: dict[str, str] | None = None,
     placeholders: dict[str, str] | None = None,
@@ -90,7 +88,7 @@ def pii_scrub(
     """-> {"scrubbed", "metrics"}: scrubbed = df with text redacted and
     per-class counts attached; metrics = one corpus-level row of per-class
     totals + docs touched (map-side-combinable sums — the only shuffle)."""
-    sig = pii_signals(df, id_col, text_col, patterns)
+    sig = pii_signals(df, text_col, patterns)
     scrubbed = pii_redact(sig, text_col, None, patterns, placeholders)
     # exact names derived from the patterns — NOT a startswith("n_") scan,
     # which would swallow unrelated pre-existing columns (e.g. n_chars)

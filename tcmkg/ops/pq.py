@@ -70,6 +70,57 @@ def _subviews(v, m: int, dsub: int) -> list:
     return [F.slice(v, s * dsub + 1, dsub) for s in range(m)]
 
 
+def _book_df(spark, books: list[list[list[float]]]) -> DataFrame:
+    """Codebook as a broadcastable (s, code, cvec) frame — the single
+    construction point shared by search and persistence."""
+    rows = [
+        (s, c, books[s][c]) for s in range(len(books))
+        for c in range(len(books[s]))
+    ]
+    return spark.createDataFrame(rows, "s int, code int, cvec array<double>")
+
+
+def _query_lut(
+    queries: DataFrame, books: list[list[list[float]]],
+    qid_col: str, qvec_col: str,
+) -> DataFrame:
+    """-> (qid, s, code, pd): the per-query ADC lookup table — built ONCE
+    per query (queries x m x k rows), independent of how many cells or
+    candidates that query later probes."""
+    m = len(books)
+    dsub = len(books[0][0])
+    qv = _as_double(F.col(qvec_col))
+    qsub = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.posexplode(F.array(*_subviews(qv, m, dsub))).alias("s", "qsv"),
+    )
+    return qsub.join(F.broadcast(_book_df(queries.sparkSession, books)), "s").select(
+        "qid", "s", "code",
+        F.aggregate(
+            F.zip_with("qsv", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("pd"),
+    )
+
+
+def _adc_topk(probed: DataFrame, lut: DataFrame, on: list[str], topk: int) -> DataFrame:
+    """Shared ADC score+rank: join exploded candidate codes against the
+    broadcast LUT, reduce with one combinable sum, rank on the ROUNDED
+    distance (ties -> lowest id): the m-term sum's order is partition-
+    dependent, so exact doubles can differ by 1 ulp across runs/engines —
+    ranking on the 6dp value keeps the top-k set deterministic."""
+    dist = probed.join(F.broadcast(lut), on).groupBy("qid", "id").agg(
+        F.round(F.sum("pd"), 6).alias("adist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("id").asc())
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", "id", "adist")
+    )
+
+
 def train_pq(
     emb: DataFrame,
     id_col: str,
@@ -80,7 +131,10 @@ def train_pq(
 ) -> list[list[list[float]]]:
     """-> codebooks[s][code] = centroid vector (python lists: m*k*dsub
     floats — codebook-sized, the object a search job broadcasts)."""
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("train_pq: empty embedding frame")
+    dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -167,52 +221,12 @@ def pq_search(
     topk: int = 3,
 ) -> DataFrame:
     """-> (qid, id, adist): top-k per query by ADC distance, rounded 6dp
-    and ranked on the rounded value (ties -> lowest id).
-    The per-(query, subspace, code) LUT is built ONCE as a
-    DataFrame and BROADCAST; the corpus code table is exploded, probed,
-    and reduced by one map-side-combinable sum."""
-    m = len(books)
-    dsub = len(books[0][0])
-    spark = queries.sparkSession
-    book_rows = [
-        (s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))
-    ]
-    book_df = spark.createDataFrame(
-        book_rows, "s int, code int, cvec array<double>"
-    )
-    qv = _as_double(F.col(qvec_col))
-    qsub = queries.select(
-        F.col(qid_col).alias("qid"),
-        F.posexplode(
-            F.array(*_subviews(qv, m, dsub))
-        ).alias("s", "qsv"),
-    )
-    lut = qsub.join(F.broadcast(book_df), "s").select(
-        "qid",
-        "s",
-        "code",
-        F.aggregate(
-            F.zip_with("qsv", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("pd"),
-    )
-    probe = codes.select(
-        "id", F.posexplode("codes").alias("s", "code")
-    ).join(F.broadcast(lut), ["s", "code"])
-    # rank on the ROUNDED distance (ties -> lowest id): the m-term sum's
-    # order is partition-dependent, so exact doubles can differ by 1 ulp
-    # across runs/engines — ranking on the 6dp value keeps the top-k set
-    # and order deterministic everywhere
-    dist = probe.groupBy("qid", "id").agg(
-        F.round(F.sum("pd"), 6).alias("adist")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("id").asc())
-    return (
-        dist.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("qid", "id", "adist")
-    )
+    and ranked on the rounded value (ties -> lowest id). The per-(query,
+    subspace, code) LUT is built ONCE and BROADCAST; the corpus code
+    table is exploded, probed, and reduced by one combinable sum."""
+    lut = _query_lut(queries, books, qid_col, qvec_col)
+    probed = codes.select("id", F.posexplode("codes").alias("s", "code"))
+    return _adc_topk(probed, lut, ["s", "code"], topk)
 
 
 def ivfpq_search(
@@ -240,14 +254,12 @@ def ivfpq_search(
 
     Scale shape: routing = one window over queries x centroids (broadcast
     centroid side); the probed (qid, cid) list and the per-query LUT are
-    both query-sized broadcasts, so the corpus-sized code table is never
-    hash-shuffled — its only reduction is the per-(query, id) combinable
+    both query-sized broadcasts — the LUT is built once per QUERY, not
+    per probed cell — so the corpus-sized code table is never
+    hash-shuffled; its only reduction is the per-(query, id) combinable
     sum over candidates, which is corpus/n_cells * nprobe per query."""
     from .ann import _cos, _dot, _norm
 
-    m = len(books)
-    dsub = len(books[0][0])
-    spark = queries.sparkSession
     q = queries.select(
         F.col(qid_col).alias("qid"), _as_double(F.col(qvec_col)).alias("qv")
     )
@@ -256,42 +268,23 @@ def ivfpq_search(
         -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")),
               _norm(F.col("cvec"))),
     )
-    wq = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("cid"))
+    # asc_nulls_LAST: a zero-norm centroid/query yields NULL cosine (the
+    # ANSI-safe convention: degenerate vectors LOSE every comparison);
+    # Spark's default ascending order is NULLS FIRST, which would hand
+    # every probe slot to the degenerate cell instead
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("cid")
+    )
     probe = (
         qc.withColumn("prk", F.row_number().over(wq))
         .filter(F.col("prk") <= nprobe)
-        .select("qid", "qv", "cid")
+        .select("qid", "cid")
     )
-    book_df = spark.createDataFrame(
-        [(s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))],
-        "s int, code int, cvec array<double>",
+    lut = _query_lut(q, books, "qid", "qv")
+    cand = codes_with_cell.join(F.broadcast(probe), "cid").select(
+        "qid", "id", F.posexplode("codes").alias("s", "code")
     )
-    qsub = probe.select(
-        "qid", "cid",
-        F.posexplode(F.array(*_subviews(F.col("qv"), m, dsub))).alias(
-            "s", "qsv"
-        ),
-    )
-    lut = qsub.join(F.broadcast(book_df), "s").select(
-        "qid", "cid", "s", "code",
-        F.aggregate(
-            F.zip_with("qsv", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("pd"),
-    )
-    cand = codes_with_cell.select(
-        "id", "cid", F.posexplode("codes").alias("s", "code")
-    ).join(F.broadcast(lut), ["cid", "s", "code"])
-    dist = cand.groupBy("qid", "id").agg(
-        F.round(F.sum("pd"), 6).alias("adist")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("id").asc())
-    return (
-        dist.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("qid", "id", "adist")
-    )
+    return _adc_topk(cand, lut, ["qid", "s", "code"], topk)
 
 
 def save_pq(store, books: list[list[list[float]]], codes: DataFrame,
@@ -300,13 +293,7 @@ def save_pq(store, books: list[list[list[float]]], codes: DataFrame,
     (s, code, cvec) rows and the compressed corpus. Training is the
     expensive part; a search session reads one tiny table and the code
     column."""
-    spark = codes.sparkSession
-    book_df = spark.createDataFrame(
-        [(s, c, books[s][c]) for s in range(len(books))
-         for c in range(len(books[s]))],
-        "s int, code int, cvec array<double>",
-    )
-    store.write(book_df, f"{prefix}_books")
+    store.write(_book_df(codes.sparkSession, books), f"{prefix}_books")
     store.write(codes, f"{prefix}_codes")
 
 

@@ -85,7 +85,7 @@ def prepare_corpus(
     )
     deduped = nd["kept"]
     if pii:
-        sig = pii_signals(deduped, id_col, text_col)
+        sig = pii_signals(deduped, text_col)
         pii_metrics = sig.agg(
             F.sum("n_pii").cast("long").alias("pii_matches"),
             F.sum((F.col("n_pii") > 0).cast("long")).cast("long").alias(

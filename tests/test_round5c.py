@@ -525,3 +525,36 @@ def test_materialize_sequences_order_and_partitioning(spark):
              for r in materialize_sequences(
                  packed.repartition(7), "doc_id", "text").collect()}
     assert again == {k: v["seq_text"] for k, v in seqs.items()}
+
+
+def test_ivfpq_zero_norm_centroid_never_wins_probe(spark):
+    """A zero-norm centroid yields NULL cosine everywhere; it must LOSE
+    every probe slot (asc_nulls_last), not inherit Spark's ascending
+    NULLS FIRST default and hijack nprobe=1 routing."""
+    from tcmkg.ops.pq import ivfpq_search, pq_encode, train_pq
+
+    z = [0.0] * 7
+    vecs = {0: [0.0] * 8,  # zero vector -> its own degenerate cell 0
+            1: [1.0] + z,
+            2: [0.9, 0.1] + [0.0] * 6,
+            3: z + [1.0]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0, 0.05] + [0.0] * 6),
+         (2, [0.0] * 7 + [1.0])],
+        "cid int, cvec array<double>",
+    )
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 1), (3, 2)], "id long, cid int"
+    )
+    books = train_pq(df, "vec_id", "embedding", m=4, k=4, n_iter=1)
+    codes = pq_encode(df, books, "vec_id", "embedding").join(assign, "id")
+    q = spark.createDataFrame(
+        [(9, [1.0] + [0.0] * 7)], "qid long, qv array<double>"
+    )
+    got = ivfpq_search(q, cent, codes, books, nprobe=1, topk=2).collect()
+    # with NULLS FIRST the degenerate cell 0 would be the only probed cell
+    # and the answer would be the zero vector; the real nearest cell is 1
+    assert {r["id"] for r in got} == {1, 2}
