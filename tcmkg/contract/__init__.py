@@ -34,6 +34,7 @@ _CHECK_FIRST = [
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_pack_sequences",
+    "kg_pagerank_w",
     # round-5 session 5: PageRank over the published KG (fixed-iteration
     # checkpointed iterative join) and benchmark decontamination (eval
     # n-gram broadcast probe) are new

@@ -2552,6 +2552,50 @@ FROM deg LEFT JOIN tc USING (n)
 """
 
 
+def q_kg_pagerank_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the published KG: edge weight = relation
+    multiplicity (how many distinct predicates connect the pair — an edge
+    supported by treats AND indicates AND co-occurrence carries more
+    mass), so u spreads rank as r(u)*w(u,v)/out_strength(u). Same
+    checkpointed-iterative-join plan as kg_pagerank (the out-STRENGTH
+    join replaces the out-degree join; nothing else moves); the oracle
+    unrolls the weighted recurrence as chained CTEs."""
+    from ..pipeline.pagerank import pagerank
+
+    t = _triples(spark, sf_dir)
+    e = (
+        t.select("subj", "obj", "pred").distinct()
+        .groupBy("subj", "obj")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return pagerank(e, damping=_PR_DAMPING, iters=_PR_ITERS, weight_col="w")
+
+
+def _sql_kg_pagerank_w(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    parts = [
+        f"""WITH all_e AS ({_sql_kg_all_edges()}),
+e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        SELECT DISTINCT subj AS src, obj AS dst, pred FROM all_e
+      ) GROUP BY src, dst),
+nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, SUM(w) AS deg FROM e GROUP BY src),
+r0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT nodes.n, {1.0 - d!r} + {d!r} * COALESCE(c.s, 0) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS n, SUM(r{i - 1}.r * e.w / od.deg) AS s
+    FROM e JOIN r{i - 1} ON e.src = r{i - 1}.n JOIN od ON od.src = e.src
+    GROUP BY e.dst) c ON nodes.n = c.n
+)"""
+        )
+    parts.append(f"\nSELECT n AS node, ROUND(r, 6) AS pagerank FROM r{iters}")
+    return "".join(parts)
+
+
 def q_kg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-layout export round-trip through DISK (pipeline/export.py;
     the reference's merge scripts write merge_result_dir/relation/<stem>.csv
@@ -2669,6 +2713,7 @@ KG_QUERIES = {
     "kg_degree": q_kg_degree,
     "kg_components": q_kg_components,
     "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_w": q_kg_pagerank_w,
     "kg_ing_go": q_kg_ing_go,
     "kg_sideeffect": q_kg_sideeffect,
     "kg_anat_updown": q_kg_anat_updown,
@@ -2715,6 +2760,7 @@ KG_ORACLES = {
     "kg_degree": _sql_kg_degree(),
     "kg_components": _sql_kg_components(),
     "kg_pagerank": _sql_kg_pagerank(),
+    "kg_pagerank_w": _sql_kg_pagerank_w(),
     "kg_ing_go": _sql_kg_ing_go(),
     "kg_sideeffect": _sql_kg_sideeffect(),
     "kg_anat_updown": _sql_kg_anat_updown(),

@@ -45,17 +45,26 @@ def pagerank(
     iters: int = 6,
     round_to: int | None = 6,
     checkpoint_every: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """edges: directed (src, dst) pairs (deduplicated internally; parallel
     edges count once) -> (node, pagerank) for every node that appears as a
     src or dst. `round_to` rounds only the FINAL ranks (inter-iteration
     values stay full double precision, matching the oracle's recurrence);
-    pass None to disable."""
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-    )
-    out = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    pass None to disable.
+
+    `weight_col`: weighted variant — each (src, dst) carries a weight
+    (rows deduplicated on all three columns; a pair with several distinct
+    weights keeps them all, matching a multigraph reading) and u spreads
+    its rank proportionally: r(u) * w(u,v) / sum_w(u). Same plan shape —
+    the out-strength join replaces the out-degree join; nothing else
+    moves."""
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    e = edges.select(*cols).distinct()
+    wexpr = F.col("w") if weight_col is not None else F.lit(1.0)
+    out = e.groupBy("src").agg(F.sum(wexpr).cast("double").alias("deg"))
     # one up-front shuffle of the O(E) side; the loop never moves it again
     contrib_edges = (
         e.join(out, "src").repartition("src").localCheckpoint()
@@ -74,7 +83,7 @@ def pagerank(
             contrib_edges.join(
                 ranks.select(F.col("node").alias("src"), "r"), "src"
             )
-            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .select("dst", (F.col("r") * wexpr / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )

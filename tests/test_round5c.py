@@ -558,3 +558,36 @@ def test_ivfpq_zero_norm_centroid_never_wins_probe(spark):
     # with NULLS FIRST the degenerate cell 0 would be the only probed cell
     # and the answer would be the zero vector; the real nearest cell is 1
     assert {r["id"] for r in got} == {1, 2}
+
+
+# -------------------------------------------------------- weighted pagerank
+
+def test_weighted_pagerank_vs_pure_python(spark):
+    from tcmkg.pipeline.pagerank import pagerank
+
+    edges = [
+        ("a", "b", 3.0), ("a", "c", 1.0),  # a spreads 75/25, not 50/50
+        ("b", "c", 2.0), ("c", "a", 1.0),
+        ("d", "a", 5.0),                   # dangling-free chain into a
+        ("e", "a", 1.0), ("e", "e", 2.0),  # self-loop with weight
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string, w double")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(df, weight_col="w", iters=6).collect()}
+
+    nodes = {x for e in edges for x in e[:2]}
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    r = {n: 1.0 for n in nodes}
+    for _ in range(6):
+        nxt = {n: 0.15 for n in nodes}
+        for s, t, w in edges:
+            nxt[t] += 0.85 * r[s] * w / outw[s]
+        r = nxt
+    for n in nodes:
+        assert got[n] == pytest.approx(round(r[n], 6), abs=2e-6), n
+    # weighting actually changes the answer vs the unweighted operator
+    unw = {x["node"]: x["pagerank"]
+           for x in pagerank(df.select("subj", "obj"), iters=6).collect()}
+    assert got["b"] != unw["b"]
