@@ -194,21 +194,22 @@ class KGPipeline:
         return extract_mentions(self.spark, pre, self.maps, cache_key=self._cache_key)
 
     def triples(self, transcripts: DataFrame) -> DataFrame:
-        # assemble_triples fans the mention stream into six predicate
-        # branches; persist so extraction (the expensive Arrow kernel pass)
-        # runs once, not once per branch. The checkpointed path (run())
-        # gets the same effect by materializing the stage to parquet.
-        # Repeated calls on one session (bench --runs N, contract queries)
-        # would otherwise accumulate cached partitions: release the previous
-        # call's handle before pinning a new one (one resident copy max).
-        prev = getattr(self, "_mentions_handle", None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # handle may belong to a stopped SparkContext
-        mentions = self.mentions(transcripts).persist()
-        self._mentions_handle = mentions
+        # assemble_triples fans the mention stream into ~16 predicate
+        # branches, and the branch frames reference the (persisted) mention/
+        # pair tables ~30 times. localCheckpoint — not persist — matters
+        # here: persist caches the DATA but leaves the full logical plan
+        # (transcriptize expression tree + window chain + Arrow kernel) in
+        # place, so every downstream reference re-ANALYZES that whole tree;
+        # measured at sf0.1 that was ~11s of pure driver planning per
+        # assemble on the events leg (plans/r06). Checkpointing truncates
+        # the lineage to a leaf, so the assembly plans over a tiny scan.
+        # The extraction also runs once, not once per branch (same data
+        # benefit persist gave). The checkpointed path (run()) gets both
+        # effects by materializing the stage to parquet.
+        # No explicit release: the checkpointed partitions are freed by the
+        # ContextCleaner when the caller drops the returned frame (holding a
+        # handle here would PIN the previous call's copy instead).
+        mentions = self.mentions(transcripts).localCheckpoint()
         return assemble_triples(mentions)
 
     def export_reference_layout(
