@@ -32,17 +32,17 @@ split on \\n{2,}; tokens = non-empty elements of whitespace-split of
 trimmed text; an n-gram's char length is the space-rejoined window's
 length; n-gram denominators are length(text).
 
-Scale design: one projection builds every (kind, unit) occurrence as an
-array of structs — lines, paragraphs, and all requested n-gram sizes —
-so the document text is scanned ONCE. One explode feeds a single
-groupBy(id, kind, unit) count with map-side partial aggregation (the
-heavy reduction: its input is O(total units) but its output is O(distinct
-units), and hot keys are bounded by document size, not corpus size),
-then a second map-side-combinable groupBy(id) folds the per-unit counts
-into the thirteen per-document ratios. No joins; every ratio is ONE
-division of two exactly-summed longs, so results are bit-stable across
-partitionings. At 100 TB this is a scan plus two combinable shuffles
-keyed by doc — no all-pairs term anywhere.
+Scale design (r6): every signal is a function of ONE document, so the
+whole computation is a pure map — no explode, no shuffle, no join. One
+mapInPandas kernel computes the exact long numerators per document
+(Counter arithmetic over lines/paragraphs/n-gram tuples), and the
+published ratios are produced by unchanged JVM round/try_divide/least
+expressions over those longs — bit-identical to the former explode +
+groupBy(id, kind, unit) + groupBy(id) plan, which shuffled O(total
+units) rows (~9 n-gram families x tokens per doc, ~90M exploded rows
+for 50k docs at sf1.0) twice for per-document arithmetic. The r6 shape
+is scan -> map -> done: per-doc cost is local CPU, zero bytes shuffled,
+and partitioning cannot affect results.
 """
 
 from __future__ import annotations
@@ -72,27 +72,73 @@ GOPHER_THRESHOLDS: dict[str, float] = {
 }
 
 
-def _nonempty_split(text: Column, pattern: str) -> Column:
-    return F.filter(F.split(text, pattern), lambda x: F.length(x) > 0)
+# Java-regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s on str is
+# UNICODE whitespace (U+3000, NBSP, ...). The kernel must tokenize exactly
+# like the F.split(F.trim(text), r"\s+") column path, so the Python mirror
+# pins the Java class explicitly.
+_JAVA_WS_RE = None  # compiled lazily inside the kernel (worker-side import)
 
 
-def _tagged(units: Column, kind: str) -> Column:
-    return F.transform(
-        units,
-        lambda u: F.struct(F.lit(kind).alias("kind"), u.alias("unit")),
-    )
+def _doc_counters(
+    t: str | None, top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> list:
+    """Exact long numerators/denominators for one document — the arithmetic
+    of the old explode + groupBy plan, computed document-locally:
+      [doc_chars, line_dn, line_dd, line_cn, line_cd, para_*(4),
+       top{n} for top_ns..., dup{n} for dup_ns...]
+    None entries reproduce the old empty-aggregation-group NULLs (the
+    shared frac rule maps NULL -> 0.0 either way)."""
+    import re
+    from collections import Counter
 
-
-def _ngrams(toks: Column, n: int) -> Column:
-    """All (overlapping) token n-grams, space-rejoined; empty when the doc
-    has fewer than n tokens (F.sequence would otherwise descend)."""
-    windows = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(F.size(toks) >= n, windows).otherwise(
-        F.array().cast("array<string>")
-    )
+    global _JAVA_WS_RE
+    if _JAVA_WS_RE is None:
+        _JAVA_WS_RE = (
+            re.compile("[ \t\n\x0b\f\r]+"),  # Java \s, not Python unicode \s
+            re.compile("\n"),
+            re.compile("\n{2,}"),
+        )
+    ws_re, line_re, para_re = _JAVA_WS_RE
+    if t is None:
+        return [None] * (9 + len(top_ns) + len(dup_ns))
+    out: list = [len(t)]
+    for splitter in (line_re, para_re):
+        units = [u for u in splitter.split(t) if u]
+        if units:
+            distinct = set(units)
+            cd = sum(len(u) for u in units)
+            out += [
+                len(units) - len(distinct),
+                len(units),
+                cd - sum(len(u) for u in distinct),
+                cd,
+            ]
+        else:
+            out += [None, None, None, None]
+    # F.trim strips SPACES only (not general whitespace) — mirror exactly
+    toks = [x for x in ws_re.split(t.strip(" ")) if x]
+    grams: dict[int, Counter] = {}
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams[n] = Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+    for n in top_ns:
+        best = None
+        for key, c in grams[n].items():
+            if c > 1:
+                # len(' '.join(key)) without building the string
+                mass = c * (sum(len(x) for x in key) + n - 1)
+                if best is None or mass > best:
+                    best = mass
+        out.append(best)
+    for n in dup_ns:
+        tot = None
+        for key, c in grams[n].items():
+            if c > 1:
+                mass = c * (sum(len(x) for x in key) + n - 1)
+                tot = mass if tot is None else tot + mass
+        out.append(tot)
+    return out
 
 
 def repetition_signals(
@@ -105,82 +151,80 @@ def repetition_signals(
 ) -> DataFrame:
     """-> (id_col, dup_line_frac, dup_line_char_frac, dup_para_frac,
     dup_para_char_frac, top_{n}gram_char_frac..., dup_{n}gram_char_frac...)
-    for EVERY input row (explode_outer keeps empty documents, whose
-    signals are all 0.0). Fractions are rounded to 6dp.
+    for EVERY input row (empty/null documents read all 0.0). Fractions are
+    rounded to 6dp.
 
-    `respread`: round-robin the input across the cluster before the unit
-    projection — the same explicit respread the mention kernel uses: this
-    stage is CPU-bound (nine n-gram constructions per document), so its
-    parallelism must be keyed to cores, not to the source's file count (a
-    single small parquet file otherwise serializes the whole corpus onto
-    one task; measured 30s -> ~2s at sf0.1 on local[32])."""
+    All thirteen signals are document-local, so this runs as ONE
+    mapInPandas kernel (guide §4.2 shape): the Python pass receives only
+    (id, text), computes the exact LONG numerators/denominators per
+    document (_doc_counters — token/line/paragraph Counter arithmetic at
+    native dict speed), and the published ratios are produced by the same
+    try_divide/round/least JVM expressions as before over those longs —
+    so results are bit-identical to the former explode + groupBy(id,
+    kind, unit) + groupBy(id) plan, which shuffled O(total units) rows
+    (~90M exploded units for 50k docs at sf1.0) twice for per-document
+    arithmetic. A pure-JVM in-row formulation (array_sort + F.aggregate
+    run-length folds) was measured SLOWER than the explode plan (17.7s vs
+    9.6s at sf1.0): higher-order functions evaluate interpreted per
+    element. The kernel shape is scan -> map -> done: zero bytes
+    shuffled, no joins, and partitioning cannot affect results.
+
+    `respread`: round-robin the input across the cluster before the
+    kernel — the same explicit respread the mention kernel uses: this
+    stage is CPU-bound, so its parallelism must be keyed to cores, not to
+    the source's file count (a single small parquet file otherwise
+    serializes the whole corpus onto one task)."""
     if respread:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    text = F.col(text_col)
-    toks = _nonempty_split(F.trim(text), r"\s+")
-    arrays = [
-        _tagged(_nonempty_split(text, "\n"), "line"),
-        _tagged(_nonempty_split(text, r"\n{2,}"), "para"),
-    ]
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        arrays.append(_tagged(_ngrams(toks, n), f"tok{n}"))
 
-    ex = df.select(
-        F.col(id_col),
-        F.length(text).alias("doc_chars"),
-        F.explode_outer(F.flatten(F.array(*arrays))).alias("s"),
-    ).select(id_col, "doc_chars", "s.kind", "s.unit")
-
-    per_unit = ex.groupBy(id_col, "kind", "unit").agg(
-        F.count("*").alias("c"), F.min("doc_chars").alias("doc_chars")
+    id_type = df.schema[id_col].dataType.simpleString()
+    num_cols = (
+        ["doc_chars"]
+        + [f"_{k}_{p}" for k in ("line", "para") for p in ("dn", "dd", "cn", "cd")]
+        + [f"_top{n}" for n in top_ns]
+        + [f"_dup{n}" for n in dup_ns]
     )
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{c} long" for c in num_cols]
+    )
+    tns, dns = tuple(top_ns), tuple(dup_ns)
 
-    c, ulen = F.col("c"), F.length("unit")
-    aggs = [F.min("doc_chars").alias("doc_chars")]
-    for kind in ("line", "para"):
-        k = F.col("kind") == kind
-        aggs += [
-            F.sum(F.when(k, c - 1)).alias(f"_{kind}_dn"),
-            F.sum(F.when(k, c)).alias(f"_{kind}_dd"),
-            F.sum(F.when(k, (c - 1) * ulen)).alias(f"_{kind}_cn"),
-            F.sum(F.when(k, c * ulen)).alias(f"_{kind}_cd"),
-        ]
-    for n in top_ns:
-        aggs.append(
-            F.max(
-                F.when((F.col("kind") == f"tok{n}") & (c > 1), c * ulen)
-            ).alias(f"_top{n}")
-        )
-    for n in dup_ns:
-        aggs.append(
-            F.sum(
-                F.when((F.col("kind") == f"tok{n}") & (c > 1), c * ulen)
-            ).alias(f"_dup{n}")
-        )
-    per_doc = per_unit.groupBy(id_col).agg(*aggs)
+    def kernel(batches):
+        import pandas as pd
 
-    def frac(num: str, den) -> Column:
+        for pdf in batches:
+            rows = [
+                _doc_counters(None if t is None or t is pd.NA else t, tns, dns)
+                for t in pdf[text_col]
+            ]
+            out = pd.DataFrame(rows, columns=num_cols, dtype="object")
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    nums = df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+    def frac(num: Column, den: Column) -> Column:
         # least(…, 1.0): overlapping n-gram occurrences can cover more
         # characters than the document holds; the signal saturates at 1.
         # The null case (no qualifying units / zero denominator) must be
         # decided BEFORE least(): both Spark's and DuckDB's least() skip
         # NULL arguments, so least(NULL, 1.0) is 1.0, not NULL.
-        ratio = F.try_divide(F.col(num), den)
+        ratio = F.try_divide(num, den)
         return F.when(ratio.isNull(), F.lit(0.0)).otherwise(
             F.least(F.round(ratio, 6), F.lit(1.0))
         )
 
     out = {
-        "dup_line_frac": frac("_line_dn", F.col("_line_dd")),
-        "dup_line_char_frac": frac("_line_cn", F.col("_line_cd")),
-        "dup_para_frac": frac("_para_dn", F.col("_para_dd")),
-        "dup_para_char_frac": frac("_para_cn", F.col("_para_cd")),
+        "dup_line_frac": frac(F.col("_line_dn"), F.col("_line_dd")),
+        "dup_line_char_frac": frac(F.col("_line_cn"), F.col("_line_cd")),
+        "dup_para_frac": frac(F.col("_para_dn"), F.col("_para_dd")),
+        "dup_para_char_frac": frac(F.col("_para_cn"), F.col("_para_cd")),
     }
     for n in top_ns:
-        out[f"top_{n}gram_char_frac"] = frac(f"_top{n}", F.col("doc_chars"))
+        out[f"top_{n}gram_char_frac"] = frac(F.col(f"_top{n}"), F.col("doc_chars"))
     for n in dup_ns:
-        out[f"dup_{n}gram_char_frac"] = frac(f"_dup{n}", F.col("doc_chars"))
-    return per_doc.select(F.col(id_col), *[v.alias(k) for k, v in out.items()])
+        out[f"dup_{n}gram_char_frac"] = frac(F.col(f"_dup{n}"), F.col("doc_chars"))
+    return nums.select(F.col(id_col), *[v.alias(k) for k, v in out.items()])
 
 
 def repetition_flags(
