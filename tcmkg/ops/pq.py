@@ -33,6 +33,14 @@ joins the exploded code column against a BROADCAST per-query LUT and
 reduces with one combinable groupBy — nothing is proportional to
 corpus x corpus, and the big side is never hash-shuffled except the
 final per-(query, doc) sum.
+
+r6: the argmin maps (train assignment + encode) run as numpy kernels
+(_codes_batch) instead of higher-order-function SQL expressions. Same
+map shape, same doubles (the kernel accumulates distances in the fold's
+exact addition order); the HOF form evaluated interpreted per element
+and, worse, the optimizer duplicated the open expression into
+generate-inferred and join-key filters on the search path. Measured:
+q_ann_pq 12.4s -> 2.2s at sf1.0 (local[32]).
 """
 
 from __future__ import annotations
@@ -43,27 +51,56 @@ from pyspark.sql import functions as F
 from .ann import _as_double
 
 
-def _sqdist_lit(col, vec: list[float]):
-    """Squared L2 between an array column and a literal vector, folded in
-    index order (matches the oracle's list-comprehension sum order)."""
-    lit = F.array(*[F.lit(float(x)) for x in vec])
-    return F.aggregate(
-        F.zip_with(col, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda s, x: s + x,
+def _codes_batch(V, books_np):
+    """V: (n, dim) float64 -> (n, m) int32 argmin codes, bit-faithful to
+    the reference fold: the squared-distance accumulation loops the
+    subspace dims IN INDEX ORDER (D starts at 0.0 and adds one (x-c)^2
+    term per dim — the exact addition sequence of the former
+    zip_with/F.aggregate fold and of the oracle's list-comprehension
+    sum), and np.argmin returns the FIRST minimum, i.e. the lowest code
+    on exact ties — the oracle's min(code) over min-distance rows.
+
+    Why a numpy kernel and not JVM expressions: the HOF fold evaluates
+    interpreted per element (the 77KB codes projection dominated the PQ
+    plans, plans/r06), and a flat-arithmetic rewrite was worse — the
+    optimizer duplicates such open expressions into generate-inferred /
+    join-key filters (isnotnull(code), size(codes)>0), which re-evaluate
+    the full m*k distance tree per row interpreted (measured 132s at
+    sf0.01). An opaque kernel is both fast and pushdown-proof."""
+    import numpy as np
+
+    n = V.shape[0]
+    m = len(books_np)
+    dsub = books_np[0].shape[1]
+    out = np.zeros((n, m), dtype=np.int32)
+    for s in range(m):
+        sub = V[:, s * dsub : (s + 1) * dsub]
+        C = books_np[s]  # (k, dsub)
+        D = np.zeros((n, C.shape[0]))
+        for j in range(dsub):
+            t = sub[:, j : j + 1] - C[None, :, j]
+            D += t * t
+        out[:, s] = np.argmin(D, axis=1)
+    return out
+
+
+def _stack_vectors(vs, dim: int):
+    """pandas Series of array cells -> ((n, dim) float64, bool null mask).
+    A NULL vector (or one shorter than dim, whose element_at would read
+    NULL) is masked: the old fold gave such rows code 0 in every
+    subspace (NULL distances never advance the accumulator)."""
+    import numpy as np
+
+    null = np.fromiter(
+        (v is None or len(v) < dim for v in vs), dtype=bool, count=len(vs)
     )
-
-
-def _argmin_code(col, cents: list[list[float]]):
-    """Code of the nearest centroid (strict < keeps the LOWEST code on
-    ties, matching the oracle's min(code) over min-distance rows)."""
-    acc = F.struct(F.lit(0).alias("code"), F.lit(float("inf")).alias("d"))
-    for code, vec in enumerate(cents):
-        d = _sqdist_lit(col, vec)
-        acc = F.when(
-            d < acc["d"], F.struct(F.lit(code).alias("code"), d.alias("d"))
-        ).otherwise(acc)
-    return acc["code"]
+    if null.any():
+        rows = [
+            np.zeros(dim) if bad else np.asarray(v[:dim], dtype=np.float64)
+            for v, bad in zip(vs, null)
+        ]
+        return np.stack(rows) if rows else np.zeros((0, dim)), null
+    return np.stack(vs.values).astype(np.float64, copy=False), null
 
 
 def _subviews(v, m: int, dsub: int) -> list:
@@ -121,6 +158,49 @@ def _adc_topk(probed: DataFrame, lut: DataFrame, on: list[str], topk: int) -> Da
     )
 
 
+def _assign_frame(base: DataFrame, books: list[list[list[float]]], id_type: str) -> DataFrame:
+    """(id, v) -> exploded (id, s, code, sv) assignment rows for one Lloyd
+    round, via the _codes_batch kernel. Rows whose v is NULL/short are
+    dropped: their old sv slices were NULL, which posexplode skipped, so
+    they never reached the centroid-update aggregation anyway."""
+    m = len(books)
+    dsub = len(books[0][0])
+    dim = m * dsub
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = [np.asarray(b, dtype=np.float64) for b in books]
+        for pdf in batches:
+            V, null = _stack_vectors(pdf["v"], dim)
+            keep = ~null
+            V = V[keep]
+            ids = pdf["id"].values[keep]
+            if not len(ids):
+                yield pd.DataFrame({"id": [], "s": [], "code": [], "sv": []})
+                continue
+            codes = _codes_batch(V, B)
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "id": ids,
+                            "s": np.full(len(ids), s, dtype=np.int32),
+                            "code": codes[:, s],
+                            "sv": list(V[:, s * dsub : (s + 1) * dsub]),
+                        }
+                    )
+                    for s in range(m)
+                ],
+                ignore_index=True,
+            )
+
+    return base.select("id", "v").mapInPandas(
+        kernel, schema=f"id {id_type}, s int, code int, sv array<double>"
+    )
+
+
 def train_pq(
     emb: DataFrame,
     id_col: str,
@@ -154,22 +234,9 @@ def train_pq(
         [list(r["v"])[s * dsub : (s + 1) * dsub] for r in seeds]
         for s in range(m)
     ]
+    id_type = base.schema["id"].dataType.simpleString()
     for _ in range(n_iter):
-        assigned = base.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            sv.alias("sv"),
-                            _argmin_code(sv, books[s]).alias("code"),
-                        )
-                        for s, sv in enumerate(_subviews(F.col("v"), m, dsub))
-                    ]
-                )
-            ).alias("a"),
-        ).select("id", "a.s", "a.code", "a.sv")
+        assigned = _assign_frame(base, books, id_type)
         upd = (
             assigned.select("s", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("s", "code", "pos")
@@ -200,16 +267,26 @@ def pq_encode(
     (respread across cores first: the per-row argmin folds are CPU-bound,
     so parallelism must not inherit a small source file count)."""
     m = len(books)
-    dsub = len(books[0][0])
+    dim = m * len(books[0][0])
     emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    v = _as_double(F.col(vec_col))
-    codes = F.array(
-        *[
-            _argmin_code(sv, books[s])
-            for s, sv in enumerate(_subviews(v, m, dsub))
-        ]
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = [np.asarray(b, dtype=np.float64) for b in books]
+        for pdf in batches:
+            V, null = _stack_vectors(pdf[vec_col], dim)
+            codes = _codes_batch(V, B)
+            codes[null] = 0  # NULL/short vectors: the fold's code-0 seed
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"id {id_type}, codes array<int>"
     )
-    return emb.select(F.col(id_col).alias("id"), codes.alias("codes"))
 
 
 def pq_search(
