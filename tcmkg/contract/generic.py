@@ -1678,21 +1678,26 @@ def q_ann_topk(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select("vec_id", vec.alias("v"))
-    q = base.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    norm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    c = base.filter(F.col("vec_id") >= 5)
+    # norms staged as columns BEFORE the cross join: the same expression
+    # over the same row yields the same double, but it is evaluated once
+    # per vector instead of once per (query, candidate) pair — the
+    # interpreted HOF norm fold was ~2/3 of the pair-scoring cost
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        norm(F.col("v")).alias("_qn"),
+    )
+    c = base.filter(F.col("vec_id") >= 5).withColumn("_vn", norm(F.col("v")))
     dot = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda col: F.sqrt(
-        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     sims = (
         q.crossJoin(c)
-        .withColumn("cos", dot / (norm(F.col("qv")) * norm(F.col("v"))))
+        .withColumn("cos", dot / (F.col("_qn") * F.col("_vn")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (

@@ -53,13 +53,19 @@ def contamination_hits(
     distinct token n-grams appear anywhere in the eval set (0 = clean).
     Emitting the zero rows makes false positives as hash-visible as
     false negatives in the differential."""
+    from .dedup import _respread_by
+
     eval_text_col = eval_text_col or text_col
     eval_ng = (
         eval_df.select(
             F.explode(_ngram_col(eval_text_col, n)).alias("ng")
         ).distinct()
     )
-    doc_ng = docs.select(
+    # the corpus-side n-gram projection is CPU-bound; spread it across the
+    # cluster when the scan would run narrower than the core count
+    # (single-file parquet = one map task), keyed by id so the hit-count
+    # groupBy reuses the exchange
+    doc_ng = _respread_by(docs, id_col).select(
         F.col(id_col), F.explode(_ngram_col(text_col, n)).alias("ng")
     )
     hits = (

@@ -42,6 +42,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _respread_by(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition onto the cluster when the source would run
+    narrower than the core count — a single-file/single-row-group parquet
+    scan is ONE map task, which serializes the CPU-heavy tokenize+hash
+    projections of this module onto one core (guide §6: file layout
+    dictates scan parallelism). Keyed by the aggregation id so the
+    downstream groupBy(id) REUSES the exchange instead of adding one.
+    No-op when the input is already at least core-parallel: at scale,
+    many-file inputs arrive pre-split, and an unconditional pre-shuffle
+    of raw text would be a regression (the post-aggregation shuffle rows
+    are much smaller than the text). Results are unaffected — every
+    consumer aggregates with order-free functions (min/count)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(par, F.col(key)) if n < par else df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> (text_hash, n_docs, keep_doc): survivor = min id per content hash."""
     return (
@@ -83,7 +104,7 @@ def minhash_signatures(
     multiplied token rows by n_bands BEFORE the shuffle — b*r times the
     shuffle volume for the same result.)
     """
-    tok = df.select(
+    tok = _respread_by(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
@@ -199,7 +220,7 @@ def _simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # give NULL-text docs a shared signature and join them into buckets —
     # and diverge from the relational oracle, where string_split(NULL)
     # unnests to no vote rows at all.)
-    sh = df.filter(F.col(text_col).isNotNull()).select(
+    sh = _respread_by(df.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
     )
     return sh.select(
@@ -278,7 +299,7 @@ def jaccard_pairs(
     """Token-set Jaccard near-dup pairs with a document-frequency guard:
     tokens in more than `max_df` docs (stopword-like) never reach the
     self-join. Inspect exclusions with jaccard_dropped_tokens."""
-    tok = df.select(
+    tok = _respread_by(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
@@ -311,7 +332,7 @@ def shingle_jaccard_pairs(
     transform (no Python), then routed through the same DF-guarded join as
     jaccard_pairs — a ubiquitous shingle is a quadratic hot key exactly
     like a stopword token."""
-    tok = df.select(
+    tok = _respread_by(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("tok")
     )
     return _jaccard_from_tokens(tok, threshold, max_df)
@@ -341,7 +362,11 @@ def pair_jaccard(
         elems = _shingles(text_col, n)
     else:
         raise ValueError(f"unknown mode {mode!r} (token|shingle)")
-    toks = df.select(F.col(id_col).alias("_jid"), elems.alias("_toks"))
+    # the element-array projection is CPU-bound over the whole corpus;
+    # spread it before the candidate joins (single-file scan = one task)
+    toks = _respread_by(df, id_col).select(
+        F.col(id_col).alias("_jid"), elems.alias("_toks")
+    )
     out = (
         pairs.join(toks.withColumnRenamed("_jid", "a").withColumnRenamed("_toks", "ta"), "a")
         .join(toks.withColumnRenamed("_jid", "b").withColumnRenamed("_toks", "tb"), "b")

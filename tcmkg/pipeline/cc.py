@@ -42,12 +42,23 @@ def connected_components(
     key_col: str = "key",
     max_iter: int = 25,
     checkpoint_every: int = 1,
+    rounds_per_check: int = 3,
 ) -> DataFrame:
     """incidence: (node, key) pairs -> (node, component) with component =
     min node id in the connected component. Isolated nodes (no key rows)
     must still appear with a null/unique key if they should be retained;
     callers typically union them back afterwards.
-    """
+
+    `rounds_per_check` (r6): propagation rounds executed per convergence
+    check + lineage checkpoint. On contract/bench-scale graphs each
+    round's cost is DRIVER/scheduling latency, not data (measured ~0.3s
+    per round at sf1.0 near-dedup, 19 rounds = 6s of the query): batching
+    k rounds into one job amortizes the two actions (checkpoint + changed
+    count) over k edge-hops. Labels decrease monotonically, so a
+    converged block is exactly a no-change block — at worst k-1 no-op
+    rounds run after the fixpoint, and the labels are identical. `max_iter`
+    still bounds TOTAL propagation rounds. `checkpoint_every` is counted
+    in blocks."""
     inc = incidence.select(
         F.col(node_col).alias("node"), F.col(key_col).alias("key")
     ).dropDuplicates(["node", "key"]).localCheckpoint()
@@ -56,26 +67,45 @@ def connected_components(
     labels = labels.localCheckpoint()
 
     n_changed = 0
-    for i in range(max_iter):
-        kmin = (
-            inc.join(labels, "node")
-            .groupBy("key")
-            .agg(F.min("label").alias("kmin"))
-        )
-        cand = (
-            inc.join(kmin, "key")
-            .groupBy("node")
-            .agg(F.min("kmin").alias("cand"))
-        )
-        new_labels = (
-            labels.join(cand, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
-                (F.col("cand") < F.col("label")).alias("changed"),
+    done = 0
+    block = 0
+    while done < max_iter:
+        k = min(max(1, rounds_per_check), max_iter - done)
+        cur = labels
+        for _ in range(k):
+            kmin = (
+                inc.join(cur, "node")
+                .groupBy("key")
+                .agg(F.min("label").alias("kmin"))
             )
+            cand = (
+                inc.join(kmin, "key")
+                .groupBy("node")
+                .agg(F.min("kmin").alias("cand"))
+            )
+            cur = (
+                cur.join(cand, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
+                )
+            )
+            # (r6 note: pointer jumping — label <- label(label) — was
+            # re-measured on the sf1.0 near-dedup graph: it does cut
+            # rounds 19 -> 10, but the extra self-join per round costs
+            # more than the rounds it saves on these latency-bound
+            # graphs; same verdict as r5, now with round counts on
+            # record. AQE OFF for the loop was also tried and is 2-4x
+            # WORSE: the runtime broadcast-join conversion is what keeps
+            # the per-round joins cheap.)
+        new_labels = cur.join(
+            labels.select("node", F.col("label").alias("_label0")), "node"
+        ).select(
+            "node", "label", (F.col("label") < F.col("_label0")).alias("changed")
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        done += k
+        block += 1
+        if checkpoint_every and block % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
