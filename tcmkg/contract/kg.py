@@ -319,7 +319,23 @@ def _dim_clause(eid):
 
 
 def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> transcripts(conv_id, turn_idx, role, text, tool, ts)."""
+    """events -> transcripts(conv_id, turn_idx, role, text, tool, ts).
+
+    The returned DataFrame is memoized per (session, sf_dir): the
+    template expression tree (dozens of pool-literal picks and nested
+    CASEs) costs ~1.6s of pure driver-side analysis to construct, paid
+    again on every call. A DataFrame is an immutable PLAN — reusing the
+    object skips only that re-analysis; every action still reads the
+    parquet events fresh (nothing is persisted or cached here)."""
+    global _TRANSCRIPTIZE_CACHE
+    try:
+        _TRANSCRIPTIZE_CACHE
+    except NameError:
+        _TRANSCRIPTIZE_CACHE = {}
+    ck = (id(spark), sf_dir)
+    hit = _TRANSCRIPTIZE_CACHE.get(ck)
+    if hit is not None:
+        return hit
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     eid = F.col("event_id")
     conv = F.concat(F.lit("conv_"), F.lpad((F.col("user_id") % 97).cast("string"), 3, "0"))
@@ -694,7 +710,7 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         un = un.unionByName(p)
     w = Window.partitionBy("conv_id").orderBy("ts", "eid")
-    return un.select(
+    out = un.select(
         "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("assistant").alias("role"),
@@ -702,6 +718,8 @@ def transcriptize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         "ts",
     )
+    _TRANSCRIPTIZE_CACHE[ck] = out
+    return out
 
 
 def _pipeline(spark: SparkSession):

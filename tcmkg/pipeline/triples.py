@@ -26,7 +26,6 @@ from .util import salted_distinct_count
 
 DEGREE_CAP = 50
 
-_prev_pairs: DataFrame | None = None  # released on the next assemble call
 
 PRED_OF_KIND = {
     "contains": "formula_contains_herb",
@@ -116,18 +115,39 @@ PRED_OF_KIND = {
 }
 
 
-def distinct_pairs(mentions: DataFrame) -> DataFrame:
-    """ONE shuffle for all non-weighted predicates: dedup (kind, subj, obj)
-    across the whole mention stream (map-side combinable), dropping
-    不渴-flagged symptom rows first (their pair may still survive via a
-    clean line — pair-level union semantics, see oracle contract)."""
+def reduce_mentions(mentions: DataFrame) -> DataFrame:
+    """ONE shuffle collapses the whole mention stream to O(distinct
+    (kind, subj, obj)) rows carrying everything assembly needs: the
+    deduped pair set for all non-weighted predicates AND the dose totals
+    (sum amt/n_null/n_ml) for the contains weighting — previously two
+    separate full passes + shuffles over the mention stream (a distinct
+    and a groupBy). 不渴-flagged symptom rows are dropped first (their
+    pair may still survive via a clean line — pair-level union
+    semantics, see oracle contract); 'unlinked' diagnostics never feed
+    assembly. Map-side combinable throughout, so the shuffle moves
+    O(distinct pairs) rows regardless of corpus size."""
     return (
         mentions.filter(
-            (~F.col("kind").isin("contains", "unlinked"))
+            (F.col("kind") != "unlinked")
             & ~((F.col("kind") == "p_symptom") & F.col("buke"))
         )
+        .groupBy("kind", "subj", "obj")
+        .agg(
+            F.sum("amt_sum").alias("amt"),
+            F.sum("n_null").alias("n_null"),
+            F.sum("n_ml").alias("n_ml"),
+        )
+    )
+
+
+def distinct_pairs(mentions: DataFrame) -> DataFrame:
+    """Dedup (kind, subj, obj) across the mention stream for all
+    non-weighted predicates (see reduce_mentions, which assembly uses to
+    get this AND the dose totals in one shuffle)."""
+    return (
+        reduce_mentions(mentions)
+        .filter(F.col("kind") != "contains")
         .select("kind", "subj", "obj")
-        .dropDuplicates(["kind", "subj", "obj"])
     )
 
 
@@ -135,18 +155,13 @@ def _pairs(pairs: DataFrame, kind: str) -> DataFrame:
     return pairs.filter(F.col("kind") == kind).select("subj", "obj")
 
 
-def contains_edges(mentions: DataFrame) -> DataFrame:
-    """Dose weighting from the kernel's partial aggregates: the reduce step
-    of sum(amt_i)/formula_total. A formula with any unparseable or ml-unit
-    dose gets null weights (reference: process_dose_unit.py:181-201)."""
-    c = (
-        mentions.filter(F.col("kind") == "contains")
-        .groupBy("subj", "obj")
-        .agg(
-            F.sum("amt_sum").alias("amt"),
-            F.sum("n_null").alias("n_null"),
-            F.sum("n_ml").alias("n_ml"),
-        )
+def contains_edges(reduced: DataFrame) -> DataFrame:
+    """Dose weighting from the reduced per-(subj, obj) totals (the reduce
+    step of sum(amt_i)/formula_total, already folded by reduce_mentions).
+    A formula with any unparseable or ml-unit dose gets null weights
+    (reference: process_dose_unit.py:181-201)."""
+    c = reduced.filter(F.col("kind") == "contains").select(
+        "subj", "obj", "amt", "n_null", "n_ml"
     )
     per_formula = c.groupBy("subj").agg(
         F.max(F.when((F.col("n_null") > 0) | (F.col("n_ml") > 0), 1).otherwise(0)).alias("dropped"),
@@ -327,26 +342,26 @@ _PLAIN_KINDS = (
 def assemble_triples(mentions: DataFrame) -> DataFrame:
     """-> (subj, pred, obj, weight double).
 
-    Plan shape: the raw mention stream is consumed exactly twice — once by
-    the dose-weighting aggregation (contains) and once by the shared
-    distinct-pairs dedup. All 46 non-weighted predicates run off the
-    deduped (tiny) frame; the 32 PLAIN kinds ship as ONE filter +
-    kind→predicate map lookup (one union arm and one pass over the pair
-    frame — not 32 branches), and only the weighted/capped/de-conflicted
-    families keep their own arms (~15 total). Keeping the union narrow
-    matters twice: driver-side plan analysis of a left-deep union is
-    quadratic in arms (46 arms cost ~28s of pure planning at HEAD-1), and
-    every arm is another task wave at execution. The previous call's pair
-    cache is released (same one-resident-copy rule as KGPipeline.triples'
-    mention cache)."""
-    global _prev_pairs
-    if _prev_pairs is not None:
-        try:
-            _prev_pairs.unpersist()
-        except Exception:
-            pass  # previous handle may belong to a stopped SparkContext
-    pairs = distinct_pairs(mentions).persist()
-    _prev_pairs = pairs
+    Plan shape (r6): the raw mention stream is consumed exactly ONCE — by
+    reduce_mentions' single combinable groupBy — and the resulting
+    O(distinct pairs) frame is localCheckpoint'ed: the one big pass runs
+    eagerly here, and the ~30 downstream references of the predicate
+    branches each plan over a TINY LEAF instead of re-analyzing (persist)
+    or re-executing parts of the full upstream tree (transcriptize +
+    window chain + Arrow kernel; the persisted-pairs shape cost ~11s of
+    pure driver planning per assembly at sf0.1, plans/r06). All 46
+    non-weighted predicates run off the reduced frame; the 32 PLAIN kinds
+    ship as ONE filter + kind→predicate map lookup (one union arm — not
+    32 branches), and only the weighted/capped/de-conflicted families
+    keep their own arms (~15 total). Keeping the union narrow matters
+    twice: driver-side plan analysis of a left-deep union is quadratic in
+    arms (46 arms cost ~28s of pure planning at HEAD-1), and every arm is
+    another task wave at execution. The checkpointed partitions are freed
+    by the ContextCleaner when the caller drops the returned frame."""
+    reduced = reduce_mentions(mentions).localCheckpoint()
+    pairs = reduced.filter(F.col("kind") != "contains").select(
+        "kind", "subj", "obj"
+    )
 
     def lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
         w = F.col("weight") if weight else F.lit(None).cast("double")
@@ -365,7 +380,7 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
     )
 
     parts = [
-        lab(contains_edges(mentions), PRED_OF_KIND["contains"], weight=True),
+        lab(contains_edges(reduced), PRED_OF_KIND["contains"], weight=True),
         lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]),
         lab(treats_edges(pairs), PRED_OF_KIND["treats"]),
         plain,
