@@ -2409,19 +2409,19 @@ def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the PUBLISHED graph (undirected): the
     same checkpointed label-propagation operator that canonicalizes
     entities (pipeline/cc.py, SURVEY A3) applied to the KG it built —
-    (node, component), component = min node id reachable. Incidence keys
-    are the edge STRUCTS (the collision-free key shape from the r3 fix).
+    (node, component), component = min node id reachable. r6: runs the
+    pair-edge CC fast path (one join + one agg per propagation round —
+    pipeline/cc.connected_components_edges) instead of the incidence
+    formulation; per-round labels and the fixpoint are identical.
     The oracle computes min-reachable-id through a recursive transitive
     closure over the same full-edge derivation — so the iterative Spark
     plan is hash-checked against an independent fixpoint."""
-    from ..pipeline.cc import connected_components
+    from ..pipeline.cc import connected_components_edges
 
     t = _triples(spark, sf_dir)
-    key = F.struct(F.col("subj").alias("a"), F.col("obj").alias("b"))
-    inc = t.select(F.col("subj").alias("node"), key.alias("key")).unionByName(
-        t.select(F.col("obj").alias("node"), key.alias("key"))
+    return connected_components_edges(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
     )
-    return connected_components(inc)
 
 
 def _sql_kg_components() -> str:

@@ -496,7 +496,7 @@ def _dedup_chain(
     once. The handle is returned as `unpersist` in the result — each call
     owns its own cache (no process-global: interleaved chains from two
     pipelines or sessions must not release each other's cache)."""
-    from ..pipeline.cc import connected_components
+    from ..pipeline.cc import connected_components_edges
 
     if sigs is None:
         sigs = minhash_signatures(corpus, id_col, text_col, n_bands, rows_per_band)
@@ -540,28 +540,38 @@ def _dedup_chain(
         exact_edges = exact_edges.filter(new_pred("b"))
 
     # one CC over both edge kinds: components merge transitively even when a
-    # doc is reachable through both routes, so survivors are consistent
-    edges = verified.select("a", "b").unionByName(exact_edges).dropDuplicates(["a", "b"])
-    # collision-free incidence key: a STRUCT of the endpoints. A delimited
-    # string concat is ambiguous for string ids containing the delimiter
-    # ('x|y'+'z' vs 'x'+'y|z' would collide and spuriously merge unrelated
-    # components); struct equality is field-wise, so no encoding can collide
-    ekey = F.struct(F.col("a"), F.col("b"))
-    incidence = (
-        edges.select(F.col("a").alias("node"), ekey.alias("key"))
-        .unionByName(edges.select(F.col("b").alias("node"), ekey.alias("key")))
+    # doc is reachable through both routes, so survivors are consistent.
+    # The union CARRIES the route tag and is checkpointed ONCE (r6): the
+    # verify chain and the hot-route chain run as parallel branches of a
+    # single job instead of two serial materializations, and both the CC
+    # edge set and the via-labeling below (exact_removed) read the tagged
+    # leaf — previously the hot-route chain executed twice (once into CC's
+    # input, once for via). The edge list is O(verified + hot-bucket
+    # duplicates) — tiny next to the corpus; the checkpointed partitions
+    # are freed by the ContextCleaner when the result frame is dropped.
+    edges = (
+        verified.select("a", "b").withColumn("_via_exact", F.lit(False))
+        .unionByName(exact_edges.withColumn("_via_exact", F.lit(True)))
+        .localCheckpoint()
     )
-    # cc_max_iter bounds propagation rounds at the component DIAMETER;
-    # connected_components warns (no silent cap) if a pathological chain
-    # exceeds it — raise cc_max_iter for corpora with long templated chains
-    comp = connected_components(incidence, max_iter=cc_max_iter)
+    # Pair-edge CC fast path (r6): one join + one agg per propagation round
+    # instead of the incidence form's two joins + two aggs — see
+    # connected_components_edges (no pre-dedup needed: CC's symmetrize step
+    # dropDuplicates itself). cc_max_iter bounds propagation rounds at the
+    # component DIAMETER; the CC warns (no silent cap) if a pathological
+    # chain exceeds it — raise cc_max_iter for long templated chains.
+    comp = connected_components_edges(edges, max_iter=cc_max_iter)
     removals = comp.filter(F.col("node") != F.col("component"))
     if new_pred is not None:
         removals = removals.filter(new_pred("node"))
     removals = removals.select(
         F.col("node").alias("removed_doc"), F.col("component").alias("keep_doc")
     )
-    exact_removed = exact_edges.select(F.col("b").alias("removed_doc")).distinct()
+    exact_removed = (
+        edges.filter(F.col("_via_exact"))
+        .select(F.col("b").alias("removed_doc"))
+        .distinct()
+    )
     removals = removals.join(
         exact_removed.withColumn("_ex", F.lit(True)), "removed_doc", "left"
     ).select(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..pipeline.cc import connected_components
+from ..pipeline.cc import connected_components_edges
 
 EMBED_DIM = 64
 
@@ -126,11 +126,9 @@ def similarity_clusters(pairs: DataFrame) -> DataFrame:
     """(a, b) similar pairs -> (node, component): transitive clustering =
     connected components; representative = min id (deterministic), matching
     the reference's first-occurrence-wins greedy clustering under
-    lexicographic ids."""
-    inc = pairs.select(F.col("a").alias("node"), F.col("a").alias("key")).unionByName(
-        pairs.select(F.col("b").alias("node"), F.col("a").alias("key"))
-    )
-    return connected_components(inc)
+    lexicographic ids. Pair-edge CC fast path (r6): one join + one agg per
+    propagation round — see connected_components_edges."""
+    return connected_components_edges(pairs.select("a", "b"))
 
 
 def embedding_neardup_pairs(

@@ -36,6 +36,103 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components_edges(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+    rounds_per_check: int = 3,
+    growth: float = 1.0,
+) -> DataFrame:
+    """(a, b) undirected pair edges -> (node, component) with component =
+    min node id reachable — the pair-edge specialization of
+    connected_components (r6).
+
+    Why a separate path: the incidence formulation spends TWO joins + TWO
+    aggregations per propagation round (node→key, key→node) because a
+    hyper-key may connect many nodes. A pair edge connects exactly two, so
+    one round collapses to ONE join + ONE aggregation over a symmetrized,
+    self-looped edge list: the self-loop row carries each node's own label
+    into the groupBy, making min(label) exactly least(own, neighbors), and
+    an `own` flag on the self row lets the same aggregation emit the old
+    label — so the convergence check needs no extra join either. Per-round
+    labels are identical to the incidence form (one edge-hop per round),
+    so round counts and the converged fixpoint match exactly; measured at
+    sf0.1 near-dedup this halves the CC stage count per round.
+
+    `growth` scales `rounds_per_check` per block; the DEFAULT is 1.0 (fixed
+    3-round blocks) because it won the measurement BOTH ways: at sf0.1
+    growth=2.0 executes 3+6+12=21 rounds for a diameter-12 graph (9 wasted
+    post-fixpoint rounds) and measured SLOWER than fixed blocks (3.10s vs
+    2.19s min-of-3; growth 1.0/1.5 tie), and at 100 TB a wasted round is a
+    real O(V+E) shuffle while fixed blocks bound the waste at
+    rounds_per_check-1. Convergence detection is exact for any schedule:
+    labels are monotone and propagation is stationary, so "last round of
+    the block changed nothing" IS the fixpoint."""
+    # checkpoint the input projection ONCE before fanning out: sym below
+    # references the edge frame three times (fwd, rev, node set) and an
+    # expensive caller plan (the near-dedup verify chain, a triple
+    # assembly) would otherwise execute three times inside one job
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = e.localCheckpoint()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = e.unionByName(rev).select("src").distinct()
+    sym = (
+        e.unionByName(rev)
+        .dropDuplicates(["src", "dst"])
+        .withColumn("own", F.lit(False))
+        .unionByName(
+            nodes.select("src", F.col("src").alias("dst"), F.lit(True).alias("own"))
+        )
+        .localCheckpoint()
+    )
+    # initial labels come straight off the sym leaf (exactly one self-loop
+    # row per node) — a narrow scan, not worth a third checkpoint action
+    labels = sym.filter(F.col("own")).select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+
+    n_changed = 0
+    done = 0
+    k = max(1, rounds_per_check)
+    while done < max_iter:
+        k_eff = min(k, max_iter - done)
+        cur = labels
+        for _ in range(k_eff):
+            cur = (
+                sym.join(cur.select(F.col("node").alias("dst"), "label"), "dst")
+                .groupBy("src")
+                .agg(
+                    F.min("label").alias("label"),
+                    # the self row carries this node's pre-round label; only
+                    # the block's LAST round's value is read (see below)
+                    F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+                )
+                .select(F.col("src").alias("node"), "label", "_old")
+            )
+        new_labels = cur.localCheckpoint()
+        done += k_eff
+        n_changed = (
+            new_labels.filter(F.col("label") < F.col("_old")).limit(1).count()
+        )
+        labels = new_labels.drop("_old")
+        if n_changed == 0:
+            break
+        k = max(k, int(k * growth))
+
+    if n_changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_edges did not converge within max_iter="
+            f"{max_iter} rounds (component diameter exceeds it); labels "
+            "may be non-minimal. Raise max_iter.",
+            stacklevel=2,
+        )
+
+    return labels.withColumnRenamed("label", "component")
+
+
 def connected_components(
     incidence: DataFrame,
     node_col: str = "node",

@@ -194,23 +194,17 @@ class KGPipeline:
         return extract_mentions(self.spark, pre, self.maps, cache_key=self._cache_key)
 
     def triples(self, transcripts: DataFrame) -> DataFrame:
-        # assemble_triples fans the mention stream into ~16 predicate
-        # branches, and the branch frames reference the (persisted) mention/
-        # pair tables ~30 times. localCheckpoint — not persist — matters
-        # here: persist caches the DATA but leaves the full logical plan
-        # (transcriptize expression tree + window chain + Arrow kernel) in
-        # place, so every downstream reference re-ANALYZES that whole tree;
-        # measured at sf0.1 that was ~11s of pure driver planning per
-        # assemble on the events leg (plans/r06). Checkpointing truncates
-        # the lineage to a leaf, so the assembly plans over a tiny scan.
-        # The extraction also runs once, not once per branch (same data
-        # benefit persist gave). The checkpointed path (run()) gets both
-        # effects by materializing the stage to parquet.
-        # No explicit release: the checkpointed partitions are freed by the
-        # ContextCleaner when the caller drops the returned frame (holding a
-        # handle here would PIN the previous call's copy instead).
-        mentions = self.mentions(transcripts).localCheckpoint()
-        return assemble_triples(mentions)
+        # No checkpoint at the mention level (r6): assemble_triples consumes
+        # the mention stream exactly ONCE (reduce_mentions' single
+        # combinable groupBy) and localCheckpoints the REDUCED O(distinct
+        # pairs) frame — that checkpoint already truncates the lineage the
+        # ~30 branch references would otherwise re-analyze, so a second
+        # materialization of the full mention-partial stream here only
+        # added a block-manager write+read of ~700k rows and one extra
+        # action (measured ~0.5s/leg at sf0.1, interleaved mins). The
+        # checkpointed path (run()) still materializes mentions to parquet
+        # because THERE the stage is a resume point.
+        return assemble_triples(self.mentions(transcripts))
 
     def export_reference_layout(
         self,

@@ -100,3 +100,49 @@ def test_cc_medium_scale(spark):
     assert comps["hot09999"] == "hot00000"
     assert comps["n00042_09"] == "n00042_00"
     assert len({c for n, c in comps.items() if n.startswith("n")}) == 5000
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=100,
+    )
+)
+def test_cc_edges_matches_union_find(spark, pairs):
+    """r6 pair-edge fast path: same components + same min-id representative
+    as a pure-Python union-find, on arbitrary edge lists (self-loops and
+    duplicate/reversed edges included by generation)."""
+    from tcmkg.pipeline.cc import connected_components_edges
+
+    edges = spark.createDataFrame(
+        [(f"n{a:03d}", f"n{b:03d}") for a, b in pairs], "a string, b string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_edges(edges).collect()
+    }
+    uf = _UnionFind()
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(f"n{a:03d}"); nodes.add(f"n{b:03d}")
+        uf.union(f"n{a:03d}", f"n{b:03d}")
+    want = {n: uf.find(n) for n in nodes}
+    assert _group(got) == _group(want)
+    for n, c in got.items():
+        assert c == min(_g for _g in got if got[_g] == c)
+
+
+def test_cc_edges_long_chain_block_boundary(spark):
+    """A diameter-long chain crossing several 3-round blocks: the
+    block-boundary convergence check (label monotone, stationary) must not
+    stop early, and the converged label is the chain minimum."""
+    from tcmkg.pipeline.cc import connected_components_edges
+
+    n = 14  # diameter 13 > 4 blocks of 3 rounds
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], "a string, b string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components_edges(edges).collect()}
+    assert set(got.values()) == {"n00"}
+    assert len(got) == n + 1
