@@ -290,7 +290,10 @@ def cmd_ivf_search(args) -> None:
         nprobe=args.nprobe, topk=args.topk,
     )
     out.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"status": "ok", "rows": out.count(), "output": args.output}))
+    # count the WRITTEN parquet, not the plan: out.count() would re-execute
+    # the entire search job (the pq commands already did it this way)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"status": "ok", "rows": n, "output": args.output}))
 
 
 def main(argv=None) -> int:

@@ -329,32 +329,38 @@ def ivf2_search(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: s["m"]).alias("ccvec"))
     )
-    qc = queries.crossJoin(F.broadcast(coarse)).withColumn(
+    # query norm staged ONCE (r6) — reused across both probe levels and the
+    # candidate scoring instead of re-evaluating the O(dim) fold per row;
+    # corpus-vector norms staged in the base projection likewise
+    qn = queries.withColumn("qnorm", _norm(F.col("qv")))
+    qc = qn.crossJoin(F.broadcast(coarse)).withColumn(
         "cdist",
-        -_cos(_dot(F.col("qv"), F.col("ccvec")), _norm(F.col("qv")), _norm(F.col("ccvec"))),
+        -_cos(_dot(F.col("qv"), F.col("ccvec")), F.col("qnorm"), _norm(F.col("ccvec"))),
     )
     # asc_nulls_last on both probe windows: NULL (zero-norm) loses
     wq = Window.partitionBy("qid").orderBy(F.col("cdist").asc_nulls_last(), F.col("cid"))
     probe_c = (
         qc.withColumn("crk", F.row_number().over(wq))
         .filter(F.col("crk") <= n_coarse_probe)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", "qnorm", "cid")
     )
     qs = probe_c.join(F.broadcast(centroids), "cid").withColumn(
         "sdist",
-        -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")), _norm(F.col("cvec"))),
+        -_cos(_dot(F.col("qv"), F.col("cvec")), F.col("qnorm"), _norm(F.col("cvec"))),
     )
     ws = Window.partitionBy("qid").orderBy(F.col("sdist").asc_nulls_last(), F.col("gid"))
     probe = (
         qs.withColumn("srk", F.row_number().over(ws))
         .filter(F.col("srk") <= nprobe)
-        .select("qid", "qv", "gid")
+        .select("qid", "qv", "qnorm", "gid")
     )
-    base = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
+    base = emb.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
+    ).withColumn("nnorm", _norm(F.col("nv")))
     cand = probe.join(assignments.withColumnRenamed("id", "nid").select("nid", "gid"), "gid")
     cand = cand.join(base, "nid")
     scored = cand.withColumn(
-        "cos", _cos(_dot(F.col("qv"), F.col("nv")), _norm(F.col("qv")), _norm(F.col("nv")))
+        "cos", _cos(_dot(F.col("qv"), F.col("nv")), F.col("qnorm"), F.col("nnorm"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -397,8 +403,14 @@ def ivf_search(
     only with vectors assigned to its nprobe nearest centroids — at 10^12
     vectors that is the difference between scanning the corpus per query
     and scanning corpus/n_centroids*nprobe."""
-    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")), _norm(F.col("cvec")))
+    # stage the query norm as a column ONCE (r6): the scoring expression
+    # below otherwise recomputes _norm(qv) — an O(dim) interpreted fold —
+    # per CANDIDATE row instead of per query (same staging the brute-force
+    # q_ann_topk got in bf5fd36); likewise the corpus-vector norm is
+    # computed once per base row in the projection, not per scored pair
+    qn = queries.withColumn("qnorm", _norm(F.col("qv")))
+    qc = qn.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", -_cos(_dot(F.col("qv"), F.col("cvec")), F.col("qnorm"), _norm(F.col("cvec")))
     )
     # asc_nulls_LAST: zero-norm vectors yield NULL cosine and must LOSE
     # (module convention above); Spark's ascending default is NULLS FIRST,
@@ -409,13 +421,15 @@ def ivf_search(
     probe = (
         qc.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= nprobe)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", "qnorm", "cid")
     )
-    base = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
+    base = emb.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
+    ).withColumn("nnorm", _norm(F.col("nv")))
     cand = probe.join(assignments.withColumnRenamed("id", "nid"), "cid")
     cand = cand.join(base, "nid")
     scored = cand.withColumn(
-        "cos", _cos(_dot(F.col("qv"), F.col("nv")), _norm(F.col("qv")), _norm(F.col("nv")))
+        "cos", _cos(_dot(F.col("qv"), F.col("nv")), F.col("qnorm"), F.col("nnorm"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -507,14 +521,14 @@ def ivf_add(
                 sub_cent, sub_assign = build_ivf(
                     members, "id", "v", n_centroids=n_subsplit, n_iter=n_iter
                 )
-                # retire cid c; sub-cells get fresh sequential cids
+                # retire cid c; sub-cells get fresh sequential cids.
+                # Collect ONCE (r6): the second .collect() re-executed the
+                # whole sub-kmeans assignment job per oversized cell.
+                sub_rows = sorted(sub_cent.collect(), key=lambda r: r["cid"])
                 remap = {
-                    r["cid"]: next_cid + i
-                    for i, r in enumerate(
-                        sorted(sub_cent.collect(), key=lambda r: r["cid"])
-                    )
+                    r["cid"]: next_cid + i for i, r in enumerate(sub_rows)
                 }
-                for r in sub_cent.collect():
+                for r in sub_rows:
                     cent_map[remap[r["cid"]]] = list(r["cvec"])
                 del cent_map[c]
                 next_cid += len(remap)

@@ -340,9 +340,12 @@ def ivfpq_search(
     q = queries.select(
         F.col(qid_col).alias("qid"), _as_double(F.col(qvec_col)).alias("qv")
     )
-    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+    # query norm staged once per query row (r6), not re-folded per
+    # (query, centroid) pair in the routing cross join
+    qn = q.withColumn("qnorm", _norm(F.col("qv")))
+    qc = qn.crossJoin(F.broadcast(centroids)).withColumn(
         "dist",
-        -_cos(_dot(F.col("qv"), F.col("cvec")), _norm(F.col("qv")),
+        -_cos(_dot(F.col("qv"), F.col("cvec")), F.col("qnorm"),
               _norm(F.col("cvec"))),
     )
     # asc_nulls_LAST: a zero-norm centroid/query yields NULL cosine (the
