@@ -12,11 +12,18 @@ Thirteen signals per document:
                        line occurrences
   dup_para_frac /      same two, over paragraphs (split on blank lines)
   dup_para_char_frac
-  top_{n}gram_char_frac  n in {2,3,4}: chars covered by ALL occurrences of
-                       the most frequent token n-gram / doc chars; 0 when
-                       no n-gram repeats (requiring count>=2 keeps short
-                       unique sentences from flagging — Gopher applies
-                       the signal only after a 50-word length floor)
+  top_{n}gram_char_frac  n in {2,3,4}: the MAXIMUM char coverage
+                       (occurrences x joined length) over all REPEATED
+                       token n-grams / doc chars; 0 when no n-gram repeats
+                       (requiring count>=2 keeps short unique sentences
+                       from flagging — Gopher applies the signal only
+                       after a 50-word length floor). NOTE: Gopher's table
+                       A1 scores the count-argmax n-gram; this signal
+                       takes the coverage max instead (a longer but less
+                       frequent repeated n-gram can win), which is
+                       strictly >= the Gopher value — thresholds remove at
+                       least what Gopher's would. The DuckDB oracle
+                       replays this exact formula (hash-pinned).
   dup_{n}gram_char_frac  n in {5..10}: chars covered by occurrences of
                        every n-gram seen more than once / doc chars
                        (counts each occurrence fully — a documented
