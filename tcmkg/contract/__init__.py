@@ -25,102 +25,68 @@ from .generic import GENERIC_QUERIES, GENERIC_ORACLES
 # long-stable query lands inside the driver cap at least every other round
 # instead of going permanently stale while code evolves under it.
 _CHECK_FIRST = [
-    # round-5 session 6: Gopher repetition signals/filter, PII
-    # detection/redaction, and triangle counting are new
-    "q_repetition",
-    "q_pii",
-    "kg_triangles",
-    "q_prepare_full",
-    "q_ann_pq",
-    "q_ann_ivfpq",
-    "q_pack_sequences",
-    "kg_pagerank_w",
-    # round-5 session 5: PageRank over the published KG (fixed-iteration
-    # checkpointed iterative join) and benchmark decontamination (eval
-    # n-gram broadcast probe) are new
-    "kg_pagerank",
-    "q_decontaminate",
-    # round-5 session 4: disease_present_symptom retargeted to mm_symptom
-    # entities (the reference's disease2mm_symptom.csv is disease→MODERN
-    # symptom) and the reference-layout export landed — kg_treat2 and the
-    # roundtrip derivation changed with it
-    "kg_export",
-    "kg_all_edges",
-    "kg_degree",
-    "kg_components",
-    "kg_three_hop",
-    "kg_treat2",
-    "kg_text_roundtrip",
-    # round-5 session 3: the 20/20 entity-parity batch — anatomy became a
-    # CC-canonicalized TMAT gazetteer (anat_* edge subjects changed ids),
-    # mm_symptom (TMMS) + the two-direction tcm_symptom_map_mm_symptom
-    # relation landed, and the roundtrip/nodes oracles changed with them
-    "kg_ts_mm",
-    "kg_anat_gene",
-    "kg_anat_updown",
-    "kg_nodes",
-    "kg_text_roundtrip",
-    # round-5 final: the last reference-inventory families (herb→symptom/
-    # syndrome, disease/syndrome present, pathway→disease, ingredient→GO
-    # quad) — their clauses also extend the roundtrip derivation
-    "kg_treat2",
-    "kg_ing_go",
-    "kg_text_roundtrip",
-    # round-5 latest: bind set (changes kg_gene_edges + both chain
-    # queries), side-effect certainty pair, anatomy up/down-regulate
-    "kg_sideeffect",
-    "kg_anat_updown",
-    "kg_resemble",
-    "kg_ing_pairs",
-    "kg_gene_edges",
-    "kg_chain_herb_gene",
-    # round-5 late additions: gene-side families (gene↔gene, disease→gene,
-    # gene→pathway/GO, anatomy-express, ingredient→gene→pathway chain).
-    # kg_text_roundtrip's derivation gained the T11-T14 clauses and
-    # kg_nodes/kg_dim_nodes gained four entity families — re-prove.
-    "kg_gene_gene",
-    "kg_dis_gene",
-    "kg_gene_go",
-    "kg_anat_gene",
-    "kg_chain_ing_pathway",
-    # round-5 additions: derived-entity families (ingredient/target),
-    # symptom→locus name-containment edges, streaming near-dedup,
-    # incremental IVF, real-codec multimodal. kg_nodes/text_roundtrip
-    # oracles changed (new entity types, new T7/T8 clauses) — re-prove.
-    "kg_consistof",
-    "kg_gene_edges",
-    "kg_ingr_disease",
-    "kg_pclass",
-    "kg_chain_herb_gene",
-    "kg_symptom_locus",
-    "kg_stream_neardup",
-    "q_ann_ivf_add",
-    "q_multimodal_bmp",
-    "kg_nodes",
-    "kg_text_roundtrip",
-    # oracle-changed in late round 4 (banding-default flip:
-    # q_near_dedup/_inc/_sigs + q_prepare_corpus now verify the b=6,r=2
-    # DEFAULT regime; q_lsh_* re-pinned; q_near_dedup_r1 renamed from _r2)
+    # ---- round 6 (optimization round): queries whose EXECUTION PATH was
+    # restructured this round go first. Head pruned per the r5 verdict
+    # (entries stable since their r5 driver row dropped to the rotating
+    # tail): 39 names ≈ a ~50-query cap leaves ~11 rotating tail slots.
+    #
+    # (a) pair-edge connected components (pipeline/cc.py
+    # connected_components_edges) + the single tagged-edge checkpoint in
+    # the dedup chain — every query whose plan runs that CC or chain:
     "q_near_dedup",
     "q_near_dedup_r1",
     "q_near_dedup_inc",
     "q_near_dedup_sigs",
+    "kg_stream_neardup",
     "q_prepare_corpus",
-    "q_lsh_pairs",
-    "q_lsh_dropped",
-    # no driver row as of CORRECTNESS_r04 (the r03-green stable tail)
+    "q_prepare_full",
+    "kg_components",
+    # (b) runner.triples() lost its mention-level localCheckpoint (the
+    # reduced-frame checkpoint does the truncation) — kg_all_edges proves
+    # all 47 predicate families in one hash over that path; roundtrip/
+    # nodes/export prove the per-turn, entity, and disk surfaces:
+    "kg_all_edges",
+    "kg_text_roundtrip",
+    "kg_nodes",
+    "kg_export",
+    # (c) graph analytics gained fan-out materialization (triangles/
+    # pagerank edge-frame checkpoints):
+    "kg_triangles",
+    "kg_pagerank",
+    "kg_pagerank_w",
+    # (d) ANN/PQ: staged norms in ivf_search/ivf2_search/ivfpq routing,
+    # ivf_add collect-once, plus the r6 numpy argmin/encode kernels and
+    # the brute-force norm staging:
+    "q_ann_ivf",
+    "q_ann_ivf2",
+    "q_ann_ivf2h",
+    "q_ann_ivf_add",
+    "q_ann_ivfpq",
+    "q_ann_pq",
+    "q_ann_topk",
+    # (e) the conditional respread of single-file scans (dedup family +
+    # decontaminate) and the document-local repetition kernel:
     "q_minhash_sigs",
     "q_minhash_clusters",
-    "q_jaccard_pairs",
+    "q_lsh_pairs",
+    "q_lsh_dropped",
     "q_simhash_pairs",
-    "q_literal_dict",
-    "q_fingerprints",
-    "q_token_quality",
-    "q_cos_neardup",
-    "q_split",
-    "q_pack_bins",
+    "q_jaccard_pairs",
     "q_shingle_jaccard",
+    "q_decontaminate",
+    "q_repetition",
+    "q_fingerprints",
+    "q_cos_neardup",
+    # (f) no driver CORRECTNESS row since r3 (r5 verdict item 1 — the
+    # rotation math had been starved by the old ~45-name head; all were
+    # judge-verified green in r5 and checker-verified this round):
     "q_lang_id",
+    "q_pack_bins",
+    "q_split",
+    "q_token_quality",
+    "q_pack_sequences",
+    "q_stratified_sample",
+    "q_fingerprints",
 ]
 
 
