@@ -9,11 +9,19 @@ shared-fingerprint pairs are the candidate set for substring-level
 near-duplication (copy/paste, boilerplate overlap) — a different signal
 from token-set MinHash (ops/dedup.py), which is order-insensitive.
 
-Everything is native column algebra — sequence/transform/slice/array_min
-evaluate inside the JVM per row; there is no Python and no shuffle until
-the per-doc fingerprint set explodes into (doc, fp) rows. md5 hex is the
-gram hash (stable across engines; lexicographic min == numeric min for
-fixed-width hex), so a DuckDB oracle can replay the whole construction.
+r6: the construction runs as a mapInPandas kernel. The previous pure-
+column formulation (sequence/transform/slice/array_min) evaluated
+INTERPRETED per element — higher-order functions don't codegen, and the
+slice-per-window shape made it O(L * window) expression evaluations per
+document (the same pathology the repetition and PQ operators had);
+combined with a single-file scan pinning the work to ONE task, the sf0.1
+contract query measured 861 s. The kernel hashes each k-gram once
+(hashlib.md5 hex — identical bytes/semantics: Python slicing and Spark
+substr both index code points) and takes window minima with a monotonic
+deque in O(L) per document; lexicographic min over fixed-width hex equals
+the old array_min, so results are bit-identical (hash-gated by
+q_fingerprints). Input is respread across cores first (ops/dedup's
+single-file-scan rule). Same sf0.1 query after: ~1 s.
 
 Candidate pairing reuses the hot-bucket cap from ops/dedup: one ubiquitous
 fingerprint (a shared license header) must not produce a quadratic join.
@@ -21,32 +29,72 @@ fingerprint (a shared license header) must not produce a quadratic join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_hashes(text: Column, k: int) -> Column:
-    """array<string>: md5 of every k-char gram (empty when len(text) < k)."""
-    n = F.length(text) - k + 1
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(k))))
+def _winnow_one(t: str | None, k: int, window: int) -> list[str]:
+    """Distinct winnowed fingerprints of one document, reproducing the old
+    column formulation exactly: md5 hex per k-char gram (code-point
+    slicing, like Spark substr), lexicographic min per sliding window of
+    `window` gram hashes (== array_min over strings), first-occurrence
+    dedup (== array_distinct). Empty for NULL/short docs — the old plan's
+    empty-array guards explode to no rows."""
+    import hashlib
+    from collections import deque
+
+    if t is None or len(t) < k:
+        return []
+    grams = [
+        hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()
+        for i in range(len(t) - k + 1)
+    ]
+    if len(grams) < window:
+        return []
+    # monotonic deque of candidate-minimum indices: O(L) total
+    out: list[str] = []
+    seen: set[str] = set()
+    dq: deque[int] = deque()
+    for i, g in enumerate(grams):
+        while dq and grams[dq[-1]] >= g:
+            # strict '>' would keep the EARLIER equal value; array_min
+            # returns the value (not the index), so ties are value-equal
+            # and either choice yields the same fp string
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - window:
+            dq.popleft()
+        if i >= window - 1:
+            fp = grams[dq[0]]
+            if fp not in seen:
+                seen.add(fp)
+                out.append(fp)
+    return out
 
 
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
 ) -> DataFrame:
     """-> (doc_id, fp): the distinct winnowed fingerprints of each doc."""
-    gh = _gram_hashes(F.col(text_col), k)
-    n_win = F.size(gh) - window + 1
-    wins = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
-        F.array().cast("array<int>")
+    from .dedup import _respread_by
+
+    src = _respread_by(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     )
-    fps = F.array_distinct(
-        F.transform(wins, lambda j: F.array_min(F.slice(gh, j, window)))
-    )
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp"))
+    id_type = src.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for did, t in zip(pdf["doc_id"], pdf["_t"]):
+                for fp in _winnow_one(t, k, window):
+                    ids.append(did)
+                    fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return src.mapInPandas(kernel, schema=f"doc_id {id_type}, fp string")
 
 
 def fingerprint_candidates(

@@ -420,3 +420,42 @@ def test_ivf_index_persistence(spark, tmp_path):
     g = {(r["qid"], r["rk"]): r["neighbor"] for r in got.collect()}
     w = {(r["qid"], r["rk"]): r["neighbor"] for r in want.collect()}
     assert g == w  # full probe from the RELOADED index == exact brute force
+
+
+def test_winnow_kernel_matches_bruteforce(spark):
+    """r6 kernel rewrite: the monotonic-deque window minimum must equal the
+    brute-force min-per-slice construction (the old column formulation) on
+    adversarial strings — repeats, ties, multi-byte chars, short docs."""
+    import hashlib
+
+    from tcmkg.ops.fingerprint import winnow_fingerprints
+
+    def brute(t, k=8, window=4):
+        if t is None or len(t) < k:
+            return set()
+        grams = [
+            hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()
+            for i in range(len(t) - k + 1)
+        ]
+        if len(grams) < window:
+            return set()
+        return {min(grams[j : j + window]) for j in range(len(grams) - window + 1)}
+
+    texts = [
+        "abcdefghijklmnop",
+        "aaaaaaaaaaaaaaaaaaaa",          # all-equal grams (tie path)
+        "abababababababab",              # period-2 repeats
+        "短文本中文字符串测试一二三四五",   # multi-byte code points
+        "exactly8",                      # one gram, below window -> empty
+        "short",                         # below k -> empty
+        None,                            # null -> empty
+        "x" * 7 + "abcdefghij" + "x" * 7,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == brute(t), f"doc {i}"
