@@ -131,45 +131,129 @@ def similarity_clusters(pairs: DataFrame) -> DataFrame:
     return connected_components_edges(pairs.select("a", "b"))
 
 
+def _pair_cos_batch(ids_l, M_l, ids_r=None, M_r=None):
+    """Pairwise cosine for one block (or block pair), bit-faithful to the
+    old zip_with/F.aggregate fold: dot and squared-norm accumulate over
+    DIMS IN INDEX ORDER (vectorized across pairs, sequential across
+    dims — the PQ-kernel technique), and a zero denominator yields NaN
+    (the fold's try_divide NULL: both compare false against any
+    threshold). Same-set mode (ids_r None) expects rows SORTED by id and
+    emits the upper triangle (a < b); two-set mode emits min/max-ordered
+    pairs. -> (a_list, b_list, cos_array)."""
+    same = ids_r is None
+    if same:
+        ids_r, M_r = ids_l, M_l
+    n_l, n_r = len(ids_l), len(ids_r)
+    dot = np.zeros((n_l, n_r))
+    nl = np.zeros(n_l)
+    nr = np.zeros(n_r)
+    for j in range(M_l.shape[1]):
+        dot += M_l[:, j : j + 1] * M_r[None, :, j]
+        nl += M_l[:, j] * M_l[:, j]
+        nr += M_r[:, j] * M_r[:, j]
+    den = np.sqrt(nl)[:, None] * np.sqrt(nr)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(den != 0.0, dot / np.where(den == 0.0, 1.0, den), np.nan)
+    if same:
+        iu, ju = np.triu_indices(n_l, k=1)
+        return [ids_l[i] for i in iu], [ids_l[j] for j in ju], cos[iu, ju]
+    iu, ju = np.indices((n_l, n_r))
+    iu, ju = iu.ravel(), ju.ravel()
+    a_out, b_out = [], []
+    for i, j in zip(iu, ju):
+        x, y = ids_l[i], ids_r[j]
+        a_out.append(x if x < y else y)
+        b_out.append(y if x < y else x)
+    return a_out, b_out, cos[iu, ju]
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
     assignments: DataFrame | None = None,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """-> (a, b, cos): embedding-cosine near-duplicate pairs above
-    `threshold`. Pure JVM SQL (zip_with/aggregate dot products).
+    `threshold`.
 
-    Without `assignments` this is the exact all-pairs baseline (a
-    crossJoin — fine for verification scale, never for a corpus). Pass the
-    (id, cid) table from ops/ann.build_ivf to confine the quadratic inside
-    k-means cells (the scale path): only same-cell vectors pair, the
-    standard IVF blocking trade — recall bounded by cell assignment,
-    verified subset-of-exact in tests."""
-    from .ann import _as_double, _dot, _norm
+    Without `assignments` this is the exact all-pairs baseline (fine for
+    verification scale, never for a corpus). Pass the (id, cid) table from
+    ops/ann.build_ivf to confine the quadratic inside k-means cells (the
+    scale path): only same-cell vectors pair, the standard IVF blocking
+    trade — recall bounded by cell assignment, verified subset-of-exact in
+    tests.
 
+    r6: scoring runs as numpy block kernels instead of a per-pair
+    zip_with/F.aggregate fold — the fold evaluates interpreted per element,
+    so the exact path paid O(pairs * dim) interpreted ops (8.1 s for 2 k
+    vectors at dim 64); the kernel accumulates dims in index order, so
+    cosines are bit-identical (hash-gated by q_cos_neardup). The exact
+    path tiles the pair space into `n_blocks` deterministic hash blocks:
+    each vector ships to at most n_blocks+1 block-pair groups (vs once per
+    PAIR through the old crossJoin), and each group scores with one
+    vectorized kernel. The cell path groups by cid directly."""
     base = emb.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_n", _norm(F.col("_v")))
-    if assignments is not None:
-        base = base.join(
-            assignments.select(F.col("id").alias("_id"), "cid"), "_id"
-        )
-        a = base.select("cid", F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
-        b = base.select("cid", F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
-        joined = a.join(b, "cid").filter(F.col("a") < F.col("b"))
-    else:
-        a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
-        b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
-        joined = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    from .ann import _cos as _safe_cos
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    id_type = base.schema["_id"].dataType.simpleString()
+    out_schema = T.StructType(
+        [
+            T.StructField("a", base.schema["_id"].dataType),
+            T.StructField("b", base.schema["_id"].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
 
-    cos = _safe_cos(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "cos": []})
+        left = pdf[pdf["_side"] == 0].sort_values("_id")
+        right = pdf[pdf["_side"] == 1].sort_values("_id")
+        if left.empty or (len(left) < 2 and right.empty):
+            return empty
+        M_l = np.stack(left["_v"].to_list()).astype(np.float64)
+        ids_l = left["_id"].tolist()
+        if right.empty:
+            a, b, cos = _pair_cos_batch(ids_l, M_l)
+        else:
+            M_r = np.stack(right["_v"].to_list()).astype(np.float64)
+            a, b, cos = _pair_cos_batch(ids_l, M_l, right["_id"].tolist(), M_r)
+        with np.errstate(invalid="ignore"):
+            keep = cos >= threshold
+        return pd.DataFrame(
+            {"a": [x for x, k in zip(a, keep) if k],
+             "b": [x for x, k in zip(b, keep) if k],
+             "cos": cos[keep]}
+        )
+
+    if assignments is not None:
+        grouped = (
+            base.join(assignments.select(F.col("id").alias("_id"), "cid"), "_id")
+            .withColumn("_side", F.lit(0))
+            .groupBy("cid")
+        )
+    else:
+        spark = emb.sparkSession
+        blk = F.pmod(F.hash("_id"), F.lit(n_blocks)).cast("int")
+        tagged = base.withColumn("_blk", blk)
+        grid = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "bi int, bj int",
+        )
+        left = tagged.join(
+            F.broadcast(grid), tagged["_blk"] == grid["bi"]
+        ).select("bi", "bj", "_id", "_v", F.lit(0).alias("_side"))
+        right = tagged.join(
+            F.broadcast(grid.filter(F.col("bi") != F.col("bj"))),
+            tagged["_blk"] == grid["bj"],
+        ).select("bi", "bj", "_id", "_v", F.lit(1).alias("_side"))
+        grouped = left.unionByName(right).groupBy("bi", "bj")
+
+    pairs = grouped.applyInPandas(score, schema=out_schema)
     return (
-        joined.withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select("a", "b", F.round("cos", 6).alias("cos"))
+        pairs.select("a", "b", F.round("cos", 6).alias("cos"))
         .dropDuplicates(["a", "b"])
     )
 
