@@ -1506,10 +1506,13 @@ def q_literal_dict(spark, sf_dir):
     patch, an xref whose id itself contains a colon (split on FIRST colon
     only), and a malformed cell every 97th row (must parse to NULL, not
     crash). The Spark side genuinely round-trips through ast.literal_eval
-    in the vectorized kernel."""
+    in the vectorized kernel. Respread first (r6): the single-file events
+    scan is ONE map task, which put 600k literal_eval calls on one core
+    (7.0 s at sf0.1 -> ~1 s; ops/dedup's single-file-scan rule)."""
     from ..kernels.pydict import parse_literal_dict, prop_first, xref_ids
+    from ..ops.dedup import _respread_by
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _respread_by(_read(spark, sf_dir, "events"), "event_id")
     eid = F.col("event_id")
     lit = F.concat(
         F.lit("{'k': '"), (eid % 50).cast("string"),
