@@ -560,7 +560,9 @@ def _dedup_chain(
     # dropDuplicates itself). cc_max_iter bounds propagation rounds at the
     # component DIAMETER; the CC warns (no silent cap) if a pathological
     # chain exceeds it — raise cc_max_iter for long templated chains.
-    comp = connected_components_edges(edges, max_iter=cc_max_iter)
+    comp = connected_components_edges(
+        edges, max_iter=cc_max_iter, pre_checkpointed=True
+    )
     removals = comp.filter(F.col("node") != F.col("component"))
     if new_pred is not None:
         removals = removals.filter(new_pred("node"))

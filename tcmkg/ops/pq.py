@@ -211,13 +211,6 @@ def train_pq(
 ) -> list[list[list[float]]]:
     """-> codebooks[s][code] = centroid vector (python lists: m*k*dsub
     floats — codebook-sized, the object a search job broadcasts)."""
-    first = emb.select(vec_col).first()
-    if first is None:
-        raise ValueError("train_pq: empty embedding frame")
-    dim = len(first[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     base = (
         emb.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -228,6 +221,15 @@ def train_pq(
         .localCheckpoint()  # iterated; truncate lineage once
     )
     seeds = base.orderBy("id").limit(k).collect()  # k vectors: tiny
+    if not seeds:
+        raise ValueError("train_pq: empty embedding frame")
+    # dim comes from the seeds already collected — a separate first()
+    # action only to read the dimension was one more whole Spark job per
+    # training call (r6: action-latency dominates this loop, guide §1.2)
+    dim = len(seeds[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     if len(seeds) < k:
         raise ValueError(f"need >= k={k} vectors, got {len(seeds)}")
     books = [

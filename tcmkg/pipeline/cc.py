@@ -43,6 +43,7 @@ def connected_components_edges(
     max_iter: int = 25,
     rounds_per_check: int = 3,
     growth: float = 1.0,
+    pre_checkpointed: bool = False,
 ) -> DataFrame:
     """(a, b) undirected pair edges -> (node, component) with component =
     min node id reachable — the pair-edge specialization of
@@ -72,9 +73,14 @@ def connected_components_edges(
     # checkpoint the input projection ONCE before fanning out: sym below
     # references the edge frame three times (fwd, rev, node set) and an
     # expensive caller plan (the near-dedup verify chain, a triple
-    # assembly) would otherwise execute three times inside one job
+    # assembly) would otherwise execute three times inside one job.
+    # `pre_checkpointed=True` skips that action when the CALLER's edge
+    # frame is already a checkpoint leaf (the dedup chain checkpoints its
+    # tagged edge union right before calling CC) — re-materializing a
+    # leaf's narrow projection was one more whole job of pure latency (r6)
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    e = e.localCheckpoint()
+    if not pre_checkpointed:
+        e = e.localCheckpoint()
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     nodes = e.unionByName(rev).select("src").distinct()
     sym = (

@@ -133,6 +133,27 @@ def test_cc_edges_matches_union_find(spark, pairs):
         assert c == min(_g for _g in got if got[_g] == c)
 
 
+def test_cc_edges_pre_checkpointed_identical(spark):
+    """r6: `pre_checkpointed=True` (the dedup chain's path — its tagged
+    edge union is already a checkpoint leaf) skips only the input
+    re-materialization action; labels and representatives are identical
+    to the default path."""
+    from tcmkg.pipeline.cc import connected_components_edges
+
+    rows = [(f"n{a:03d}", f"n{b:03d}") for a, b in
+            [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (9, 9)]]
+    edges = spark.createDataFrame(rows, "a string, b string").localCheckpoint()
+    base = {
+        r["node"]: r["component"]
+        for r in connected_components_edges(edges).collect()
+    }
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components_edges(edges, pre_checkpointed=True).collect()
+    }
+    assert base == fast and set(fast.values()) == {"n000", "n005", "n009"}
+
+
 def test_cc_edges_long_chain_block_boundary(spark):
     """A diameter-long chain crossing several 3-round blocks: the
     block-boundary convergence check (label monotone, stationary) must not
