@@ -345,20 +345,26 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
     Plan shape (r6): the raw mention stream is consumed exactly ONCE — by
     reduce_mentions' single combinable groupBy — and the resulting
     O(distinct pairs) frame is localCheckpoint'ed: the one big pass runs
-    eagerly here, and the ~30 downstream references of the predicate
-    branches each plan over a TINY LEAF instead of re-analyzing (persist)
-    or re-executing parts of the full upstream tree (transcriptize +
-    window chain + Arrow kernel; the persisted-pairs shape cost ~11s of
-    pure driver planning per assembly at sf0.1, plans/r06). All 46
-    non-weighted predicates run off the reduced frame; the 32 PLAIN kinds
-    ship as ONE filter + kind→predicate map lookup (one union arm — not
-    32 branches), and only the weighted/capped/de-conflicted families
-    keep their own arms (~15 total). Keeping the union narrow matters
-    twice: driver-side plan analysis of a left-deep union is quadratic in
-    arms (46 arms cost ~28s of pure planning at HEAD-1), and every arm is
-    another task wave at execution. The checkpointed partitions are freed
-    by the ContextCleaner when the caller drops the returned frame."""
+    eagerly here, and every downstream reference plans over a TINY LEAF
+    instead of re-analyzing or re-executing the full upstream tree
+    (transcriptize + window chain + Arrow kernel). The de-conflict
+    algebra itself runs in the GROUPED formulation (_assemble_grouped):
+    one orientation-tagged aggregation + row-local boolean predicate
+    emission instead of ~25 tiny joins — see that docstring. The
+    checkpointed partitions are freed by the ContextCleaner when the
+    caller drops the returned frame."""
     reduced = reduce_mentions(mentions).localCheckpoint()
+    return _assemble_grouped(reduced)
+
+
+def _assemble_joins(reduced: DataFrame) -> DataFrame:
+    """The r5 arm-union formulation of the predicate algebra: one union
+    arm per weighted/capped/de-conflicted family, each made of anti/semi
+    joins over the deduped pair frame (the helper functions above are the
+    per-family specs, each pinned by its own test). Kept as the
+    DIFFERENTIAL REFERENCE for `_assemble_grouped`, which computes the
+    same 47 families without the joins — test_triples_grouped_matches_
+    joins asserts row-set equality on real extractions."""
     pairs = reduced.filter(F.col("kind") != "contains").select(
         "kind", "subj", "obj"
     )
@@ -420,3 +426,122 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
             for i in range(0, len(parts), 2)
         ]
     return parts[0]
+
+
+# kinds whose published set depends on the REVERSED pair's kinds (swap
+# joins in the arm formulation); the grouped fold tags these kinds'
+# reverse orientation into the same group so the algebra stays row-local
+_REV_KINDS = ("is_a", "gg_reg", "gg_cov", "gg_assoc", "ing_resemble", "ing_interact")
+
+
+def _assemble_grouped(reduced: DataFrame) -> DataFrame:
+    """The grouped formulation of the 47-family predicate algebra (r6).
+
+    Every de-conflict rule above is per-(subj, obj) set logic over kind
+    membership — including the swap joins, whose reversed-pair lookups
+    become membership of an orientation-tagged `<kind>~r` marker emitted
+    into the SAME group. So the whole algebra collapses to ONE combinable
+    aggregation (guide §2.4: operations keyed the same way share one
+    exchange) + a row-local boolean projection per family + one explode:
+
+        kinds(subj, obj) = collect_set over {kind} ∪ {kind~r of (obj,subj)}
+        publish family f at (s, o)  iff  f's boolean over kinds(s, o)
+
+    vs the arm-union's ~25 anti/semi joins, each of which executed as its
+    own tiny AQE broadcast-build job (~60 ms of scheduling latency apiece
+    at sf0.1 — 62 jobs/leg measured, nearly all of them this algebra).
+    Only contains (per-formula dose totals) and p_symptom (per-subject
+    degree cap) keep arms: their rules aggregate across DIFFERENT keys.
+    Equivalence with the join formulation is pinned by a differential
+    test on real extractions and by the per-family DuckDB oracle hashes
+    (kg_all_edges covers all 47 families in one hash). Scale shape: the
+    one shuffle moves O(distinct pairs) rows; collect_set fan-in is
+    bounded by the kind vocabulary (≤ 2×47), so there are no hot keys.
+    NULL pair keys would group where the join form kept them apart, but
+    the extraction kernels emit only matched non-null strings (and
+    reduce_mentions already groups by the same keys)."""
+    pairs = reduced.filter(F.col("kind") != "contains").select(
+        "kind", "subj", "obj"
+    )
+    rev = (
+        pairs.filter(F.col("kind").isin(*_REV_KINDS))
+        .select(
+            F.concat(F.col("kind"), F.lit("~r")).alias("kind"),
+            F.col("obj").alias("subj"),
+            F.col("subj").alias("obj"),
+        )
+    )
+    ks = (
+        pairs.unionByName(rev)
+        .groupBy("subj", "obj")
+        .agg(F.collect_set("kind").alias("ks"))
+    )
+
+    def has(k: str):
+        return F.array_contains("ks", k)
+
+    def hasr(k: str):
+        return F.array_contains("ks", k + "~r")
+
+    # one boolean per published family, mirroring the helper functions
+    # above term by term (they remain the executable spec + test surface)
+    cond: dict[str, object] = {k: has(k) for k in _PLAIN_KINDS}
+    # treats_edges: treats anti induces
+    cond["treats"] = has("treats") & ~has("induces")
+    # gene_edges: conflict = up∩down; directional sets lose conflicts;
+    # associate = (assoc ∪ conflict) − up_f − down_f − bind
+    up_f = has("up_gene") & ~has("down_gene")
+    down_f = has("down_gene") & ~has("up_gene")
+    cond["up_gene"] = up_f
+    cond["down_gene"] = down_f
+    cond["assoc_gene"] = (
+        (has("assoc_gene") | (has("up_gene") & has("down_gene")))
+        & ~up_f & ~down_f & ~has("bind_gene")
+    )
+    # ingredient_disease_edges: conflict = treat ∩ (induce ∪ contra),
+    # dropped from all three sets
+    id_bad = has("i_induce") | has("i_contra")
+    id_conflict = has("i_treat") & id_bad
+    cond["i_treat"] = has("i_treat") & ~id_bad
+    cond["i_induce"] = has("i_induce") & ~id_conflict
+    cond["i_contra"] = has("i_contra") & ~id_conflict
+    # gene_gene_edges: associate loses either-direction reg/cov (the kill
+    # set is direction-symmetric), then mutual survivors collapse to the
+    # subj<obj direction
+    gg_kill = has("gg_reg") | has("gg_cov") | hasr("gg_reg") | hasr("gg_cov")
+    gg_a1 = has("gg_assoc") & ~gg_kill
+    gg_a1_rev = hasr("gg_assoc") & ~gg_kill
+    cond["gg_assoc"] = gg_a1 & ~(gg_a1_rev & (F.col("subj") > F.col("obj")))
+    # disease_gene_edges: assoc − up − down
+    cond["dg_assoc"] = has("dg_assoc") & ~has("dg_up") & ~has("dg_down")
+    # is_a_edges: bidirectional pairs dropped from both sides
+    isa_f = has("is_a") & ~hasr("is_a")
+    isa_f_rev = hasr("is_a") & ~has("is_a")
+    cond["is_a"] = isa_f
+    # disease_resemble_edges: resemble minus either-direction PUBLISHED is_a
+    cond["dis_resemble"] = has("dis_resemble") & ~(isa_f | isa_f_rev)
+    # _collapse_mutual: drop (a,b) when (b,a) is also present and a > b
+    for k in ("ing_resemble", "ing_interact"):
+        cond[k] = has(k) & ~(hasr(k) & (F.col("subj") > F.col("obj")))
+
+    pred_arr = F.array(
+        *[F.when(c, F.lit(PRED_OF_KIND[k])) for k, c in cond.items()]
+    )
+    grouped = ks.select(
+        "subj",
+        F.explode(F.filter(pred_arr, lambda x: x.isNotNull())).alias("pred"),
+        "obj",
+        F.lit(None).cast("double").alias("weight"),
+    )
+
+    def lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
+        w = F.col("weight") if weight else F.lit(None).cast("double")
+        return df.select(
+            "subj", F.lit(pred).alias("pred"), "obj", w.alias("weight")
+        )
+
+    return (
+        lab(contains_edges(reduced), PRED_OF_KIND["contains"], weight=True)
+        .unionByName(lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]))
+        .unionByName(grouped)
+    )

@@ -791,3 +791,77 @@ def test_k_hop_pred_filters(spark, pipeline, transcripts_df):
         .collect()
     }
     assert got == want and got
+
+
+def test_triples_grouped_matches_joins(spark, pipeline, transcripts_df):
+    """r6 grouped algebra fold: _assemble_grouped (one orientation-tagged
+    collect_set aggregation + row-local boolean emission) must publish
+    EXACTLY the rows of the r5 arm-union formulation (_assemble_joins,
+    whose per-family helpers are the tested spec) on a real extraction —
+    all 47 families, weights included. Also pin an adversarial synthetic
+    pair frame exercising every swap/conflict rule at once."""
+    from pyspark.sql import functions as F
+
+    from tcmkg.pipeline.triples import (
+        _assemble_grouped,
+        _assemble_joins,
+        reduce_mentions,
+    )
+
+    reduced = reduce_mentions(pipeline.mentions(transcripts_df)).localCheckpoint()
+    a = _assemble_joins(reduced)
+    b = _assemble_grouped(reduced)
+    norm = lambda df: sorted(
+        (r["subj"], r["pred"], r["obj"],
+         None if r["weight"] is None else round(r["weight"], 9))
+        for r in df.collect()
+    )
+    ra, rb = norm(a), norm(b)
+    assert ra == rb and len(ra) > 0
+
+    # synthetic: self-loops, mutual pairs, conflicts, either-direction kills
+    rows = [
+        ("treats", "h1", "d1"), ("induces", "h1", "d1"),        # killed
+        ("treats", "h2", "d1"),                                  # survives
+        ("up_gene", "i1", "g1"), ("down_gene", "i1", "g1"),      # -> assoc
+        ("up_gene", "i2", "g1"), ("bind_gene", "i2", "g1"),
+        ("assoc_gene", "i2", "g1"),                              # bind kills assoc
+        ("i_treat", "i1", "d1"), ("i_contra", "i1", "d1"),       # conflict: both die
+        ("i_induce", "i3", "d1"), ("i_contra", "i3", "d1"),      # no treat: both live
+        ("gg_assoc", "ga", "gb"), ("gg_assoc", "gb", "ga"),      # mutual -> ga<gb kept
+        ("gg_assoc", "gc", "gd"), ("gg_cov", "gd", "gc"),        # reverse cov kills
+        ("gg_assoc", "ge", "ge"),                                # self-loop kept
+        ("is_a", "d1", "d2"), ("is_a", "d2", "d1"),              # bidirectional: both die
+        ("is_a", "d3", "d4"),
+        ("dis_resemble", "d4", "d3"),                            # killed by published is_a
+        ("dis_resemble", "d5", "d6"),
+        ("ing_resemble", "ia", "ib"), ("ing_resemble", "ib", "ia"),
+        ("dg_assoc", "d1", "g1"), ("dg_up", "d1", "g1"),         # up beats assoc
+        ("h_symptom", "h1", "s1"),                               # plain
+    ]
+    syn = spark.createDataFrame(
+        [(k, s, o, None, 0, 0) for k, s, o in rows],
+        "kind string, subj string, obj string, amt double, n_null long, n_ml long",
+    ).localCheckpoint()
+    sa, sb = norm(_assemble_joins(syn)), norm(_assemble_grouped(syn))
+    assert sa == sb
+    got = {(s, p, o) for s, p, o, _ in sb}
+    assert ("h2", "herb_treats_disease", "d1") in got
+    assert ("h1", "herb_treats_disease", "d1") not in got
+    assert ("i1", "ingredient_associate_gene", "g1") in got
+    assert ("i2", "ingredient_associate_gene", "g1") not in got
+    assert ("i1", "ingredient_treat_disease", "d1") not in got
+    assert ("i1", "ingredient_contraindicate_disease", "d1") not in got
+    assert ("i3", "ingredient_induce_disease", "d1") in got
+    assert ("ga", "gene_associate_gene", "gb") in got
+    assert ("gb", "gene_associate_gene", "ga") not in got
+    assert ("gc", "gene_associate_gene", "gd") not in got
+    assert ("ge", "gene_associate_gene", "ge") in got
+    assert ("d1", "disease_is_a_disease", "d2") not in got
+    assert ("d3", "disease_is_a_disease", "d4") in got
+    assert ("d4", "disease_resemble_disease", "d3") not in got
+    assert ("d5", "disease_resemble_disease", "d6") in got
+    assert ("ia", "ingredient_resemble_ingredient", "ib") in got
+    assert ("ib", "ingredient_resemble_ingredient", "ia") not in got
+    assert ("d1", "disease_associate_gene", "g1") not in got
+    assert ("d1", "disease_upregulate_gene", "g1") in got
