@@ -44,6 +44,7 @@ def connected_components_edges(
     rounds_per_check: int = 3,
     growth: float = 1.0,
     pre_checkpointed: bool = False,
+    hook_labels: bool = True,
 ) -> DataFrame:
     """(a, b) undirected pair edges -> (node, component) with component =
     min node id reachable — the pair-edge specialization of
@@ -69,7 +70,22 @@ def connected_components_edges(
     real O(V+E) shuffle while fixed blocks bound the waste at
     rounds_per_check-1. Convergence detection is exact for any schedule:
     labels are monotone and propagation is stationary, so "last round of
-    the block changed nothing" IS the fixpoint."""
+    the block changed nothing" IS the fixpoint.
+
+    `hook_labels` (r6): after each non-converged block, the next block's
+    edge list is base ∪ {node ↔ current label} — every hook connects two
+    nodes ALREADY in one component (a label is always a reachable node),
+    so components and the converged labels are IDENTICAL, while the
+    effective diameter contracts geometrically (each block can traverse
+    the hops all previous blocks discovered in one round: Shiloach-
+    Vishkin-style hooking, without pointer jumping's per-round self-join
+    that measured net-worse here). The hooks are rebuilt per block from
+    the just-checkpointed labels frame against the UNCHANGED base list —
+    a narrow union, no extra action, and stale hooks are never carried.
+    Measured: the diameter-12 sf0.1 near-dedup graph converges in 9
+    rounds instead of 12 (1.95 → 1.74 s); a diameter-60 chain in 12
+    instead of 63 (6.8 → 1.8 s) — the long-chain robustness also retires
+    the max_iter hazard for templated corpora."""
     # checkpoint the input projection ONCE before fanning out: sym below
     # references the edge frame three times (fwd, rev, node set) and an
     # expensive caller plan (the near-dedup verify chain, a triple
@@ -101,6 +117,7 @@ def connected_components_edges(
     n_changed = 0
     done = 0
     k = max(1, rounds_per_check)
+    sym_base = sym
     while done < max_iter:
         k_eff = min(k, max_iter - done)
         cur = labels
@@ -125,6 +142,27 @@ def connected_components_edges(
         if n_changed == 0:
             break
         k = max(k, int(k * growth))
+        if hook_labels:
+            # node ↔ label hooks off the just-checkpointed labels frame:
+            # intra-component by construction (fixpoint unchanged), and a
+            # duplicate of a base edge only feeds the same value into the
+            # MIN aggregations again — so no dedup shuffle is spent here
+            hooks = labels.filter(F.col("node") != F.col("label"))
+            sym = (
+                sym_base.unionByName(
+                    hooks.select(
+                        F.col("node").alias("src"),
+                        F.col("label").alias("dst"),
+                        F.lit(False).alias("own"),
+                    )
+                ).unionByName(
+                    hooks.select(
+                        F.col("label").alias("src"),
+                        F.col("node").alias("dst"),
+                        F.lit(False).alias("own"),
+                    )
+                )
+            )
 
     if n_changed != 0:
         import warnings

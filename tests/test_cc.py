@@ -154,6 +154,36 @@ def test_cc_edges_pre_checkpointed_identical(spark):
     assert base == fast and set(fast.values()) == {"n000", "n005", "n009"}
 
 
+def test_cc_edges_label_hooks(spark):
+    """r6 hook acceleration: hooks connect a node to its current label —
+    always intra-component — so the fixpoint is identical to the unhooked
+    propagation wherever both converge, and a diameter-60 chain (which
+    the unhooked form cannot finish inside the default max_iter=25)
+    converges to the single true component."""
+    import warnings
+
+    from tcmkg.pipeline.cc import connected_components_edges
+
+    edges = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in [(0, 1), (1, 2), (2, 3), (7, 8), (8, 9)]],
+        "a string, b string",
+    )
+    plain = {r["node"]: r["component"]
+             for r in connected_components_edges(edges, hook_labels=False).collect()}
+    hooked = {r["node"]: r["component"]
+              for r in connected_components_edges(edges, hook_labels=True).collect()}
+    assert plain == hooked
+
+    chain = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(60)], "a string, b string"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the hooked path must NOT hit max_iter
+        got = {r["node"]: r["component"]
+               for r in connected_components_edges(chain).collect()}
+    assert set(got.values()) == {"n00000"} and len(got) == 61
+
+
 def test_cc_edges_long_chain_block_boundary(spark):
     """A diameter-long chain crossing several 3-round blocks: the
     block-boundary convergence check (label monotone, stationary) must not
