@@ -560,6 +560,10 @@ def _dedup_chain(
     # dropDuplicates itself). cc_max_iter bounds propagation rounds at the
     # component DIAMETER; the CC warns (no silent cap) if a pathological
     # chain exceeds it — raise cc_max_iter for long templated chains.
+    # CONTRACT: pre_checkpointed=True is only valid because `edges` above
+    # is localCheckpoint'ed — if that checkpoint is ever removed or moved,
+    # drop the flag too, or CC's three-way fan-out (fwd/rev/node-set) will
+    # silently re-execute the whole verify + hot-route plan three times.
     comp = connected_components_edges(
         edges, max_iter=cc_max_iter, pre_checkpointed=True
     )

@@ -223,15 +223,18 @@ def train_pq(
     seeds = base.orderBy("id").limit(k).collect()  # k vectors: tiny
     if not seeds:
         raise ValueError("train_pq: empty embedding frame")
+    if len(seeds) < k:
+        raise ValueError(f"need >= k={k} vectors, got {len(seeds)}")
     # dim comes from the seeds already collected — a separate first()
     # action only to read the dimension was one more whole Spark job per
-    # training call (r6: action-latency dominates this loop, guide §1.2)
+    # training call (r6: action-latency dominates this loop, guide §1.2).
+    # Trade-off: a dim%m misconfiguration is now caught after the one
+    # checkpoint pass instead of before it — the happy path saves a job
+    # on EVERY call, the error path pays one extra pass once.
     dim = len(seeds[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    if len(seeds) < k:
-        raise ValueError(f"need >= k={k} vectors, got {len(seeds)}")
     books = [
         [list(r["v"])[s * dsub : (s + 1) * dsub] for r in seeds]
         for s in range(m)

@@ -15,14 +15,20 @@ Algorithm (bipartite min-label propagation over the node↔key incidence list):
       label(n) = min(label(n), cand(n))
     until no label changed
 
-Converges in O(component diameter) rounds. Pointer jumping (label <-
-label(label) per round) was measured and REJECTED: on the sf0.1 near-dup
-graph (diameter 11) it cut rounds only 12 -> 10 while adding a label-table
-self-join per round — net neutral-to-worse. The min VALUE can only travel
-one edge per propagation round (BFS), so compressing the pointer forest
-doesn't accelerate discovery; a log-round CC needs Shiloach-Vishkin-style
-hooking, which is not worth its complexity at the diameters templated
-corpora produce. Both aggregations are MIN —
+Converges in O(component diameter) rounds for the plain loop. Pointer
+jumping (label <- label(label) per round) was measured and REJECTED: on the
+sf0.1 near-dup graph (diameter 11) it cut rounds only 12 -> 10 while adding
+a label-table self-join per round — net neutral-to-worse. The min VALUE can
+only travel one edge per propagation round (BFS), so compressing the
+pointer forest doesn't accelerate discovery. What DOES pay (r6) is
+Shiloach-Vishkin-style hooking on the pair-edge fast path
+(connected_components_edges `hook_labels`, default on): hook edges are
+rebuilt per block from the already-checkpointed labels frame, costing no
+extra action — unlike pointer jumping's per-round join — and contract the
+effective diameter geometrically (see that docstring for the numbers).
+The incidence form below keeps the plain loop: synthetic hook keys could
+collide with real hyper-keys, and its callers are contract-sized.
+Both aggregations are MIN —
 partially aggregatable, so Spark's map-side combine neutralizes hot keys
 (a key shared by millions of records contributes one row per map partition
 after partial agg). AQE skew-join handles residual join skew; lineage is

@@ -339,6 +339,16 @@ _PLAIN_KINDS = (
 )
 
 
+def _lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
+    """Label a pair frame as (subj, pred, obj, weight) — the single
+    published-row shape both assembly formulations emit (one definition so
+    the differential-reference path cannot drift from the production one)."""
+    w = F.col("weight") if weight else F.lit(None).cast("double")
+    return df.select(
+        "subj", F.lit(pred).alias("pred"), "obj", w.alias("weight")
+    )
+
+
 def assemble_triples(mentions: DataFrame) -> DataFrame:
     """-> (subj, pred, obj, weight double).
 
@@ -369,12 +379,6 @@ def _assemble_joins(reduced: DataFrame) -> DataFrame:
         "kind", "subj", "obj"
     )
 
-    def lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
-        w = F.col("weight") if weight else F.lit(None).cast("double")
-        return df.select(
-            "subj", F.lit(pred).alias("pred"), "obj", w.alias("weight")
-        )
-
     pred_map = F.create_map(
         *[F.lit(x) for k in _PLAIN_KINDS for x in (k, PRED_OF_KIND[k])]
     )
@@ -386,9 +390,9 @@ def _assemble_joins(reduced: DataFrame) -> DataFrame:
     )
 
     parts = [
-        lab(contains_edges(reduced), PRED_OF_KIND["contains"], weight=True),
-        lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]),
-        lab(treats_edges(pairs), PRED_OF_KIND["treats"]),
+        _lab(contains_edges(reduced), PRED_OF_KIND["contains"], weight=True),
+        _lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]),
+        _lab(treats_edges(pairs), PRED_OF_KIND["treats"]),
         plain,
     ]
     # algebra families: only the FILTERED/derived outputs get arms; their
@@ -399,23 +403,23 @@ def _assemble_joins(reduced: DataFrame) -> DataFrame:
     _gr, _gc, ga_f = gene_gene_edges(pairs)
     _du, _dd, da_f = disease_gene_edges(pairs)
     parts += [
-        lab(up_f, PRED_OF_KIND["up_gene"]),
-        lab(down_f, PRED_OF_KIND["down_gene"]),
-        lab(assoc_f, PRED_OF_KIND["assoc_gene"]),
-        lab(it_f, PRED_OF_KIND["i_treat"]),
-        lab(ii_f, PRED_OF_KIND["i_induce"]),
-        lab(ic_f, PRED_OF_KIND["i_contra"]),
-        lab(ga_f, PRED_OF_KIND["gg_assoc"]),
-        lab(da_f, PRED_OF_KIND["dg_assoc"]),
+        _lab(up_f, PRED_OF_KIND["up_gene"]),
+        _lab(down_f, PRED_OF_KIND["down_gene"]),
+        _lab(assoc_f, PRED_OF_KIND["assoc_gene"]),
+        _lab(it_f, PRED_OF_KIND["i_treat"]),
+        _lab(ii_f, PRED_OF_KIND["i_induce"]),
+        _lab(ic_f, PRED_OF_KIND["i_contra"]),
+        _lab(ga_f, PRED_OF_KIND["gg_assoc"]),
+        _lab(da_f, PRED_OF_KIND["dg_assoc"]),
     ]
     # is_a feeds both its own predicate and the disease-resemble kill set
     isa_f = is_a_edges(pairs)
     parts += [
-        lab(isa_f, PRED_OF_KIND["is_a"]),
-        lab(disease_resemble_edges(pairs, isa_f), PRED_OF_KIND["dis_resemble"]),
-        lab(_collapse_mutual(_pairs(pairs, "ing_resemble")),
+        _lab(isa_f, PRED_OF_KIND["is_a"]),
+        _lab(disease_resemble_edges(pairs, isa_f), PRED_OF_KIND["dis_resemble"]),
+        _lab(_collapse_mutual(_pairs(pairs, "ing_resemble")),
             PRED_OF_KIND["ing_resemble"]),
-        lab(_collapse_mutual(_pairs(pairs, "ing_interact")),
+        _lab(_collapse_mutual(_pairs(pairs, "ing_interact")),
             PRED_OF_KIND["ing_interact"]),
     ]
     # balanced union tree: analyzer cost grows with tree DEPTH × size, so
@@ -534,14 +538,8 @@ def _assemble_grouped(reduced: DataFrame) -> DataFrame:
         F.lit(None).cast("double").alias("weight"),
     )
 
-    def lab(df: DataFrame, pred: str, weight=None) -> DataFrame:
-        w = F.col("weight") if weight else F.lit(None).cast("double")
-        return df.select(
-            "subj", F.lit(pred).alias("pred"), "obj", w.alias("weight")
-        )
-
     return (
-        lab(contains_edges(reduced), PRED_OF_KIND["contains"], weight=True)
-        .unionByName(lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]))
+        _lab(contains_edges(reduced), PRED_OF_KIND["contains"], weight=True)
+        .unionByName(_lab(p_symptom_edges(pairs), PRED_OF_KIND["p_symptom"]))
         .unionByName(grouped)
     )

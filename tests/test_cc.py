@@ -178,7 +178,9 @@ def test_cc_edges_label_hooks(spark):
         [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(60)], "a string, b string"
     )
     with warnings.catch_warnings():
-        warnings.simplefilter("error")  # the hooked path must NOT hit max_iter
+        # only the non-convergence warning is the failure signal; other
+        # library warnings during collect() must not fail the test
+        warnings.filterwarnings("error", message=".*did not converge.*")
         got = {r["node"]: r["component"]
                for r in connected_components_edges(chain).collect()}
     assert set(got.values()) == {"n00000"} and len(got) == 61
